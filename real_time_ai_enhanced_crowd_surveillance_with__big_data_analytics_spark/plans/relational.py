@@ -1,0 +1,372 @@
+"""Relational query plans over the driver testdata (SURVEY.md §2).
+
+Each query is a (spark_fn, oracle_sql) pair: the Spark side is pure
+DataFrame API (Catalyst does pushdown/pruning/join selection), the
+oracle is ANSI SQL run by DuckDB on the same parquet. Column names are
+aliased identically on both sides; floats are rounded in the output
+layer only; timestamps are formatted to strings so value hashes agree.
+
+Scale posture: every groupBy/join key here is either a broadcast-sized
+dimension (nation/region/class-name — reference coco.names join,
+main.py:211) or a high-cardinality key that hash-partitions evenly
+(user_id, order key). AQE handles skew/coalesce at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.edge_trigger import rising_edges
+from ..operators.topk import topk_per_group
+from ..sources.tables import load_table
+
+# Reference operating points (BASELINE.md): confidence>0.5 scaled onto the
+# events.value domain; crowd threshold >3 (main.py:232).
+VALUE_THRESHOLD = 100.0
+CROWD_THRESHOLD = 3
+ALARM_THRESHOLD = 150.0
+
+
+def _ts_str(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# --- flagship: crowded frames (S1→P4→P5→A1→P10; reference main.py:210-233) --
+
+def crowded_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (user, hour) event counts with crowd flag.
+
+    Reference pipeline: confidence filter (main.py:210) → class-equality
+    filter (main.py:211) → per-frame COUNT (main.py:226) → threshold
+    (main.py:232). Filters sit directly on the scan (parquet pushdown);
+    the single shuffle is the groupBy on (user_id, hour) — a
+    high-cardinality composite key, partition-prunable by hour at scale.
+    """
+    events = load_table(spark, "events", sf)
+    return (
+        events
+        .filter((F.col("value") > VALUE_THRESHOLD) & (F.col("event_type") == "click"))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_detections"))
+        .select(
+            "user_id",
+            _ts_str(F.col("bucket")).alias("bucket_hour"),
+            "n_detections",
+            (F.col("n_detections") > CROWD_THRESHOLD).alias("crowded"),
+        )
+    )
+
+
+CROWDED_FRAMES_SQL = f"""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       count(*) AS n_detections,
+       count(*) > {CROWD_THRESHOLD} AS crowded
+FROM events
+WHERE value > {VALUE_THRESHOLD} AND event_type = 'click'
+GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# --- TPC-H Q1 shape: pricing summary (A1 aggregation battery) ---------------
+
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped aggregate battery (the 'historical trend analysis' the
+    reference promises, README.md:2, but never builds). Map-side partial
+    aggregation + single shuffle on a 6-value key; scan reads only the
+    7 referenced columns (column pruning)."""
+    li = load_table(spark, "lineitem", sf)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- revenue by nation (J1 broadcast-dim joins at fact scale) ---------------
+
+def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """customer ⋈ orders ⋈ nation ⋈ region with explicit broadcasts of the
+    dimensions (reference's positional coco.names lookup generalized,
+    main.py:211). orders⋈customer shuffles on the customer key; nation
+    and region never shuffle (broadcast hash joins)."""
+    orders = load_table(spark, "orders", sf)
+    customer = load_table(spark, "customer", sf)
+    nation = load_table(spark, "nation", sf)
+    region = load_table(spark, "region", sf)
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- top-k per group (W1; reference torch.topk main.py:80-81) ---------------
+
+def top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer; row_number window with a
+    deterministic tiebreak (orderkey) pins reference topk's stable-sort
+    semantics."""
+    orders = load_table(spark, "orders", sf)
+    return topk_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# --- rising-edge alarm (W2; reference main.py:171-185) ----------------------
+
+def alarm_rising_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-triggered alarms over the event stream in batch form: the
+    alarm condition (value > threshold ≙ Fire_Reported) fires only on the
+    False→True transition per user (camera analog). Single shuffle on
+    user_id; lag/sum stay in codegen."""
+    events = load_table(spark, "events", sf)
+    flagged = rising_edges(
+        events,
+        F.col("value") > ALARM_THRESHOLD,
+        key_cols=["user_id"],
+        order_col="event_id",
+        flag_name="alarm",
+    )
+    return flagged.filter(F.col("alarm_edge")).select(
+        "user_id",
+        "event_id",
+        _ts_str(F.col("ts")).alias("ts_s"),
+        F.round("value", 2).alias("value"),
+        F.col("alarm_episode").alias("episode"),
+    )
+
+
+ALARM_RISING_EDGES_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         (value > {ALARM_THRESHOLD}) AS alarm,
+         coalesce(lag(value > {ALARM_THRESHOLD})
+                  OVER (PARTITION BY user_id ORDER BY event_id), false) AS prev_alarm
+  FROM events
+), flagged AS (
+  SELECT *,
+         sum(CASE WHEN alarm AND NOT prev_alarm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+  FROM lagged
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(value, 2) AS value,
+       episode
+FROM flagged
+WHERE alarm AND NOT prev_alarm
+"""
+
+
+# --- conditional counts (A2; reference countNonZero main.py:168) ------------
+
+def conditional_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """count_if per group — the mask-pixel count (countNonZero of the HSV
+    inRange mask) as a relational conditional aggregate. Partial aggs
+    map-side; one shuffle on the tiny event_type key."""
+    events = load_table(spark, "events", sf)
+    hot = F.col("value") > VALUE_THRESHOLD
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(hot.cast("long")).alias("n_hot"),
+        F.round(F.avg(hot.cast("double")), 6).alias("hot_ratio"),
+    )
+
+
+CONDITIONAL_COUNTS_SQL = f"""
+SELECT event_type,
+       count(*) AS n_total,
+       sum(CASE WHEN value > {VALUE_THRESHOLD} THEN 1 ELSE 0 END) AS n_hot,
+       round(avg(CASE WHEN value > {VALUE_THRESHOLD} THEN 1.0 ELSE 0.0 END), 6) AS hot_ratio
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- argmax per key (A3/A4; reference np.argmax main.py:108,207) ------------
+
+def argmax_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Per user: the event with the maximum value (argmax with
+    deterministic event_id tiebreak — reference argmax takes the first
+    max, np.argmax semantics)."""
+    events = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("argmax_type"),
+            F.round("value", 2).alias("max_value"),
+            F.col("event_id").alias("argmax_event_id"),
+        )
+    )
+
+
+ARGMAX_EVENT_SQL = """
+SELECT user_id,
+       event_type AS argmax_type,
+       round(value, 2) AS max_value,
+       event_id AS argmax_event_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- anti-join (J5; reference UNIQUE-username insert views.py:49) -----------
+
+def customers_without_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti-join — the uniqueness/absence check (reference: UNIQUE
+    username enforced before insert, views.py:49). At scale both sides
+    hash-partition on the key; AQE converts to broadcast when the right
+    side is small post-filter."""
+    customer = load_table(spark, "customer", sf)
+    events = load_table(spark, "events", sf)
+    return (
+        customer.join(events, customer.c_custkey == events.user_id, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_EVENTS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+# --- semi-join existence (A8/J4; reference len(indices)>0 main.py:127-130) --
+
+def customers_with_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean existence as a semi-join: customers that produced at least
+    one 'error' event (reference: fire present iff any surviving box)."""
+    customer = load_table(spark, "customer", sf)
+    events = load_table(spark, "events", sf)
+    errs = events.filter(F.col("event_type") == "error")
+    return (
+        customer.join(errs, customer.c_custkey == errs.user_id, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+CUSTOMERS_WITH_ERRORS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM events
+              WHERE event_type = 'error' AND user_id = c_custkey)
+"""
+
+
+# --- rollup (historical trend analysis; SURVEY §2.4 note) -------------------
+
+def event_trend_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP by (event_type, day): the camera × time-bucket × class
+    trend rollup the reference's README promises. Grouping-set aggs are
+    one shuffle; day buckets partition-prune at scale."""
+    events = load_table(spark, "events", sf)
+    return (
+        events.withColumn("day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("event_type", "day", "n_events", "sum_value")
+    )
+
+
+EVENT_TREND_ROLLUP_SQL = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""
+
+
+RELATIONAL_QUERIES = {
+    "crowded_frames": (crowded_frames, CROWDED_FRAMES_SQL),
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "top_orders_per_customer": (top_orders_per_customer, TOP_ORDERS_SQL),
+    "alarm_rising_edges": (alarm_rising_edges, ALARM_RISING_EDGES_SQL),
+    "conditional_counts": (conditional_counts, CONDITIONAL_COUNTS_SQL),
+    "argmax_event": (argmax_event, ARGMAX_EVENT_SQL),
+    "customers_without_events": (customers_without_events, CUSTOMERS_WITHOUT_EVENTS_SQL),
+    "customers_with_errors": (customers_with_errors, CUSTOMERS_WITH_ERRORS_SQL),
+    "event_trend_rollup": (event_trend_rollup, EVENT_TREND_ROLLUP_SQL),
+}
