@@ -1,3 +1,478 @@
-"""Similarity-search plans (filled in task #3)."""
+"""Similarity-search plans over the embeddings table (SURVEY.md J3,
+A5-A7, W1; north-star ANN surface).
 
-SIMILARITY_QUERIES: dict = {}
+Reference semantics: CLIP text/image features are L2-normalized, scored
+as ``100 * image @ text.T``, softmaxed, top-k'd, and thresholded
+(main.py:31-38,70-88). Here the 3 'prompt' vectors are embeddings
+vec_id 0-2 (standing in for the 3 CLIP text targets, main.py:31-35)
+and every other vector is an 'image'.
+
+Scale posture: the probe/prompt side is always tiny → broadcast
+cross-join (no shuffle of the big side); the big side streams through
+codegen'd array folds. The IVF variant bounds work per query to the
+probed cells — the 100 TB path where brute force would scan everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_sim, dot, l2_norm
+from ..sources.tables import load_table
+
+# DuckDB-side cosine expressed with the same sequential-fold arithmetic
+# as functions/arrays.py (list_dot_product over DOUBLE lists).
+_DUCK_VEC = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+_DUCK_DOT = "list_dot_product({a}, {b})"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    av, bv = _DUCK_VEC.format(v=a), _DUCK_VEC.format(v=b)
+    return (
+        f"({_DUCK_DOT.format(a=av, b=bv)} / "
+        f"(sqrt({_DUCK_DOT.format(a=av, b=av)}) * "
+        f"sqrt({_DUCK_DOT.format(a=bv, b=bv)})))"
+    )
+
+
+# --- brute-force cosine top-k (baseline ANN; reference main.py:79-81) -------
+
+def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 nearest neighbours of vec_id 0 by cosine similarity.
+
+    The query vector is broadcast (1 row) — the corpus side never
+    shuffles; similarity is a codegen'd fold; global top-k is
+    sort+limit with a vec_id tiebreak (deterministic under ties).
+    """
+    emb = load_table(spark, "embeddings", sf)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round({_duck_cosine('embedding', 'qvec')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --- CLIP fall-detection pipeline (A5-A7 + P10; main.py:70-88) ---------------
+
+def fall_detection_softmax(spark: SparkSession, sf: str) -> DataFrame:
+    """Full reference `infer` semantics: per image vector, similarity to
+    the 3 prompt vectors ×100, softmax, top prompt, fall flag
+    (prob of prompt 0 > 0.1 — main.py:84-86).
+
+    Prompts (3 rows) broadcast; one shuffle to regroup per-image sims.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    prompts = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") > 2)
+        .crossJoin(F.broadcast(prompts))
+        .select(
+            "vec_id",
+            "pid",
+            (cosine_sim(F.col("embedding"), F.col("pvec")) * 100.0).alias("sim"),
+        )
+    )
+    arr = sims.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pid", "sim"))), lambda s: s.sim
+        ).alias("sims")
+    )
+    m = F.array_max("sims")
+    exps = F.transform("sims", lambda x: F.exp(x - m))
+    total = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
+    probs = F.transform(exps, lambda x: x / total)
+    return arr.select(
+        "vec_id",
+        F.round(F.element_at(probs, 1), 6).alias("fall_prob"),
+        (F.expr("array_position(sims, array_max(sims))") - 1)
+        .cast("int")
+        .alias("top_prompt"),
+        (F.element_at(probs, 1) > 0.1).alias("fall"),
+    )
+
+
+FALL_DETECTION_SQL = f"""
+WITH prompts AS (
+  SELECT vec_id AS pid, embedding AS pvec FROM embeddings WHERE vec_id <= 2
+), sims AS (
+  SELECT e.vec_id, p.pid,
+         {_duck_cosine('e.embedding', 'p.pvec')} * 100.0 AS sim
+  FROM embeddings e CROSS JOIN prompts p
+  WHERE e.vec_id > 2
+), arr AS (
+  SELECT vec_id, list(sim ORDER BY pid) AS sims FROM sims GROUP BY vec_id
+), sm AS (
+  SELECT vec_id, sims,
+         list_transform(sims, x -> exp(x - list_max(sims))) AS exps
+  FROM arr
+)
+SELECT vec_id,
+       round(exps[1] / list_sum(exps), 6) AS fall_prob,
+       CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS top_prompt,
+       (exps[1] / list_sum(exps)) > 0.1 AS fall
+FROM sm
+"""
+
+
+# --- per-label centroids (IVF coarse quantizer build; long format) ----------
+
+def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean vector per label, long format (label, dim, centroid).
+
+    posexplode → groupBy(label, dim) is the scale-correct layout: the
+    shuffle key (label, dim) is high-cardinality and even; no driver-side
+    vector assembly.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH long AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT label, dim, round(avg(x), 6) AS centroid, count(*) AS n_vectors
+FROM long GROUP BY label, dim
+"""
+
+
+# --- nearest-centroid assignment (IVF cell assignment) ----------------------
+
+def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign each vector to its nearest label centroid by cosine — the
+    IVF coarse-quantization step. Centroids (10×64) reassemble from the
+    long-format aggregate and broadcast; assignment is a broadcast
+    cross-join + per-row argmax, no big-side shuffle."""
+    emb = load_table(spark, "embeddings", sf)
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cvec")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel").alias("assigned_label"),
+            F.col("csim").alias("centroid_cosine"),
+        )
+    )
+
+
+NEAREST_CENTROID_SQL = f"""
+WITH long AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos, avg(x) AS c FROM long GROUP BY label, pos
+), cvecs AS (
+  SELECT clabel, list(c ORDER BY pos) AS cvec FROM cent GROUP BY clabel
+), scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         round(
+           list_dot_product({_DUCK_VEC.format(v='e.embedding')}, c.cvec) /
+           (sqrt(list_dot_product({_DUCK_VEC.format(v='e.embedding')},
+                                  {_DUCK_VEC.format(v='e.embedding')})) *
+            sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN cvecs c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, clabel ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, label, clabel AS assigned_label, csim AS centroid_cosine
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- exact near-dup pairs (quadratic baseline) ------------------------------
+
+NEARDUP_THRESHOLD = 0.4
+
+
+def embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """All vector pairs with cosine ≥ threshold — the exact (quadratic)
+    reference answer for near-duplicate detection. Correct at any size
+    but O(n²): this exists as the correctness anchor for the LSH
+    variant, which is the 100 TB path."""
+    emb = load_table(spark, "embeddings", sf)
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+NEARDUP_EXACT_SQL = f"""
+SELECT a.vec_id AS ia, b.vec_id AS ib,
+       round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+# --- LSH-banded near-dup pairs (the scale path) ------------------------------
+
+N_HYPERPLANES = 16
+BAND_SIZE = 4  # 4 bands × 4 bits
+
+
+def _sign_bands(emb: DataFrame) -> DataFrame:
+    """Random-hyperplane LSH signatures, banded.
+
+    Hyperplanes are the first 16 corpus vectors themselves — fully
+    deterministic and oracle-portable (no RNG). Each vector gets 16 sign
+    bits of dot(x, h); bits group into 4-bit band keys. Vectors sharing
+    any band key become candidate pairs — the candidate join shuffles on
+    (band, key), never on the full vector, which is what bounds work at
+    100 TB (brute force is quadratic; banding is ~linear in candidates).
+    """
+    hp = emb.filter(F.col("vec_id") < N_HYPERPLANES).select(
+        F.col("vec_id").alias("hid"), F.col("embedding").alias("hvec")
+    )
+    bits = emb.crossJoin(F.broadcast(hp)).select(
+        "vec_id",
+        F.col("hid"),
+        (dot(F.col("embedding"), F.col("hvec")) >= 0).cast("long").alias("bit"),
+    )
+    # floor division — DuckDB CAST(float AS INT) rounds, so both sides
+    # must floor explicitly for identical band keys
+    return bits.groupBy(
+        "vec_id", F.floor(F.col("hid") / BAND_SIZE).cast("int").alias("band")
+    ).agg(
+        F.sum(
+            F.col("bit") * F.pow(F.lit(2.0), (F.col("hid") % BAND_SIZE)).cast("long")
+        )
+        .cast("long")
+        .alias("band_key")
+    )
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs via sign-LSH banding: candidates share ≥1 band
+    key, then exact cosine verifies ≥ threshold. Approximate by design
+    (recall < 1 vs embedding_neardup_exact); the candidate set — not
+    the corpus square — bounds the cost."""
+    emb = load_table(spark, "embeddings", sf)
+    bands = _sign_bands(emb)
+    a = bands.select(
+        F.col("vec_id").alias("ia"), "band", F.col("band_key").alias("ka")
+    )
+    b = bands.select(
+        F.col("vec_id").alias("ib"), F.col("band").alias("bandb"), F.col("band_key").alias("kb")
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band") == F.col("bandb"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .select("ia", "ib")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    return (
+        cands.join(va, "ia")
+        .join(vb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+NEARDUP_LSH_SQL = f"""
+WITH hp AS (
+  SELECT vec_id AS hid, embedding AS hvec FROM embeddings
+  WHERE vec_id < {N_HYPERPLANES}
+), bits AS (
+  SELECT e.vec_id, h.hid,
+         CASE WHEN list_dot_product({_DUCK_VEC.format(v='e.embedding')},
+                                    {_DUCK_VEC.format(v='h.hvec')}) >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN hp h
+), bands AS (
+  SELECT vec_id, CAST(floor(hid / {BAND_SIZE}) AS INT) AS band,
+         CAST(sum(bit * CAST(pow(2.0, hid % {BAND_SIZE}) AS BIGINT)) AS BIGINT) AS band_key
+  FROM bits GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.ia, c.ib,
+       round({_duck_cosine('ea.embedding', 'eb.embedding')}, 6) AS cosine
+FROM cands c
+JOIN embeddings ea ON ea.vec_id = c.ia
+JOIN embeddings eb ON eb.vec_id = c.ib
+WHERE round({_duck_cosine('ea.embedding', 'eb.embedding')}, 6) >= {NEARDUP_THRESHOLD}
+"""
+
+
+# --- IVF probed kNN (bounded-work ANN; the 100 TB query path) ---------------
+
+IVF_NPROBE = 3
+
+
+def ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 neighbours of vec_id 0 searching only the ``nprobe``
+    nearest centroid cells (IVF): centroid build + assignment bound the
+    per-query scan to ~nprobe/k of the corpus instead of all of it.
+    Results can differ from knn_bruteforce by design (ANN recall)."""
+    emb = load_table(spark, "embeddings", sf)
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cvec")
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "clabel",
+        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+    probe_cells = (
+        scored.filter(F.col("vec_id") == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("clabel").alias("cell"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        assign.join(F.broadcast(probe_cells), "cell", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+IVF_KNN_SQL = f"""
+WITH long AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos, avg(x) AS c FROM long GROUP BY label, pos
+), cvecs AS (
+  SELECT clabel, list(c ORDER BY pos) AS cvec FROM cent GROUP BY clabel
+), scored AS (
+  SELECT e.vec_id, c.clabel,
+         round(
+           list_dot_product({_DUCK_VEC.format(v='e.embedding')}, c.cvec) /
+           (sqrt(list_dot_product({_DUCK_VEC.format(v='e.embedding')},
+                                  {_DUCK_VEC.format(v='e.embedding')})) *
+            sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN cvecs c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, clabel ASC) AS rn
+  FROM scored
+), assign AS (
+  SELECT vec_id, clabel AS cell FROM ranked WHERE rn = 1
+), probe_cells AS (
+  SELECT clabel AS cell FROM ranked WHERE vec_id = 0 AND rn <= {IVF_NPROBE}
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, e.label,
+       round({_duck_cosine('e.embedding', 'qvec')}, 6) AS cosine
+FROM assign a
+JOIN embeddings e ON e.vec_id = a.vec_id
+CROSS JOIN q
+WHERE a.cell IN (SELECT cell FROM probe_cells) AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+SIMILARITY_QUERIES = {
+    "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "fall_detection_softmax": (fall_detection_softmax, FALL_DETECTION_SQL),
+    "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+    "nearest_centroid": (nearest_centroid, NEAREST_CENTROID_SQL),
+    "embedding_neardup_exact": (embedding_neardup_exact, NEARDUP_EXACT_SQL),
+    "embedding_neardup_lsh": (embedding_neardup_lsh, NEARDUP_LSH_SQL),
+    "ivf_knn": (ivf_knn, IVF_KNN_SQL),
+}
