@@ -1,3 +1,236 @@
-"""Text-analysis plans (filled in task #5)."""
+"""Text-analysis plans over the documents table (north-star operators:
+token counting, quality scoring, language-ID, fingerprinting, n-gram
+profiling — BASELINE.json; SURVEY.md §7.3 step 8).
 
-TEXT_QUERIES: dict = {}
+All plans are pure column expressions — the scan reads only (doc_id,
+text[, lang/source]) thanks to column pruning, and token/char work
+stays in codegen. At 100 TB the only shuffles here are the final
+small-key groupBys; per-document work is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    LANG_MARKERS,
+    fingerprint,
+    quality_score,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from ..sources.tables import load_table
+
+
+# --- token statistics (token counting; F7-style split) ----------------------
+
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token statistics: count, distinct count, mean token
+    length. One pass, no shuffle (per-row arrays only)."""
+    docs = load_table(spark, "documents", sf)
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id, source,
+       len(string_split(trim(text), ' ')) AS n_tokens,
+       len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+       round(
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(trim(text), ' '),
+                               t -> CAST(length(t) AS BIGINT))),
+              (a, b) -> a + b) AS DOUBLE)
+         / len(string_split(trim(text), ' ')), 6) AS avg_token_len
+FROM documents
+"""
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Pretraining-style quality filter: length score × (1 − stopword
+    ratio), with a keep flag at 0.5."""
+    docs = load_table(spark, "documents", sf)
+    q = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_count(F.col("text")).alias("n_stopwords"),
+        q.alias("quality"),
+        (q >= 0.5).alias("keep"),
+    )
+
+
+DOC_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(trim(text), ' '),
+                         x -> x = 'the' OR x = 'a')) AS n_stopwords
+  FROM documents
+), s AS (
+  SELECT *,
+         round(least(n_tokens / 50.0, 1.0)
+               * (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens), 6) AS quality
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, n_stopwords, quality, quality >= 0.5 AS keep
+FROM s
+"""
+
+
+# --- language identification (stopword-profile heuristic) -------------------
+
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-token language scoring: hits per language profile, argmax
+    with alphabetical tiebreak. The n-gram-profile shape of real
+    lang-ID, deterministic for the oracle."""
+    docs = load_table(spark, "documents", sf)
+    toks = tokens(F.col("text"))
+    def _hits(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    scores = [
+        F.size(F.filter(toks, _hits(markers))).alias(f"s_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    pairs = F.array(
+        *[F.struct(F.col(f"s_{la}").alias("score"), F.lit(la).alias("la")) for la in langs]
+    )
+    # max by (score, then alphabetically-first lang): sort by score asc,
+    # lang desc, take last == sort desc-score/asc-lang, take first
+    best = F.expr(
+        "element_at(array_sort({}, (l, r) -> CASE WHEN l.score > r.score THEN -1 "
+        "WHEN l.score < r.score THEN 1 WHEN l.la < r.la THEN -1 "
+        "WHEN l.la > r.la THEN 1 ELSE 0 END), 1)".format(
+            "array("
+            + ", ".join(f"struct(s_{la} AS score, '{la}' AS la)" for la in langs)
+            + ")"
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["la"].alias("detected_lang"),
+        best["score"].cast("long").alias("marker_hits"),
+    )
+
+
+_LANG_SCORE_EXPRS = ",\n         ".join(
+    "len(list_filter(string_split(trim(text), ' '), t -> t IN ({}))) AS s_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in sorted(LANG_MARKERS.items())
+)
+_LANG_STRUCTS = ", ".join(
+    f"{{'score': s_{la}, 'la': '{la}'}}" for la in sorted(LANG_MARKERS)
+)
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_LANG_SCORE_EXPRS}
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         unnest([{_LANG_STRUCTS}], recursive := true)
+  FROM scored
+), best AS (
+  SELECT doc_id, lang, la, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, la ASC) AS rn
+  FROM ranked
+)
+SELECT doc_id, lang AS labeled_lang, la AS detected_lang,
+       CAST(score AS BIGINT) AS marker_hits
+FROM best WHERE rn = 1
+"""
+
+
+# --- document fingerprinting -------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable polynomial rolling hash per document + duplicate-count
+    by fingerprint (hash collisions ≙ exact dup candidates)."""
+    docs = load_table(spark, "documents", sf)
+    fp = fingerprint(F.col("text"))
+    with_fp = docs.select("doc_id", fp.alias("fp"), "n_chars")
+    counts = with_fp.groupBy("fp").agg(F.count("*").alias("n_same_fp"))
+    return with_fp.join(counts, "fp").select("doc_id", "fp", "n_chars", "n_same_fp")
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, n_chars,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD}) AS fp
+  FROM documents
+)
+SELECT doc_id, fp, n_chars,
+       count(*) OVER (PARTITION BY fp) AS n_same_fp
+FROM fps
+"""
+
+
+# --- character trigram profile (n-gram analysis) -----------------------------
+
+def trigram_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-20 character trigrams. explode(sequence) generates
+    per-offset substrings JVM-side; the groupBy key (trigram) is
+    high-cardinality and shuffles evenly; top-k is sort+limit with a
+    deterministic tiebreak."""
+    docs = load_table(spark, "documents", sf)
+    tri = docs.select(
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"), "text"
+    ).select(F.expr("substring(text, i, 3)").alias("trigram"))
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+TRIGRAM_PROFILE_SQL = """
+WITH tri AS (
+  SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substr(text, CAST(i AS INT), 3))) AS trigram
+  FROM documents
+)
+SELECT trigram, count(*) AS n
+FROM tri
+GROUP BY 1
+ORDER BY n DESC, trigram ASC
+LIMIT 20
+"""
+
+
+TEXT_QUERIES = {
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "trigram_profile": (trigram_profile, TRIGRAM_PROFILE_SQL),
+}
