@@ -1,0 +1,92 @@
+"""Multimodal column conventions + batch feature extraction
+(BASELINE.json north-star: image/audio/video as opaque binary columns
+with typed metadata; SURVEY.md §1.2 'image payloads at scale').
+
+Conventions:
+- payload: ``BinaryType`` column (inline only at small scale),
+- pointer: ``image_uri StringType`` for the 100 TB posture,
+- metadata: plain columns (width/height/format), never packed blobs.
+
+Decode/resize/frame-sample need image/audio libs that are not in this
+container, so the decode step is STUBBED (deterministic byte-level
+fake) behind an import-try — the Spark-side plumbing (schema, Arrow
+batch shape, mapInPandas signature, partitioning) is real and tested.
+The reference's equivalents are numpy_to_pil (main.py:139-140) and the
+cv2 preprocess projections (main.py:93,154-156).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # decode path needs cv2/PIL — absent in this container by design
+    import cv2  # type: ignore[import-not-found]
+
+    HAS_IMAGE_LIBS = True
+except ImportError:
+    HAS_IMAGE_LIBS = False
+
+FEATURE_DIM = 8
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach a binary payload column (documents' text bytes stand in
+    for image bytes) + pointer column, per the column conventions."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.concat(F.lit("blob://docs/"), F.col("doc_id")).alias("payload_uri"),
+    )
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Real decode when libs exist; deterministic fake otherwise.
+
+    The fake 'image' is the byte buffer reshaped/padded to 8×8 — enough
+    to exercise the downstream feature path deterministically.
+    """
+    if HAS_IMAGE_LIBS:  # pragma: no cover - libs absent in this container
+        img = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("undecodable image buffer")
+        return img
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out = np.zeros(64, dtype=np.uint8)
+    out[: min(64, len(arr))] = arr[:64]
+    return out.reshape(8, 8)
+
+
+def extract_features(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: binary payload → FEATURE_DIM byte-histogram
+    feature vector (the stub for model feature extraction). One Arrow
+    batch in, one out — the at-scale shape for GPU feature extractors
+    (predict_batch_udf swaps in for the histogram)."""
+    for pdf in batches:
+        feats = []
+        for buf in pdf["payload"]:
+            img = decode_image(bytes(buf))
+            hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 256))
+            feats.append((hist / max(1, img.size)).round(6).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(bytes(b)) for b in pdf["payload"]],
+                "features": feats,
+            }
+        )
+
+
+def multimodal_features(docs: DataFrame) -> DataFrame:
+    """Distributed feature extraction over binary payloads. No shuffle:
+    mapInPandas is partition-local; partition sizing comes from the
+    scan (maxPartitionBytes), which is the right knob at 100 TB."""
+    payloads = with_binary_payload(docs)
+    return payloads.mapInPandas(
+        extract_features,
+        schema="doc_id long, n_bytes long, features array<double>",
+    )

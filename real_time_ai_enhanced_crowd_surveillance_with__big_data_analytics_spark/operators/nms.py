@@ -1,0 +1,99 @@
+"""Greedy non-maximum suppression (SURVEY.md W3).
+
+Reference: ``cv2.dnn.NMSBoxes(boxes, confidences, score_thr, iou_thr)``
+at main.py:125 (fire, IoU 0.4) and main.py:222-223 (person, IoU 0.3).
+Semantics: sort candidates by confidence descending (stable — ties keep
+input order), walk the list, keep a box iff its IoU with every
+already-kept box is <= the threshold.
+
+Greedy NMS is order-dependent, so it cannot be a window function or a
+SQL aggregate — this is the one true custom grouped operator
+(SURVEY.md §4 item 1). Implementation: ``applyInPandas`` keyed by the
+frame; each group is one frame's candidate set (tens of boxes), so the
+per-group Python cost is trivial while Spark parallelizes across
+frames — exactly how it scales to 100 TB of frames: the shuffle key is
+(camera_id, frame_id), high-cardinality and even.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PERSON_IOU = 0.3  # reference main.py:222
+FIRE_IOU = 0.4  # reference main.py:125
+SCORE_THRESHOLD = 0.5  # reference main.py:103,201
+
+
+def _iou(box: np.ndarray, kept: np.ndarray) -> np.ndarray:
+    """IoU of one [x,y,w,h] box against an array of kept boxes."""
+    x1 = np.maximum(box[0], kept[:, 0])
+    y1 = np.maximum(box[1], kept[:, 1])
+    x2 = np.minimum(box[0] + box[2], kept[:, 0] + kept[:, 2])
+    y2 = np.minimum(box[1] + box[3], kept[:, 1] + kept[:, 3])
+    inter = np.maximum(0.0, x2 - x1) * np.maximum(0.0, y2 - y1)
+    union = box[2] * box[3] + kept[:, 2] * kept[:, 3] - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def nms_pandas(pdf: pd.DataFrame, iou_threshold: float) -> pd.DataFrame:
+    """Greedy NMS on one frame's detections; returns kept rows only.
+
+    Stable confidence-descending order (mergesort) pins cv2's
+    tie-breaking: equal confidences keep input order.
+    """
+    if pdf.empty:
+        return pdf
+    order = np.argsort(-pdf["confidence"].to_numpy(), kind="stable")
+    boxes = pdf[["x", "y", "w", "h"]].to_numpy(dtype="float64")[order]
+    keep_local: list[int] = []
+    for i in range(len(order)):
+        if keep_local and np.any(_iou(boxes[i], boxes[keep_local]) > iou_threshold):
+            continue
+        keep_local.append(i)
+    return pdf.iloc[order[keep_local]]
+
+
+def nms(
+    detections: DataFrame,
+    key_cols: list[str],
+    iou_threshold: float = PERSON_IOU,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Distributed greedy NMS keyed by frame.
+
+    Frames are tiny (tens of boxes) but numerous, and one
+    ``applyInPandas`` group per frame pays a JVM↔Arrow round trip per
+    group. Instead, frames hash into ``buckets`` coarse groups (≈ one
+    per shuffle partition) and the per-frame grouping happens inside
+    pandas — same semantics, ~2 orders of magnitude less per-group
+    overhead. Frame keys never split across buckets (hash partitioning),
+    so results are exact.
+    """
+    from pyspark.sql import functions as F
+
+    if buckets is None:
+        buckets = int(
+            detections.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+
+    out_schema = detections.schema
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_nms_bucket"])
+        if pdf.empty:
+            return pdf
+        parts = [
+            nms_pandas(g, iou_threshold)
+            for _, g in pdf.groupby(key_cols, sort=False)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
+    return (
+        detections.withColumn(
+            "_nms_bucket", F.pmod(F.hash(*key_cols), F.lit(buckets))
+        )
+        .groupBy("_nms_bucket")
+        .applyInPandas(_apply, schema=out_schema)
+    )

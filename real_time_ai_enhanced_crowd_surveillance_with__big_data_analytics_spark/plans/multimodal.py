@@ -1,0 +1,53 @@
+"""Multimodal-column plans (north-star: binary payloads + typed
+metadata + batched feature extraction; operators/multimodal.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import multimodal_features, with_binary_payload
+from ..sources.tables import load_table
+
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed metadata over binary payloads: byte length, 8-byte header
+    hex, pointer URI. Pure column expressions over BINARY — the scan
+    never deserializes payloads it doesn't need (column pruning)."""
+    docs = load_table(spark, "documents", sf)
+    payloads = with_binary_payload(docs)
+    return payloads.select(
+        "doc_id",
+        "payload_uri",
+        F.length("payload").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 8))).alias("header_hex"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       'blob://docs/' || CAST(doc_id AS VARCHAR) AS payload_uri,
+       octet_length(encode(text)) AS n_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS header_hex
+FROM documents
+"""
+
+
+def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched feature extraction (stubbed decode). Deterministic
+    byte-histogram features; rows-only check (mapInPandas has no SQL
+    twin), semantics pinned by tests/test_multimodal.py."""
+    docs = load_table(spark, "documents", sf)
+    out = multimodal_features(docs)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )
+
+
+MULTIMODAL_QUERIES = {
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_features": (multimodal_features_q, None),
+}

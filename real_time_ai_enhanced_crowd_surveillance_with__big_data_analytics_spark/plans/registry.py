@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import DEDUP_QUERIES
+from .multimodal import MULTIMODAL_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .surveillance import SURVEILLANCE_QUERIES
@@ -23,6 +24,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     DEDUP_QUERIES,
     TEXT_QUERIES,
     SURVEILLANCE_QUERIES,
+    MULTIMODAL_QUERIES,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

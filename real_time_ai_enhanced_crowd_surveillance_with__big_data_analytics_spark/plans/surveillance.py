@@ -1,4 +1,181 @@
-"""Surveillance-pipeline plans — NMS, validators, fall detection
-(filled in tasks #2/#6)."""
+"""Surveillance-pipeline plans: detection parsing, validators, NMS,
+and the composed crowd-alert pipeline (SURVEY.md §2.2, §2.5, §2.8).
 
-SURVEILLANCE_QUERIES: dict = {}
+The driver testdata carries no video, so raw 'model output' is
+synthesized deterministically from the events table
+(operators/detections.py) — the arithmetic is reproduced in the DuckDB
+oracles, so parsing/filtering still gets full hash checks. NMS-bearing
+plans have no SQL oracle (greedy NMS is order-dependent, SURVEY.md §4)
+and take the driver's rows-only check; their semantics are pinned by
+unit + property tests instead (tests/test_nms.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.validators import (
+    valid_contact,
+    valid_name,
+    valid_password,
+    validation_error,
+)
+from ..operators.detections import (
+    CONFIDENCE_THRESHOLD,
+    N_CLASSES,
+    parse_detections,
+    synthesize_raw,
+)
+from ..operators.nms import PERSON_IOU, nms
+from ..sources.tables import load_table
+
+CROWD_THRESHOLD = 3  # reference main.py:232
+
+
+# --- detection parsing (P2-P4, A3/A4; main.py:105-122) ----------------------
+
+def detection_parse(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, "events", sf)
+    return parse_detections(synthesize_raw(events))
+
+
+DETECTION_PARSE_SQL = f"""
+WITH raw AS (
+  SELECT user_id AS camera_id,
+         event_id % 50 AS frame_id,
+         event_id,
+         list_transform(generate_series(0, {N_CLASSES - 1}),
+                        k -> CAST((event_id * (k + 7)) % 100 AS DOUBLE) / 100.0)
+           AS scores,
+         CAST((event_id * 37) % 416 AS DOUBLE) AS cx,
+         CAST((event_id * 91) % 416 AS DOUBLE) AS cy,
+         CAST(30 + (event_id % 60) AS DOUBLE) AS bw,
+         CAST(30 + ((event_id * 7) % 60) AS DOUBLE) AS bh
+  FROM events
+)
+SELECT camera_id, frame_id, event_id,
+       CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS class_id,
+       round(list_max(scores), 6) AS confidence,
+       CAST(floor(cx - bw / 2) AS INT) AS x,
+       CAST(floor(cy - bh / 2) AS INT) AS y,
+       CAST(floor(bw) AS INT) AS w,
+       CAST(floor(bh) AS INT) AS h
+FROM raw
+WHERE list_max(scores) > {CONFIDENCE_THRESHOLD}
+"""
+
+
+# --- registration validators (F1-F5; verify.py:6-50) -------------------------
+
+def validate_registrations(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's register pipeline (views.py:39-60) in bulk:
+    derive candidate fields deterministically from customer rows, apply
+    every verify.py rule, report the first failure. Pure codegen'd
+    expressions — the regex battery runs JVM-side at scan speed."""
+    customer = load_table(spark, "customer", sf)
+    derived = customer.select(
+        "c_custkey",
+        F.substring(
+            F.col("c_mktsegment"), 1, (2 + F.col("c_custkey") % 4).cast("int")
+        ).alias("first_name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.substring(F.col("c_name"), 1, 8))
+        .otherwise(F.col("c_name"))
+        .alias("last_name"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, 3),
+            F.lit("@"),
+            F.col("c_custkey").cast("string"),
+        ).alias("password"),
+        F.lpad(((F.col("c_custkey") * 7919) % 10000000000).cast("string"), 10, "0").alias(
+            "contact"
+        ),
+    )
+    return derived.select(
+        "c_custkey",
+        "first_name",
+        "last_name",
+        "password",
+        "contact",
+        valid_name(F.col("first_name")).alias("first_name_ok"),
+        valid_name(F.col("last_name")).alias("last_name_ok"),
+        valid_password(F.col("password")).alias("password_ok"),
+        valid_contact(F.col("contact")).alias("contact_ok"),
+        validation_error(
+            F.col("first_name"), F.col("last_name"), F.col("password"), F.col("contact")
+        ).alias("error"),
+    )
+
+
+VALIDATE_REGISTRATIONS_SQL = r"""
+WITH derived AS (
+  SELECT c_custkey,
+         substr(c_mktsegment, 1, CAST(2 + c_custkey % 4 AS INT)) AS first_name,
+         CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 8) ELSE c_name END
+           AS last_name,
+         substr(c_name, 1, 3) || '@' || CAST(c_custkey AS VARCHAR) AS password,
+         lpad(CAST((c_custkey * 7919) % 10000000000 AS VARCHAR), 10, '0')
+           AS contact
+  FROM customer
+), checked AS (
+  SELECT *,
+         regexp_matches(first_name, '^[A-Za-z]+$') AND length(first_name) > 2
+           AS first_name_ok,
+         regexp_matches(last_name, '^[A-Za-z]+$') AND length(last_name) > 2
+           AS last_name_ok,
+         regexp_matches(password, '^[A-Za-z\d@$!#%*?&]{6,20}$')
+           AND regexp_matches(password, '[a-z]')
+           AND regexp_matches(password, '[A-Z]')
+           AND regexp_matches(password, '[0-9]')
+           AND regexp_matches(password, '[@$!#%*?&]') AS password_ok,
+         regexp_matches(contact, '^[6-9][0-9]{9}$') AS contact_ok
+  FROM derived
+)
+SELECT c_custkey, first_name, last_name, password, contact,
+       first_name_ok, last_name_ok, password_ok, contact_ok,
+       CASE WHEN NOT first_name_ok THEN 'invalid_first_name'
+            WHEN NOT last_name_ok THEN 'invalid_last_name'
+            WHEN NOT password_ok THEN 'invalid_password'
+            WHEN NOT contact_ok THEN 'invalid_contact'
+            ELSE NULL END AS error
+FROM checked
+"""
+
+
+# --- NMS + composed crowd pipeline (W3 + A1 + P10; rows-only checks) --------
+
+def nms_detections(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy NMS over parsed detections, keyed by frame. No SQL oracle:
+    greedy NMS is order-dependent (SURVEY.md §4 item 1); semantics are
+    pinned by tests/test_nms.py against hand-computed goldens."""
+    events = load_table(spark, "events", sf)
+    det = parse_detections(synthesize_raw(events))
+    return nms(det, ["camera_id", "frame_id"], PERSON_IOU).orderBy(
+        "camera_id", "frame_id", "event_id"
+    )
+
+
+def crowd_alerts_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full reference main loop (S1→P4→W3→A1→P10, main.py:188-233):
+    parse → NMS → per-frame count → crowd flag. Rows-only check."""
+    events = load_table(spark, "events", sf)
+    det = parse_detections(synthesize_raw(events))
+    kept = nms(det, ["camera_id", "frame_id"], PERSON_IOU)
+    return (
+        kept.groupBy("camera_id", "frame_id")
+        .agg(F.count("*").alias("n_persons"))
+        .select(
+            "camera_id",
+            "frame_id",
+            "n_persons",
+            (F.col("n_persons") > CROWD_THRESHOLD).alias("crowded"),
+        )
+    )
+
+
+SURVEILLANCE_QUERIES = {
+    "detection_parse": (detection_parse, DETECTION_PARSE_SQL),
+    "validate_registrations": (validate_registrations, VALIDATE_REGISTRATIONS_SQL),
+    "nms_detections": (nms_detections, None),
+    "crowd_alerts_pipeline": (crowd_alerts_pipeline, None),
+}

@@ -1,0 +1,82 @@
+"""Structured Streaming runners (SURVEY.md §2.9).
+
+The reference's stream is a synchronous webcam loop with
+processing-time-only semantics (main.py:143-149); frames are dropped
+when the loop lags, nothing is replayed. Our mapping adds what the
+reference lacks: event time + watermarks, so the same DataFrame code
+runs batch or streaming (Structured Streaming's unification is the
+point — SURVEY.md §1.2).
+
+The events parquet table stands in for the frame stream: a file
+source replays it micro-batch by micro-batch in tests
+(processAllAvailable + memory sink, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events schema as stored (ts is TIMESTAMP(NANOS) → read as long,
+# converted below; see sources/tables.py for the batch twin)
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_path: str) -> DataFrame:
+    """events table as an unbounded stream (file source, one file =
+    one-or-more micro-batches). Same column surface as the batch
+    loader, so every batch plan composes unchanged."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_trend(events: DataFrame, window: str = "1 day", watermark: str = "2 days") -> DataFrame:
+    """Event-time trend rollup with late-data handling — the
+    'historical trend analysis' (README.md:2) in streaming form:
+    tumbling windows per event_type, counts + value sums. Watermark
+    bounds state; at scale the window key partitions evenly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming frame to a memory sink synchronously (test
+    harness; production would be Kafka/foreachBatch)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow batch shape,
+deterministic stub decode (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    multimodal_features,
+    with_binary_payload,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_decode_stub_deterministic():
+    a = decode_image(b"hello world")
+    b = decode_image(b"hello world")
+    assert a.shape == (8, 8)
+    assert np.array_equal(a, b)
+    assert a.flatten()[0] == ord("h")
+
+
+def test_payload_schema(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    p = with_binary_payload(docs)
+    kinds = dict(p.dtypes)
+    assert kinds == {"doc_id": "bigint", "payload": "binary", "payload_uri": "string"}
+
+
+def test_features_shape_and_determinism(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    out = multimodal_features(docs).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.features) == FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-6  # histogram normalized
+    out2 = {r.doc_id: r.features for r in multimodal_features(docs).collect()}
+    assert {r.doc_id: r.features for r in out} == out2

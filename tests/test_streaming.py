@@ -1,0 +1,72 @@
+"""Batch ≡ stream parity (SURVEY.md §5.3): replay the events table as a
+file-source stream, assert streaming results equal the batch plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.edge_trigger import (
+    rising_edges,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+    load_table,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.runner import (
+    run_to_memory,
+    stream_events,
+    windowed_trend,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.stateful import (
+    streaming_rising_edges,
+)
+
+THRESHOLD = 150.0
+
+
+def test_windowed_trend_stream_matches_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    q = run_to_memory(windowed_trend(stream), "trend_out", output_mode="complete")
+    try:
+        got = {
+            (r.day, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM trend_out").collect()
+        }
+    finally:
+        q.stop()
+    events = load_table(spark, "events", sf_dir)
+    want = {
+        (r.day, r.event_type): (r.n_events, r.sum_value)
+        for r in (
+            events.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_streaming_edge_trigger_matches_batch_lag(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    q = run_to_memory(streaming_rising_edges(stream, THRESHOLD), "edges_out")
+    try:
+        got = {
+            (r.user_id, r.event_id): r.episode
+            for r in spark.sql("SELECT * FROM edges_out").collect()
+        }
+    finally:
+        q.stop()
+    events = load_table(spark, "events", sf_dir)
+    batch = rising_edges(
+        events, F.col("value") > THRESHOLD, ["user_id"], "event_id", "alarm"
+    ).filter(F.col("alarm_edge"))
+    want = {
+        (r.user_id, r.event_id): r.alarm_episode for r in batch.collect()
+    }
+    assert got == want
