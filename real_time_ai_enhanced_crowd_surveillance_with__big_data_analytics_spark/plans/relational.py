@@ -358,6 +358,238 @@ GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
 
 
+# --- JSON extraction (Kafka-payload shape; SURVEY §2.8 note) ----------------
+
+def props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON payload parsing (events.props is a JSON object — the Kafka
+    event-payload shape). get_json_object stays in codegen; at scale
+    prefer from_json with an explicit schema once fields stabilize."""
+    events = load_table(spark, "events", sf)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+PROPS_EXTRACT_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       min(CAST(props ->> '$.k' AS INT)) AS min_k,
+       max(CAST(props ->> '$.k' AS INT)) AS max_k,
+       round(avg(CAST(props ->> '$.k' AS INT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- sessionization (gap-based; classic event analytics) --------------------
+
+SESSION_GAP_MIN = 60
+
+
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    from the previous event exceeds 60 min (lag + running sum — the
+    batch twin of streaming session_window). One shuffle on user_id."""
+    events = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = (gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60)).cast("long")
+    sessions = (
+        events.withColumn("new_s", new_session)
+        .withColumn(
+            "session_seq",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        _ts_str(F.min("ts")).alias("session_start"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN gap_s IS NULL OR gap_s > {SESSION_GAP_MIN * 60}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       max(CAST(floor(epoch(ts)) AS BIGINT))
+         - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+# --- as-of join (last event at-or-before each order date) -------------------
+
+def asof_last_event(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase event, the same user's last click
+    strictly before it. Spark lacks a native as-of join; the
+    equi-join-on-key + time predicate + argmax-per-left-row composition
+    keeps it relational (shuffles only on the user key). At scale, salt
+    hot users or pre-bucket both sides on user_id; the per-left-row
+    argmax is a window over the join output, not a per-group
+    merge_asof UDF."""
+    events = load_table(spark, "events", sf)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user")) & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc_nulls_last("c_ts"), F.desc_nulls_last("click_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            _ts_str(F.col("p_ts")).alias("purchase_ts"),
+            F.col("click_id").alias("last_click_id"),
+            _ts_str(F.col("c_ts")).alias("last_click_ts"),
+        )
+    )
+
+
+ASOF_LAST_EVENT_SQL = """
+WITH purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), joined AS (
+  SELECT p.*, c.click_id, c.c_ts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.c_ts DESC NULLS LAST,
+                                     c.click_id DESC NULLS LAST) AS rn
+  FROM purchases p
+  LEFT JOIN clicks c ON c.c_user = p.p_user AND c.c_ts < p.p_ts
+)
+SELECT p_user AS user_id, purchase_id,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       click_id AS last_click_id,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM joined WHERE rn = 1
+"""
+
+
+# --- exact percentiles (SURVEY §2.4 'free in Spark' note) --------------------
+
+def value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB swap in
+    percentile_approx (t-digest) — same API shape, bounded memory."""
+    events = load_table(spark, "events", sf)
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- pivot / cube (grouping-set battery) -------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event_type to columns per user (explicit category list —
+    at scale an unlisted pivot needs an extra distinct pass)."""
+    events = load_table(spark, "events", sf)
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+EVENT_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def event_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, day) — all grouping sets in one shuffle."""
+    events = load_table(spark, "events", sf)
+    return (
+        events.withColumn(
+            "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+EVENT_CUBE_SQL = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+"""
+
+
 RELATIONAL_QUERIES = {
     "crowded_frames": (crowded_frames, CROWDED_FRAMES_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
@@ -369,4 +601,10 @@ RELATIONAL_QUERIES = {
     "customers_without_events": (customers_without_events, CUSTOMERS_WITHOUT_EVENTS_SQL),
     "customers_with_errors": (customers_with_errors, CUSTOMERS_WITH_ERRORS_SQL),
     "event_trend_rollup": (event_trend_rollup, EVENT_TREND_ROLLUP_SQL),
+    "props_extract": (props_extract, PROPS_EXTRACT_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
+    "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
+    "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
+    "event_cube": (event_cube, EVENT_CUBE_SQL),
 }
