@@ -173,7 +173,110 @@ def crowd_alerts_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- fire pipeline (A2+P6+P10+W2; main.py:154-185 color path) ---------------
+
+RED_PIXEL_THRESHOLD = 15000  # reference main.py:171
+FRAME_PIXELS = 416 * 416
+
+
+def fire_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's de-facto fire detector end-to-end in batch form:
+    per-frame red-pixel count (stands in for countNonZero of the HSV
+    inRange mask — the per-pixel work stays in a UDF at the edge, only
+    the count enters the relation, SURVEY.md §1.2) → threshold
+    (>15000) → rising-edge alarm per camera (main.py:171-185).
+
+    Pixel counts are synthesized deterministically from events; the
+    whole pipeline is codegen'd expressions + one window shuffle.
+    """
+    events = load_table(spark, "events", sf)
+    frames = events.select(
+        F.col("user_id").alias("camera_id"),
+        F.col("event_id").alias("frame_id"),
+        ((F.col("event_id") * 104729 + F.col("user_id")) % FRAME_PIXELS).alias(
+            "red_pixel_count"
+        ),
+    )
+    from ..operators.edge_trigger import rising_edges
+
+    flagged = rising_edges(
+        frames,
+        F.col("red_pixel_count") > RED_PIXEL_THRESHOLD,
+        key_cols=["camera_id"],
+        order_col="frame_id",
+        flag_name="fire",
+    )
+    return flagged.filter(F.col("fire_edge")).select(
+        "camera_id",
+        "frame_id",
+        "red_pixel_count",
+        F.col("fire_episode").alias("episode"),
+    )
+
+
+FIRE_ALERTS_SQL = f"""
+WITH frames AS (
+  SELECT user_id AS camera_id, event_id AS frame_id,
+         (event_id * 104729 + user_id) % {FRAME_PIXELS} AS red_pixel_count
+  FROM events
+), lagged AS (
+  SELECT *, (red_pixel_count > {RED_PIXEL_THRESHOLD}) AS fire,
+         coalesce(lag(red_pixel_count > {RED_PIXEL_THRESHOLD})
+                  OVER (PARTITION BY camera_id ORDER BY frame_id), false)
+           AS prev_fire
+  FROM frames
+), flagged AS (
+  SELECT *, sum(CASE WHEN fire AND NOT prev_fire THEN 1 ELSE 0 END)
+              OVER (PARTITION BY camera_id ORDER BY frame_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+  FROM lagged
+)
+SELECT camera_id, frame_id, red_pixel_count, episode
+FROM flagged WHERE fire AND NOT prev_fire
+"""
+
+
+# --- set operations (SURVEY §2.7: exposed though reference has none) ---------
+
+def user_cohorts_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """union/intersect/except over per-type user cohorts: clickers ∩
+    purchasers, clickers ∖ purchasers, signup ∪ error — each tagged.
+    Set ops shuffle once on the row value; counts verify semantics."""
+    events = load_table(spark, "events", sf)
+
+    def cohort(t: str) -> DataFrame:
+        return events.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    both = cohort("click").intersect(cohort("purchase"))
+    only_click = cohort("click").exceptAll(cohort("purchase"))
+    su_or_err = cohort("signup").union(cohort("error")).distinct()
+    return (
+        both.withColumn("cohort", F.lit("click_and_purchase"))
+        .unionAll(only_click.withColumn("cohort", F.lit("click_only")))
+        .unionAll(su_or_err.withColumn("cohort", F.lit("signup_or_error")))
+        .select("cohort", "user_id")
+    )
+
+
+USER_COHORTS_SETOPS_SQL = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+signups AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+errors AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'click_and_purchase' AS cohort, user_id
+  FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers)
+UNION ALL
+SELECT 'click_only', user_id
+  FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)
+UNION ALL
+SELECT 'signup_or_error', user_id
+  FROM (SELECT user_id FROM signups UNION SELECT user_id FROM errors)
+"""
+
+
 SURVEILLANCE_QUERIES = {
+    "fire_alerts": (fire_alerts, FIRE_ALERTS_SQL),
+    "user_cohorts_setops": (user_cohorts_setops, USER_COHORTS_SETOPS_SQL),
     "detection_parse": (detection_parse, DETECTION_PARSE_SQL),
     "validate_registrations": (validate_registrations, VALIDATE_REGISTRATIONS_SQL),
     "nms_detections": (nms_detections, None),
