@@ -32,6 +32,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
+    # warm up: JVM/codegen/Python-worker startup should not bill the
+    # first query
+    spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -13,6 +13,8 @@ parity (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -42,6 +44,24 @@ def l2_normalize(v: Column) -> Column:
 
 def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def pair_cosine_udf():
+    """Vectorized pairwise cosine for joined vector pairs: one Arrow
+    batch → one numpy einsum. Use when verifying candidate pairs at
+    volume — Spark's higher-order array folds are interpreted (not
+    codegen'd), so batch numpy wins ~10× there. Rounding to 6 decimals
+    keeps parity with the fold/oracle arithmetic."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack([np.asarray(v, dtype="float64") for v in a])
+        mb = np.stack([np.asarray(v, dtype="float64") for v in b])
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(np.round(num / den, 6))
+
+    return _cos
 
 
 def softmax(v: Column) -> Column:

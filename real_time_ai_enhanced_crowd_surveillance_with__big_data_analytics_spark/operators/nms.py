@@ -55,6 +55,36 @@ def nms_pandas(pdf: pd.DataFrame, iou_threshold: float) -> pd.DataFrame:
     return pdf.iloc[order[keep_local]]
 
 
+def _nms_pairs(
+    pairs: pd.DataFrame, key_cols: list[str], iou_threshold: float
+) -> pd.DataFrame:
+    """Vectorized NMS for all 2-box frames at once: drop the
+    lower-confidence box iff pairwise IoU > threshold. Stable
+    tie-break = input order, matching nms_pandas."""
+    p = pairs.sort_values(key_cols, kind="stable")
+    a = p.iloc[0::2]
+    b = p.iloc[1::2]
+    ax, ay, aw, ah = (a[c].to_numpy(dtype="float64") for c in ("x", "y", "w", "h"))
+    bx, by, bw, bh = (b[c].to_numpy(dtype="float64") for c in ("x", "y", "w", "h"))
+    x1 = np.maximum(ax, bx)
+    y1 = np.maximum(ay, by)
+    x2 = np.minimum(ax + aw, bx + bw)
+    y2 = np.minimum(ay + ah, by + bh)
+    inter = np.maximum(0.0, x2 - x1) * np.maximum(0.0, y2 - y1)
+    union = aw * ah + bw * bh - inter
+    iou = np.where(union > 0, inter / union, 0.0)
+    suppress = iou > iou_threshold
+    # loser = lower confidence; tie keeps the earlier (first) row
+    a_conf = a["confidence"].to_numpy()
+    b_conf = b["confidence"].to_numpy()
+    drop_first = suppress & (a_conf < b_conf)
+    drop_second = suppress & ~drop_first
+    keep_mask = np.empty(len(p), dtype=bool)
+    keep_mask[0::2] = ~drop_first
+    keep_mask[1::2] = ~drop_second
+    return p[keep_mask]
+
+
 def nms(
     detections: DataFrame,
     key_cols: list[str],
@@ -84,10 +114,21 @@ def nms(
         pdf = pdf.drop(columns=["_nms_bucket"])
         if pdf.empty:
             return pdf
-        parts = [
+        # fast paths: 1-box frames can never be suppressed; 2-box
+        # frames reduce to one vectorized pairwise-IoU test across all
+        # such frames at once. Only 3+-box frames pay the greedy loop —
+        # a small tail in sparse scenes, so this dominates wall-clock.
+        sizes = pdf.groupby(key_cols, sort=False)[key_cols[0]].transform("size")
+        singles = pdf[sizes == 1]
+        parts = [singles]
+        pairs = pdf[sizes == 2]
+        if not pairs.empty:
+            parts.append(_nms_pairs(pairs, key_cols, iou_threshold))
+        multi = pdf[sizes > 2]
+        parts.extend(
             nms_pandas(g, iou_threshold)
-            for _, g in pdf.groupby(key_cols, sort=False)
-        ]
+            for _, g in multi.groupby(key_cols, sort=False)
+        )
         return pd.concat(parts, ignore_index=True)
 
     return (

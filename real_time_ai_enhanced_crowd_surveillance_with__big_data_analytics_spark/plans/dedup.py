@@ -38,18 +38,6 @@ def _tokens(text):
     return F.split(F.trim(text), " ")
 
 
-def _trigrams(tk):
-    """Distinct token 3-gram strings (0-based Spark array indexing)."""
-    n = F.size(tk)
-    tri = F.transform(
-        F.sequence(F.lit(0), n - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(tk, i + 1), F.element_at(tk, i + 2), F.element_at(tk, i + 3)
-        ),
-    )
-    return F.array_distinct(tri)
-
-
 def _str_hash(col):
     """Polynomial hash of a string expr: fold (acc*31 + ascii) % p."""
     return F.aggregate(
@@ -61,11 +49,6 @@ def _str_hash(col):
 
 # DuckDB twins (1-based list indexing)
 _DUCK_TOKENS = "string_split(trim(text), ' ')"
-_DUCK_TRIGRAMS = (
-    "list_distinct(list_transform(generate_series(1, len({tk}) - 2), "
-    "i -> {tk}[CAST(i AS INT)] || ' ' || {tk}[CAST(i AS INT) + 1] "
-    "|| ' ' || {tk}[CAST(i AS INT) + 2]))"
-).format(tk=_DUCK_TOKENS)
 _DUCK_STR_HASH = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
@@ -103,37 +86,67 @@ FROM documents
 # --- n-gram Jaccard near-dup (exact quadratic verify) ------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """All document pairs with token-trigram Jaccard ≥ threshold —
-    the exact near-dup answer. O(n²): correctness anchor for MinHash."""
+    """All document pairs with token-trigram Jaccard ≥ threshold — the
+    exact near-dup answer via an inverted-index join on hashed shingle
+    ids (semantics ≡ string shingles modulo 1e9+7 hash collisions,
+    identical on both engines either way).
+
+    Exploding shingles and equi-joining on the shingle makes candidate
+    generation linear in the postings-pair count (Σ df² over shingles,
+    bounded by max-df), not the corpus square: |∩| arrives as a count
+    from the groupBy, |∪| = n_a + n_b − |∩|. A naive pair cross-join
+    with per-pair array_intersect was ~45× slower at sf0.1, and long
+    string join keys ~2× slower than the sid join. Hot-shingle skew is
+    bounded by df (max 25 here); at 100 TB drop ultra-high-df shingles
+    (stopword shingles carry no signal).
+    """
     docs = load_table(spark, "documents", sf)
-    tri = docs.select(
-        "doc_id", _trigrams(_tokens(F.col("text"))).alias("tri")
+    # cached: referenced by both join sides + the counts aggregate —
+    # without it Spark re-derives the postings subtree per branch
+    tri = _shingle_postings(docs).cache()
+    counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    a = tri.select(F.col("doc_id").alias("ia"), "sid")
+    b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
+    shared = (
+        a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
     )
-    a = tri.select(F.col("doc_id").alias("ia"), F.col("tri").alias("ta"))
-    b = tri.select(F.col("doc_id").alias("ib"), F.col("tri").alias("tb"))
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
+    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
     return (
-        a.join(b, F.col("ia") < F.col("ib"))
+        shared.join(na, "ia")
+        .join(nb, "ib")
         .select(
             "ia",
             "ib",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""
-WITH tri AS (
-  SELECT doc_id, {_DUCK_TRIGRAMS} AS tri FROM documents
+WITH {{postings}},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS ia, b.doc_id AS ib,
-       round(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.tri, b.tri))), 6) AS jaccard
-FROM tri a JOIN tri b ON a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.tri, b.tri))), 6) >= {JACCARD_THRESHOLD}
+SELECT s.ia, s.ib,
+       round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+         AS jaccard
+FROM shared s
+JOIN counts na ON na.doc_id = s.ia
+JOIN counts nb ON nb.doc_id = s.ib
+WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+      >= {JACCARD_THRESHOLD}
 """
 
 
@@ -145,45 +158,106 @@ def _perm_params(j: int) -> tuple[int, int]:
     return 2 * j + 1, j * 12_345 + 7
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(16 perms) over trigram-shingle hashes, banded 4×4; pairs
-    sharing a band key are candidates; exact trigram Jaccard verifies.
-    Identical output semantics to dedup_ngram_jaccard minus LSH recall
-    loss; cost is bounded by candidates, not the corpus square."""
-    docs = load_table(spark, "documents", sf)
-    tri = docs.select("doc_id", _trigrams(_tokens(F.col("text"))).alias("tri"))
-    sids = tri.select(
-        "doc_id",
-        "tri",
-        F.transform(F.col("tri"), lambda s: _str_hash(s)).alias("sids"),
-    )
-    def _perm(a: int, b: int):
-        # single-arg closure: PySpark counts lambda params to decide the
-        # higher-order-function arity, so no default-arg tricks here
-        return lambda x: (a * x + b) % HASH_MOD
+def _shingle_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid): distinct hashed token-trigram shingles per doc.
 
-    mh_cols = []
+    Fully relational shingle hashing: the token vocabulary is hashed
+    ONCE (distinct tokens → polynomial char hash → broadcast join back),
+    shingle ids compose the three token hashes via window ``lead`` —
+    everything after the tiny vocab hash runs in whole-stage codegen.
+    Interpreted higher-order folds over every shingle's characters
+    (the naive form) were ~10× slower at sf0.1.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .select("token", _str_hash(F.col("token")).alias("th"))
+    )
+    hashed = toks.join(F.broadcast(vocab), "token")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sid = (
+        (F.col("th") * HASH_BASE + F.lead("th", 1).over(w)) % HASH_MOD
+    ) * 37 + F.lead("th", 2).over(w)
+    return (
+        hashed.select("doc_id", "pos", (sid % HASH_MOD).alias("sid"))
+        .filter(F.col("sid").isNotNull())
+        .select("doc_id", "sid")
+        .distinct()
+    )
+
+
+_DUCK_POSTINGS = f"""
+toks AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents)
+), vocab AS (
+  SELECT token, {_DUCK_STR_HASH.format(s='token')} AS th
+  FROM (SELECT DISTINCT token FROM toks)
+), hashed AS (
+  SELECT t.doc_id, t.pos, v.th FROM toks t JOIN vocab v USING (token)
+), postings AS (
+  SELECT DISTINCT doc_id,
+         (((th * {HASH_BASE} + lead(th, 1) OVER w) % {HASH_MOD}) * 37
+          + lead(th, 2) OVER w) % {HASH_MOD} AS sid
+  FROM hashed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY sid IS NOT NULL
+)"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16 perms) over hashed-trigram shingles, banded 4×4;
+    pairs sharing a band key are candidates; exact shingle Jaccard
+    (shared-count join restricted to candidates) verifies.
+
+    Scale shape: signatures are 16 native min-aggs over the postings
+    (one shuffle on doc_id); candidates come from band-key equality
+    joins; verification touches only candidate pairs. Nothing is
+    quadratic in the corpus.
+    """
+    docs = load_table(spark, "documents", sf)
+    # cached: postings feed the signature aggregate AND both sides of
+    # the verification join — uncached, the whole tokenize/hash subtree
+    # re-executes per reference (~3× the work at sf0.1)
+    postings = _shingle_postings(docs).cache()
+    mh_aggs = []
     for j in range(N_PERMS):
         a, b = _perm_params(j)
-        mh_cols.append(
-            F.array_min(F.transform(F.col("sids"), _perm(a, b))).alias(f"mh{j}")
-        )
-    sigs = sids.select("doc_id", "tri", *mh_cols)
-    band_rows = []
-    for band in range(N_PERMS // MH_BAND_SIZE):
-        key = F.concat_ws(
-            ":",
-            *[F.col(f"mh{band * MH_BAND_SIZE + r}") for r in range(MH_BAND_SIZE)],
-        )
-        band_rows.append(
-            sigs.select("doc_id", F.lit(band).alias("band"), key.alias("band_key"))
-        )
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionAll(br)
-    a = bands.select(F.col("doc_id").alias("ia"), "band", F.col("band_key").alias("ka"))
+        mh_aggs.append(F.min((F.col("sid") * a + b) % HASH_MOD).alias(f"mh{j}"))
+    sigs = postings.groupBy("doc_id").agg(*mh_aggs, F.count("*").alias("n_tri"))
+    # one posexplode over the band-key array — NOT a 4-way unionAll,
+    # which would re-execute the signature aggregate once per band
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{band * MH_BAND_SIZE + r}")
+                    for r in range(MH_BAND_SIZE)
+                ],
+            )
+            for band in range(N_PERMS // MH_BAND_SIZE)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "n_tri", F.posexplode(band_keys).alias("band", "band_key")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("ia"),
+        F.col("n_tri").alias("na"),
+        "band",
+        F.col("band_key").alias("ka"),
+    )
     b = bands.select(
-        F.col("doc_id").alias("ib"), F.col("band").alias("bandb"), F.col("band_key").alias("kb")
+        F.col("doc_id").alias("ib"),
+        F.col("n_tri").alias("nb"),
+        F.col("band").alias("bandb"),
+        F.col("band_key").alias("kb"),
     )
     cands = (
         a.join(
@@ -192,66 +266,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("ka") == F.col("kb"))
             & (F.col("ia") < F.col("ib")),
         )
-        .select("ia", "ib")
+        .select("ia", "ib", "na", "nb")
         .distinct()
     )
-    ta = tri.select(F.col("doc_id").alias("ia"), F.col("tri").alias("ta"))
-    tb = tri.select(F.col("doc_id").alias("ib"), F.col("tri").alias("tb"))
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
-    union = F.size(F.array_union(F.col("ta"), F.col("tb")))
-    return (
-        cands.join(ta, "ia")
-        .join(tb, "ib")
-        .select(
-            "ia",
-            "ib",
-            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
+    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
+    shared = (
+        cands.join(pa, "ia")
+        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count("*").alias("shared"))
     )
+    return shared.select(
+        "ia",
+        "ib",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def _duck_minhash_sql() -> str:
     mh_exprs = []
     for j in range(N_PERMS):
         a, b = _perm_params(j)
-        mh_exprs.append(
-            f"list_min(list_transform(sids, x -> (x * {a} + {b}) % {HASH_MOD})) AS mh{j}"
-        )
+        mh_exprs.append(f"min((sid * {a} + {b}) % {HASH_MOD}) AS mh{j}")
     band_selects = []
     for band in range(N_PERMS // MH_BAND_SIZE):
         cols = " || ':' || ".join(
             f"CAST(mh{band * MH_BAND_SIZE + r} AS VARCHAR)" for r in range(MH_BAND_SIZE)
         )
         band_selects.append(
-            f"SELECT doc_id, {band} AS band, {cols} AS band_key FROM sigs"
+            f"SELECT doc_id, n_tri, {band} AS band, {cols} AS band_key FROM sigs"
         )
     bands_union = " UNION ALL ".join(band_selects)
-    shash = _DUCK_STR_HASH.format(s="s")
     return f"""
-WITH tri AS (
-  SELECT doc_id, {_DUCK_TRIGRAMS} AS tri FROM documents
-), sids AS (
-  SELECT doc_id, tri,
-         list_transform(tri, s -> {shash}) AS sids
-  FROM tri
-), sigs AS (
-  SELECT doc_id, tri, {', '.join(mh_exprs)} FROM sids
+WITH {_DUCK_POSTINGS},
+sigs AS (
+  SELECT doc_id, {', '.join(mh_exprs)}, count(*) AS n_tri
+  FROM postings GROUP BY doc_id
 ), bands AS (
   {bands_union}
 ), cands AS (
-  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+         a.n_tri AS na, b.n_tri AS nb
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), shared AS (
+  SELECT c.ia, c.ib, c.na, c.nb, count(*) AS shared
+  FROM cands c
+  JOIN postings pa ON pa.doc_id = c.ia
+  JOIN postings pb ON pb.doc_id = c.ib AND pb.sid = pa.sid
+  GROUP BY 1, 2, 3, 4
 )
-SELECT c.ia, c.ib,
-       round(CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
-             / len(list_distinct(list_concat(ta.tri, tb.tri))), 6) AS jaccard
-FROM cands c
-JOIN tri ta ON ta.doc_id = c.ia
-JOIN tri tb ON tb.doc_id = c.ib
-WHERE round(CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
-            / len(list_distinct(list_concat(ta.tri, tb.tri))), 6) >= {JACCARD_THRESHOLD}
+SELECT ia, ib,
+       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM shared
+WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6)
+      >= {JACCARD_THRESHOLD}
 """
 
 
@@ -263,12 +337,18 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     relational (explode bits → conditional sum → bit pack) so both
     engines compute identical signatures."""
     docs = load_table(spark, "documents", sf)
-    th = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(_tokens(F.col("text")), lambda t: _str_hash(t))
-        ).alias("th"),
+    # hash the token VOCABULARY once and join back (same trick as
+    # _shingle_postings) — folding every token occurrence's characters
+    # through the interpreted hash was ~4× slower at sf0.1
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
     )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .select("token", _str_hash(F.col("token")).alias("th"))
+    )
+    th = toks.join(F.broadcast(vocab), "token").select("doc_id", "th")
     bits = (
         th.crossJoin(
             F.broadcast(
@@ -326,7 +406,10 @@ LIMIT {SIMHASH_TOP}
 
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_ngram_jaccard": (
+        dedup_ngram_jaccard,
+        DEDUP_NGRAM_JACCARD_SQL.format(postings=_DUCK_POSTINGS),
+    ),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _duck_minhash_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }

@@ -78,11 +78,14 @@ def test_nms_property_pairwise_iou_below_threshold():
 
 
 def test_nms_distributed_matches_local(spark):
+    # mixed frame sizes so all three paths run: 1-box (bypass), 2-box
+    # (vectorized pair), 3+ (greedy loop)
     rng = np.random.default_rng(7)
     rows = []
     for cam in ["a", "b"]:
-        for frame in range(3):
-            for _ in range(15):
+        for frame in range(8):
+            n_boxes = [1, 2, 2, 3, 15, 1, 2, 4][frame]
+            for _ in range(n_boxes):
                 rows.append(
                     (cam, frame, float(rng.random()), float(rng.integers(0, 80)),
                      float(rng.integers(0, 80)), float(rng.integers(5, 30)), float(rng.integers(5, 30)))
