@@ -358,6 +358,95 @@ GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
 
 
+# --- TPC-H Q3/Q10 shapes (fact-fact joins; SURVEY §2.3 note on SMJ) ---------
+
+def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per order, top 10. Both fact joins shuffle on their keys
+    (Catalyst picks SMJ/broadcast by size); filters reach the scans."""
+    customer = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    lineitem = load_table(spark, "lineitem", sf)
+    cutoff = "1998-06-01"
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            _ts_str(F.col("o_orderdate")).alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned lineitems ⋈ orders ⋈ customer ⋈
+    nation(broadcast), revenue per customer, top 20."""
+    customer = load_table(spark, "customer", sf)
+    orders = load_table(spark, "orders", sf)
+    lineitem = load_table(spark, "lineitem", sf)
+    nation = load_table(spark, "nation", sf)
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_REVENUE_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --- JSON extraction (Kafka-payload shape; SURVEY §2.8 note) ----------------
 
 def props_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -601,6 +690,8 @@ RELATIONAL_QUERIES = {
     "customers_without_events": (customers_without_events, CUSTOMERS_WITHOUT_EVENTS_SQL),
     "customers_with_errors": (customers_with_errors, CUSTOMERS_WITH_ERRORS_SQL),
     "event_trend_rollup": (event_trend_rollup, EVENT_TREND_ROLLUP_SQL),
+    "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "returned_revenue": (returned_revenue, RETURNED_REVENUE_SQL),
     "props_extract": (props_extract, PROPS_EXTRACT_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
