@@ -625,6 +625,32 @@ GROUP BY event_type
 """
 
 
+# --- distinct-count aggregates ----------------------------------------------
+
+def distinct_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct counts per event_type (SURVEY §2.4: distinct-agg
+    exposure). countDistinct is exact (two-phase partial dedup +
+    merge); at 100 TB swap approx_count_distinct (HLL++, one pass,
+    bounded memory) — not oracle-comparable since HLL implementations
+    differ across engines, so the exact form carries the parity check."""
+    events = load_table(spark, "events", sf)
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.count("*").alias("n_events"),
+    )
+
+
+DISTINCT_STATS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- pivot / cube (grouping-set battery) -------------------------------------
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -696,6 +722,7 @@ RELATIONAL_QUERIES = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
+    "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "event_cube": (event_cube, EVENT_CUBE_SQL),
 }
