@@ -227,7 +227,70 @@ LIMIT 20
 """
 
 
+# --- TF-IDF (corpus-statistics aggregate) ------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    tf = term count in doc; idf = ln(N / df) over the corpus. Two
+    shuffles total (doc-term counts, df counts) + a broadcast of the
+    tiny df dimension; ranking is one window. The corpus-wide statistic
+    (df) is exactly the shape that motivates map-side partial
+    aggregation at 100 TB."""
+    docs = load_table(spark, "documents", sf)
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.count()  # scalar: corpus size (driver-side by design)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 TEXT_QUERIES = {
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
