@@ -17,7 +17,12 @@ PASSWORD_ALLOWED = r"^[A-Za-z\d@$!#%*?&]{6,20}$"
 
 
 def valid_name(c: Column) -> Column:
-    """reference verify.py:6-10: name.isalpha() and len(name) > 2."""
+    """reference verify.py:6-10: name.isalpha() and len(name) > 2.
+
+    Documented divergence: Python ``isalpha`` accepts all Unicode
+    letters; this implementation pins ASCII letters (the reference's
+    auth data is ASCII) so the SQL form is engine-portable.
+    """
     return c.rlike("^[A-Za-z]+$") & (F.length(c) > 2)
 
 
