@@ -413,24 +413,23 @@ def ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    # cached: cell assignment and probe-cell selection both rank this
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "clabel",
         F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
-    ).cache()
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell"))
+    # one window pass serves both cell assignment (rn=1 per vector) and
+    # the query's probe list (top-nprobe cells of vec 0); cached since
+    # two branches consume it
+    ranked = scored.withColumn("rn", F.row_number().over(w)).cache()
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("clabel").alias("cell")
     )
     probe_cells = (
-        scored.filter(F.col("vec_id") == 0)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= IVF_NPROBE))
         .select(F.col("clabel").alias("cell"))
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))

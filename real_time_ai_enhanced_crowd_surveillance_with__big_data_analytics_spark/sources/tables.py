@@ -35,10 +35,16 @@ def load_table(spark: SparkSession, name: str, sf_path: str | None = None) -> Da
     unaffected.
     """
     base = sf_path or sf_dir()
-    # Both settable at runtime; applied here so externally-created
+    # All settable at runtime; applied here so externally-created
     # sessions (the driver harness) get oracle-compatible semantics:
     # UTC timestamps (DuckDB is UTC-naive) and nanos-as-long reads.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # externally-created sessions default to 200 shuffle partitions —
+    # wrong for both this machine and the test scale factors
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(os.cpu_count() or 4, 4))
+        )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{base}/{name}.parquet")
