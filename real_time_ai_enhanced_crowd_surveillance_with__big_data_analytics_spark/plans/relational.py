@@ -601,6 +601,64 @@ FROM joined WHERE rn = 1
 """
 
 
+# --- range join (proximity join; bucketized — no cartesian) ------------------
+
+RANGE_WINDOW_S = 1800  # ±30 min
+
+
+def clicks_near_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase, the count of same-user clicks within ±30
+    minutes — a range/interval join. Bucketized equi-join
+    (operators/range_join.py): the naive |Δt| theta join would be a
+    per-user cartesian; bucketing keeps it hash-partitioned."""
+    from ..operators.range_join import range_join
+
+    events = load_table(spark, "events", sf)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    joined = range_join(
+        purchases, clicks, "user_id", "p_ts", "c_ts", RANGE_WINDOW_S
+    )
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(F.count("*").alias("n_nearby_clicks"))
+    )
+
+
+CLICKS_NEAR_PURCHASES_SQL = f"""
+SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_nearby_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND abs(CAST(floor(epoch(p.ts)) AS BIGINT)
+         - CAST(floor(epoch(c.ts)) AS BIGINT)) <= {RANGE_WINDOW_S}
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.user_id, p.event_id
+"""
+
+
+# --- approximate aggregates (the 100 TB forms; rows-only) --------------------
+
+def approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ distinct counts and t-digest percentiles per event_type —
+    the bounded-memory, one-pass forms of distinct_stats /
+    value_percentiles for 100 TB inputs. No oracle: HLL/t-digest
+    implementations are engine-specific (exact twins carry the parity
+    check); accuracy is asserted against exact values in
+    tests/test_approx.py."""
+    events = load_table(spark, "events", sf)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.percentile_approx("value", 0.95).alias("approx_p95"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # --- exact percentiles (SURVEY §2.4 'free in Spark' note) --------------------
 
 def value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -723,6 +781,8 @@ RELATIONAL_QUERIES = {
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
+    "clicks_near_purchases": (clicks_near_purchases, CLICKS_NEAR_PURCHASES_SQL),
+    "approx_aggregates": (approx_aggregates, None),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "event_cube": (event_cube, EVENT_CUBE_SQL),
 }
