@@ -404,6 +404,129 @@ LIMIT {SIMHASH_TOP}
 """
 
 
+# --- near-dup clusters (connected components; iterative) ---------------------
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: each document
+    gets cluster_id = min doc_id reachable through Jaccard-≥-threshold
+    edges; output is the non-singleton clusters (the dedup 'groups to
+    collapse').
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetrized edge list and takes the elementwise min; rounds =
+    O(component diameter), tiny for dedup graphs. The loop is
+    driver-side control flow but every step is a distributed join —
+    at 100 TB this is the standard large-graph CC (alternating
+    small-star/large-star), with checkpointing every few rounds to cut
+    lineage. The oracle is a recursive-CTE transitive closure."""
+    docs = load_table(spark, "documents", sf)
+    postings = _shingle_postings(docs).cache()
+    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    a = postings.select(F.col("doc_id").alias("ia"), "sid")
+    b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
+    shared = (
+        a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
+    edges = (
+        shared.join(na, "ia")
+        .join(nb, "ib")
+        .filter(
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            )
+            >= JACCARD_THRESHOLD
+        )
+        .select("ia", "ib")
+    )
+    # the edge graph is tiny relative to the corpus (near-dup rate);
+    # localCheckpoint materializes it once and truncates lineage so
+    # each propagation round costs O(edges), not O(whole pipeline)
+    sym = (
+        edges.union(edges.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("ia").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; dedup graphs converge in 2-4
+        neighbor_min = (
+            labels.join(sym, labels.doc_id == sym.ia)
+            .groupBy(F.col("ib").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+DEDUP_CLUSTERS_SQL_TEMPLATE = """
+WITH {postings},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges0 AS (
+  SELECT s.ia, s.ib
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+  WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+        >= {threshold}
+), edges AS (
+  SELECT ia, ib FROM edges0 UNION SELECT ib, ia FROM edges0
+), nodes AS (
+  SELECT DISTINCT ia AS doc_id FROM edges
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.src, e.ib FROM r JOIN edges e ON r.dst = e.ia
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT c.doc_id, c.cluster_id,
+       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+FROM comp c
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (
@@ -412,4 +535,10 @@ DEDUP_QUERIES = {
     ),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _duck_minhash_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_clusters": (
+        dedup_clusters,
+        DEDUP_CLUSTERS_SQL_TEMPLATE.format(
+            postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
+        ),
+    ),
 }
