@@ -349,26 +349,20 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .select("token", _str_hash(F.col("token")).alias("th"))
     )
     th = toks.join(F.broadcast(vocab), "token").select("doc_id", "th")
-    bits = (
-        th.crossJoin(
-            F.broadcast(
-                docs.sparkSession.range(SIMHASH_BITS).select(
-                    F.col("id").cast("int").alias("i")
-                )
-            )
-        )
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.when(F.expr("(th >> i) & 1 = 1"), 1).otherwise(-1)
-            ).alias("w")
-        )
-    )
-    sigs = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("w") > 0, F.expr(f"CAST(1 AS BIGINT) << i")).otherwise(0)
-        ).alias("simhash")
-    )
+    # 32 conditional sums in ONE groupBy — no bit-dimension explode
+    # (the crossJoin-with-range form inflated 500k token rows to 16M)
+    weight_aggs = [
+        F.sum(F.expr(f"CAST((th >> {i}) & 1 AS INT) * 2 - 1")).alias(f"w{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    weights = th.groupBy("doc_id").agg(*weight_aggs)
+    pack = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"w{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        pack = term if pack is None else pack + term
+    sigs = weights.select("doc_id", pack.alias("simhash"))
     a = sigs.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
     b = sigs.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
     return (
