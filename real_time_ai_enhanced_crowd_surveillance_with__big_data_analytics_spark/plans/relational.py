@@ -709,6 +709,26 @@ GROUP BY event_type
 """
 
 
+# --- stratified sampling (training-data pipeline op; rows-only) --------------
+
+SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
+SAMPLE_SEED = 42
+
+
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class downsampling (``sampleBy``) — the class-rebalancing
+    primitive of training-data pipelines. Seeded => deterministic per
+    engine run; no oracle (sampling RNG is engine-specific), so the
+    check is rows-only; determinism + per-class bounds are asserted in
+    tests/test_approx.py."""
+    events = load_table(spark, "events", sf)
+    sampled = events.sampleBy("event_type", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 # --- pivot / cube (grouping-set battery) -------------------------------------
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -783,6 +803,7 @@ RELATIONAL_QUERIES = {
     "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
     "clicks_near_purchases": (clicks_near_purchases, CLICKS_NEAR_PURCHASES_SQL),
     "approx_aggregates": (approx_aggregates, None),
+    "stratified_sample": (stratified_sample, None),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "event_cube": (event_cube, EVENT_CUBE_SQL),
 }

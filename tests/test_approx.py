@@ -60,3 +60,25 @@ def test_range_join_equals_naive_theta_join(spark, sf_dir):
     assert sorted(map(tuple, naive.collect())) == sorted(
         map(tuple, bucketed.collect())
     )
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.relational import (
+        SAMPLE_FRACTIONS,
+        stratified_sample,
+    )
+
+    r1 = {r.event_type: r.n_sampled for r in stratified_sample(spark, sf_dir).collect()}
+    r2 = {r.event_type: r.n_sampled for r in stratified_sample(spark, sf_dir).collect()}
+    assert r1 == r2  # seeded determinism
+    events = load_table(spark, "events", sf_dir)
+    totals = {r.event_type: r.n for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for et, frac in SAMPLE_FRACTIONS.items():
+        if frac == 1.0:
+            assert r1[et] == totals[et]
+        else:  # Bernoulli sampling: loose 5-sigma bound
+            import math
+
+            exp = totals[et] * frac
+            sd = math.sqrt(totals[et] * frac * (1 - frac))
+            assert abs(r1[et] - exp) <= 5 * sd + 1

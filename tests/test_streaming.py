@@ -70,3 +70,30 @@ def test_streaming_edge_trigger_matches_batch_lag(spark, sf_dir):
         (r.user_id, r.event_id): r.alarm_episode for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_session_window(spark, sf_dir):
+    """session_window (native gap-based sessionization in streaming) —
+    per-user session counts must cover every event exactly once."""
+    stream = stream_events(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "60 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = run_to_memory(sess, "sess_out", output_mode="complete")
+    try:
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+    events = load_table(spark, "events", sf_dir)
+    assert sum(r.n_events for r in rows) == events.count()
+    # session count per user must equal the batch lag/cumsum form
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.relational import (
+        sessionize,
+    )
+    batch_sessions = sessionize(spark, sf_dir).groupBy("user_id").count()
+    stream_sessions = {}
+    for r in rows:
+        stream_sessions[r.user_id] = stream_sessions.get(r.user_id, 0) + 1
+    assert {r.user_id: r["count"] for r in batch_sessions.collect()} == stream_sessions
