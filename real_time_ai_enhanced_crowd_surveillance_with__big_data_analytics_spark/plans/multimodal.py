@@ -35,8 +35,10 @@ FROM documents
 
 def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched feature extraction (stubbed decode). Deterministic
-    byte-histogram features; rows-only check (mapInPandas has no SQL
-    twin), semantics pinned by tests/test_multimodal.py."""
+    byte-histogram features over the 8×8 padded byte image
+    (operators/multimodal.py::decode_image); the first two histogram
+    bins are SQL-expressible, so even the mapInPandas path gets a full
+    oracle hash check."""
     docs = load_table(spark, "documents", sf)
     out = multimodal_features(docs)
     return out.select(
@@ -47,7 +49,25 @@ def multimodal_features_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the fake image = first 64 bytes of the payload, zero-padded to 64;
+# histogram bins are 32 codes wide over [0,256); f_i = bin_count / 64.
+MULTIMODAL_FEATURES_SQL = """
+WITH codes AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         list_transform(generate_series(1, least(64, length(text))),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))) AS cs,
+         64 - least(64, length(text)) AS pad
+  FROM documents
+)
+SELECT doc_id, n_bytes,
+       round((pad + len(list_filter(cs, x -> x < 32))) / 64.0, 6) AS f0,
+       round(len(list_filter(cs, x -> x >= 32 AND x < 64)) / 64.0, 6) AS f1
+FROM codes
+"""
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
-    "multimodal_features": (multimodal_features_q, None),
+    "multimodal_features": (multimodal_features_q, MULTIMODAL_FEATURES_SQL),
 }

@@ -683,6 +683,38 @@ GROUP BY event_type
 """
 
 
+# --- cumulative window frames ------------------------------------------------
+
+def running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Running revenue per customer (cumulative window frame) + first
+    and latest order dates (first_value/last_value with explicit
+    frames) — the ordered-analytics battery over a growing frame."""
+    orders = load_table(spark, "orders", sf)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _ts_str(F.col("o_orderdate")).alias("order_date"),
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+        _ts_str(F.first("o_orderdate").over(cum)).alias("first_order_date"),
+    )
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+       round(sum(o_totalprice) OVER w, 2) AS running_total,
+       row_number() OVER w AS order_seq,
+       strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S')
+         AS first_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- distinct-count aggregates ----------------------------------------------
 
 def distinct_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -801,6 +833,7 @@ RELATIONAL_QUERIES = {
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
+    "running_revenue": (running_revenue, RUNNING_REVENUE_SQL),
     "clicks_near_purchases": (clicks_near_purchases, CLICKS_NEAR_PURCHASES_SQL),
     "approx_aggregates": (approx_aggregates, None),
     "stratified_sample": (stratified_sample, None),
