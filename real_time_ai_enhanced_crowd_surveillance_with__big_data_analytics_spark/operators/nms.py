@@ -90,6 +90,7 @@ def nms(
     key_cols: list[str],
     iou_threshold: float = PERSON_IOU,
     buckets: int | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed greedy NMS keyed by frame.
 
@@ -114,6 +115,14 @@ def nms(
         pdf = pdf.drop(columns=["_nms_bucket"])
         if pdf.empty:
             return pdf
+        # canonical within-frame order: confidence ties break by input
+        # order (cv2 stable-sort semantics), but Spark does not
+        # guarantee pandas-group row order — pin it so results are
+        # deterministic across shuffles/retries
+        if order_cols:
+            pdf = pdf.sort_values(
+                [*key_cols, *order_cols], kind="stable", ignore_index=True
+            )
         # fast paths: 1-box frames can never be suppressed; 2-box
         # frames reduce to one vectorized pairwise-IoU test across all
         # such frames at once. Only 3+-box frames pay the greedy loop —

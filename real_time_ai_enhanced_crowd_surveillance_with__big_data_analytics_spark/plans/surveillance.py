@@ -40,8 +40,10 @@ def detection_parse(spark: SparkSession, sf: str) -> DataFrame:
     return parse_detections(synthesize_raw(events))
 
 
-DETECTION_PARSE_SQL = f"""
-WITH raw AS (
+# shared detection CTE (det): the parse pipeline as SQL, reused by the
+# NMS and crowd oracles
+_DUCK_DET_CTE = f"""
+raw AS (
   SELECT user_id AS camera_id,
          event_id % 50 AS frame_id,
          event_id,
@@ -53,17 +55,85 @@ WITH raw AS (
          CAST(30 + (event_id % 60) AS DOUBLE) AS bw,
          CAST(30 + ((event_id * 7) % 60) AS DOUBLE) AS bh
   FROM events
-)
-SELECT camera_id, frame_id, event_id,
-       CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS class_id,
-       round(list_max(scores), 6) AS confidence,
-       CAST(floor(cx - bw / 2) AS INT) AS x,
-       CAST(floor(cy - bh / 2) AS INT) AS y,
-       CAST(floor(bw) AS INT) AS w,
-       CAST(floor(bh) AS INT) AS h
-FROM raw
-WHERE list_max(scores) > {CONFIDENCE_THRESHOLD}
+), det AS (
+  SELECT camera_id, frame_id, event_id,
+         CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS class_id,
+         round(list_max(scores), 6) AS confidence,
+         CAST(floor(cx - bw / 2) AS INT) AS x,
+         CAST(floor(cy - bh / 2) AS INT) AS y,
+         CAST(floor(bw) AS INT) AS w,
+         CAST(floor(bh) AS INT) AS h
+  FROM raw
+  WHERE list_max(scores) > {CONFIDENCE_THRESHOLD}
+)"""
+
+DETECTION_PARSE_SQL = f"""
+WITH {_DUCK_DET_CTE}
+SELECT * FROM det
 """
+
+# Greedy NMS as a recursive specification: rank boxes per frame by
+# (confidence DESC, event_id ASC) — the canonical order the Spark
+# operator pins — then walk ranks carrying the kept-box list; a box
+# joins `kept` iff its IoU with every kept box is <= threshold. All box
+# coordinates are integers, so inter/union are exact in DOUBLE and the
+# IoU comparison is bit-identical across engines.
+_DUCK_NMS_KEPT_CTE = f"""
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY camera_id, frame_id
+                            ORDER BY confidence DESC, event_id ASC) AS rk
+  FROM det
+), step(camera_id, frame_id, rk, kept) AS (
+  SELECT camera_id, frame_id, 0,
+         CAST([] AS STRUCT(event_id BIGINT, x INT, y INT, w INT, h INT)[])
+  FROM (SELECT DISTINCT camera_id, frame_id FROM ranked)
+  UNION ALL
+  SELECT s.camera_id, s.frame_id, r.rk,
+         CASE WHEN len(list_filter(s.kept, k ->
+                (greatest(0, least(k.x + k.w, r.x + r.w) - greatest(k.x, r.x))
+                 * greatest(0, least(k.y + k.h, r.y + r.h) - greatest(k.y, r.y))
+                 * 1.0)
+                / (k.w * k.h + r.w * r.h
+                   - greatest(0, least(k.x + k.w, r.x + r.w) - greatest(k.x, r.x))
+                     * greatest(0, least(k.y + k.h, r.y + r.h) - greatest(k.y, r.y)))
+                > {{iou}})) = 0
+              THEN list_append(s.kept,
+                     {{{{'event_id': r.event_id, 'x': r.x, 'y': r.y,
+                        'w': r.w, 'h': r.h}}}})
+              ELSE s.kept END
+  FROM step s
+  JOIN ranked r
+    ON r.camera_id = s.camera_id AND r.frame_id = s.frame_id
+   AND r.rk = s.rk + 1
+), kept_ids AS (
+  SELECT camera_id, frame_id, unnest(kept, recursive := true)
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY camera_id, frame_id
+                                 ORDER BY rk DESC) AS is_last
+    FROM step
+  ) WHERE is_last = 1
+)"""
+
+
+def _nms_oracle_sql(iou: float) -> str:
+    return (
+        f"WITH RECURSIVE {_DUCK_DET_CTE},\n{_DUCK_NMS_KEPT_CTE}\n"
+        "SELECT d.camera_id, d.frame_id, d.event_id, d.class_id,\n"
+        "       d.confidence, d.x, d.y, d.w, d.h\n"
+        "FROM kept_ids k\n"
+        "JOIN det d ON d.camera_id = k.camera_id\n"
+        "          AND d.frame_id = k.frame_id AND d.event_id = k.event_id\n"
+    ).format(iou=iou)
+
+
+def _crowd_oracle_sql(iou: float, threshold: int) -> str:
+    return (
+        f"WITH RECURSIVE {_DUCK_DET_CTE},\n{_DUCK_NMS_KEPT_CTE}\n"
+        "SELECT camera_id, frame_id, count(*) AS n_persons,\n"
+        f"       count(*) > {threshold} AS crowded\n"
+        "FROM kept_ids GROUP BY camera_id, frame_id\n"
+    ).format(iou=iou)
 
 
 # --- registration validators (F1-F5; verify.py:6-50) -------------------------
@@ -145,22 +215,28 @@ FROM checked
 # --- NMS + composed crowd pipeline (W3 + A1 + P10; rows-only checks) --------
 
 def nms_detections(spark: SparkSession, sf: str) -> DataFrame:
-    """Greedy NMS over parsed detections, keyed by frame. No SQL oracle:
-    greedy NMS is order-dependent (SURVEY.md §4 item 1); semantics are
-    pinned by tests/test_nms.py against hand-computed goldens."""
+    """Greedy NMS over parsed detections, keyed by frame, with the
+    canonical (confidence DESC, event_id ASC) suppression order.
+
+    Greedy NMS is order-dependent (SURVEY.md §4 item 1) — but with the
+    order pinned and integer box coordinates (exact IoU in DOUBLE), it
+    admits a recursive-CTE SQL specification, so even this pandas-UDF
+    operator gets a full DuckDB hash check alongside the goldens in
+    tests/test_nms.py."""
     events = load_table(spark, "events", sf)
     det = parse_detections(synthesize_raw(events))
-    return nms(det, ["camera_id", "frame_id"], PERSON_IOU).orderBy(
-        "camera_id", "frame_id", "event_id"
+    return nms(
+        det, ["camera_id", "frame_id"], PERSON_IOU, order_cols=["event_id"]
     )
 
 
 def crowd_alerts_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The full reference main loop (S1→P4→W3→A1→P10, main.py:188-233):
-    parse → NMS → per-frame count → crowd flag. Rows-only check."""
+    parse → NMS → per-frame count → crowd flag. Oracle: count over the
+    recursive-CTE NMS specification."""
     events = load_table(spark, "events", sf)
     det = parse_detections(synthesize_raw(events))
-    kept = nms(det, ["camera_id", "frame_id"], PERSON_IOU)
+    kept = nms(det, ["camera_id", "frame_id"], PERSON_IOU, order_cols=["event_id"])
     return (
         kept.groupBy("camera_id", "frame_id")
         .agg(F.count("*").alias("n_persons"))
@@ -279,6 +355,9 @@ SURVEILLANCE_QUERIES = {
     "user_cohorts_setops": (user_cohorts_setops, USER_COHORTS_SETOPS_SQL),
     "detection_parse": (detection_parse, DETECTION_PARSE_SQL),
     "validate_registrations": (validate_registrations, VALIDATE_REGISTRATIONS_SQL),
-    "nms_detections": (nms_detections, None),
-    "crowd_alerts_pipeline": (crowd_alerts_pipeline, None),
+    "nms_detections": (nms_detections, _nms_oracle_sql(PERSON_IOU)),
+    "crowd_alerts_pipeline": (
+        crowd_alerts_pipeline,
+        _crowd_oracle_sql(PERSON_IOU, CROWD_THRESHOLD),
+    ),
 }
