@@ -17,9 +17,11 @@ from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .surveillance import SURVEILLANCE_QUERIES
 from .text import TEXT_QUERIES
+from .tpch_advanced import TPCH_ADVANCED_QUERIES
 
 _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     RELATIONAL_QUERIES,
+    TPCH_ADVANCED_QUERIES,
     SIMILARITY_QUERIES,
     DEDUP_QUERIES,
     TEXT_QUERIES,
