@@ -1,0 +1,119 @@
+"""Connected components via alternating large-star / small-star.
+
+The two-phase algorithm from Kiveris et al., "Connected Components in
+MapReduce and Beyond" (ACM SoCC 2014): each round rewires edges toward
+per-neighborhood minima, converging in O(log^2 n) rounds regardless of
+component diameter — unlike min-label propagation, whose round count is
+the graph diameter. Both phases are plain groupBy/join DataFrame ops,
+so every step is a single shuffle keyed by node id.
+
+This is the 100 TB scale path for near-duplicate clustering
+(plans/dedup.py): dedup graphs are usually shallow, but adversarial
+chains (doc A ~ B ~ C ~ ...) make diameter-bound loops unbounded;
+large-star/small-star is diameter-free.
+
+Reference parity: the reference has no graph ops — this backs the
+dedup/cluster extension mandated by BASELINE.json ("north_star").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """Per src: min(dst ∪ {src}) as column m."""
+    return edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor to the neighborhood min.
+
+    Operates on the symmetrized edge list; emits (v, m(u)) for each
+    neighbor v > u. Self-loops (v == m) are dropped.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = _min_neighbor(sym)
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, connect all
+    nodes (including the center) to the minimum.
+
+    Input edges are first oriented src > dst so each center u sees only
+    neighbors ≤ u; emits (v, m) for each such neighbor and (u, m).
+    """
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    m = _min_neighbor(directed)
+    joined = directed.join(m, "src")
+    to_min = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    center = joined.select("src", F.col("m").alias("dst"))
+    return (
+        to_min.union(center)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Labels (node, component) with component = min node id reachable.
+
+    ``edges`` is an undirected edge list (either orientation, duplicates
+    fine). Rounds alternate large-star / small-star until the edge list
+    is a fixed point (every node points at its component min). Each
+    round localCheckpoints to truncate lineage — without it the plan
+    doubles per round and planning time dominates at ~10 rounds.
+
+    Convergence check: small_star output is canonically oriented
+    (src > dst), so a changed-row count against the previous round is
+    an exact fixed-point test, not a heuristic.
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        cur.select(F.col("src").alias("node"))
+        .union(cur.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        changed = (
+            nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
+            + cur.join(nxt, ["src", "dst"], "left_anti").limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # fixed point is a star forest: src -> component min
+    parents = cur.groupBy("src").agg(F.min("dst").alias("component"))
+    return (
+        nodes.join(parents, nodes.node == parents.src, "left")
+        .select(
+            F.col("node"),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )

@@ -406,13 +406,12 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges; output is the non-singleton clusters (the dedup 'groups to
     collapse').
 
-    Iterative min-label propagation: each round joins labels to the
-    symmetrized edge list and takes the elementwise min; rounds =
-    O(component diameter), tiny for dedup graphs. The loop is
-    driver-side control flow but every step is a distributed join —
-    at 100 TB this is the standard large-graph CC (alternating
-    small-star/large-star), with checkpointing every few rounds to cut
-    lineage. The oracle is a recursive-CTE transitive closure."""
+    Components via alternating large-star/small-star
+    (operators/connected_components.py, Kiveris et al. SoCC 2014):
+    O(log^2 n) rounds independent of component diameter — the 100 TB
+    form (min-label propagation needs diameter rounds, unbounded on
+    adversarial near-dup chains). The oracle is a recursive-CTE
+    transitive closure."""
     docs = load_table(spark, "documents", sf)
     postings = _shingle_postings(docs).cache()
     counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
@@ -438,46 +437,13 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("ia", "ib")
     )
+    from ..operators.connected_components import connected_components
+
     # the edge graph is tiny relative to the corpus (near-dup rate);
-    # localCheckpoint materializes it once and truncates lineage so
-    # each propagation round costs O(edges), not O(whole pipeline)
-    sym = (
-        edges.union(edges.select(F.col("ib").alias("ia"), F.col("ia").alias("ib")))
-        .coalesce(8)
-        .localCheckpoint()
-    )
-    labels = (
-        sym.select(F.col("ia").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .coalesce(8)
-        .localCheckpoint()
-    )
-    for _ in range(20):  # diameter bound; dedup graphs converge in 2-4
-        neighbor_min = (
-            labels.join(sym, labels.doc_id == sym.ia)
-            .groupBy(F.col("ib").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("n_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # coalesce keeps the per-round shuffles from fragmenting
+    labels = connected_components(
+        edges.coalesce(8), src="ia", dst="ib"
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")

@@ -1,0 +1,62 @@
+"""Alternating large-star/small-star CC vs a Python union-find oracle.
+
+The property that matters at scale: round count is O(log^2 n), not
+O(diameter) — the 60-node chain would defeat any small fixed
+diameter bound but converges here well inside max_rounds.
+"""
+
+from __future__ import annotations
+
+import random
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.connected_components import (
+    connected_components,
+)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_exceeds_diameter_bounds(spark):
+    edges = [(i, i + 1) for i in range(60)]
+    got = _run(spark, edges)
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_two_components_with_dups_and_self_loops(spark):
+    edges = [(5, 3), (3, 5), (3, 3), (10, 20), (20, 30), (30, 10)]
+    got = _run(spark, edges)
+    assert got == {3: 3, 5: 3, 10: 10, 20: 10, 30: 10}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(42)
+    for _ in range(3):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _run(spark, edges) == _uf_components(edges)
