@@ -289,7 +289,65 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --- BPE-style pretokenizer (GPT-2 pattern, RE2-safe subset) -----------------
+
+# GPT-2's pretokenizer splits on letter-runs / digit-runs / punctuation
+# runs, each optionally absorbing one leading space. The upstream
+# pattern's \s+(?!\S) lookahead is dropped (DuckDB RE2 has no
+# lookahead — see memory cross-engine-parity-pitfalls); whitespace
+# runs are matched and filtered out post-hoc on both engines instead.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
+
+
+def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document BPE-pretokenizer statistics: token count (the
+    'how many LLM tokens is this corpus' estimator), word/number/other
+    split, and mean token length. Pure codegen column expressions —
+    regexp_extract_all + size; no shuffle, no UDF."""
+    docs = load_table(spark, "documents", sf)
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    trimmed = F.transform(toks, lambda t: F.trim(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(trimmed, lambda t: t.rlike("^[A-Za-z]+$"))).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.filter(trimmed, lambda t: t.rlike("^[0-9]+$"))).alias(
+            "n_number_tokens"
+        ),
+        F.round(
+            F.aggregate(
+                trimmed, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_bpe_len"),
+    )
+
+
+BPE_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{BPE_PATTERN}'),
+                        x -> trim(x)) AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_bpe_tokens,
+       len(list_filter(toks, x -> regexp_full_match(x, '[A-Za-z]+')))
+         AS n_word_tokens,
+       len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))
+         AS n_number_tokens,
+       round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+              (a, b) -> a + b) AS DOUBLE) / len(toks), 6) AS avg_bpe_len
+FROM t
+"""
+
+
 TEXT_QUERIES = {
+    "bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
