@@ -362,15 +362,74 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.col(f"w{i}") > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         pack = term if pack is None else pack + term
-    sigs = weights.select("doc_id", pack.alias("simhash"))
-    a = sigs.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
-    b = sigs.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
-    return (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .select("ia", "ib", F.expr("bit_count(sa ^ sb)").alias("hamming"))
-        .orderBy(F.asc("hamming"), F.asc("ia"), F.asc("ib"))
-        .limit(SIMHASH_TOP)
+    sigs = weights.select("doc_id", pack.alias("simhash")).cache()
+    # Phase 0 — exact-duplicate signatures. Hamming-0 pairs dominate
+    # any top-k, and near-dup corpora have heavy signature collision
+    # (each colliding group of m docs is m² pairs — the quadratic blow
+    # -up lives HERE, not across groups). A top-k pair ordered by
+    # (ia, ib) can only use the ~k smallest doc_ids of its group:
+    # rank-limit each group before pairing, so a million-duplicate
+    # group contributes ≤ C(k+1,2) pairs instead of m².
+    from pyspark.sql import Window
+
+    wsig = Window.partitionBy("simhash").orderBy("doc_id")
+    ranked = sigs.withColumn("rk", F.row_number().over(wsig)).filter(
+        F.col("rk") <= SIMHASH_TOP + 1
     )
+    ra = ranked.select("simhash", F.col("doc_id").alias("ia"))
+    rb = ranked.select("simhash", F.col("doc_id").alias("ib"))
+    intra = (
+        ra.join(rb, "simhash")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.lit(0).alias("hamming"))
+        .cache()
+    )
+    if intra.count() >= SIMHASH_TOP:
+        return intra.orderBy(F.asc("ia"), F.asc("ib")).limit(SIMHASH_TOP)
+    # Phase 1 — candidate generation by banding (pigeonhole): split the 32-bit
+    # signature into 4 bytes; any pair with hamming ≤ 3 agrees on at
+    # least one byte, so an equi-join on (band, byte) finds all such
+    # pairs at ~1/128 the cost of the n² cross join. If fewer than
+    # SIMHASH_TOP pairs have hamming ≤ 3, the global top-k could
+    # include un-banded pairs — fall back to the exact cross join
+    # (adaptive two-phase; the oracle is the full specification either
+    # way). At 100 TB the fallback never fires in practice and the
+    # banded join is shuffle-partitioned on (band, byte).
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright(F.col("simhash"), 8 * k) % 256).cast("int")
+                    for k in range(4)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"), "band", "bv"
+    )
+    cands = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", F.expr("bit_count(sa ^ sb)").alias("hamming"))
+        .distinct()
+        .cache()  # reused by the count probe AND the top-k pass
+    )
+    n_close = cands.filter(F.col("hamming") <= 3).count()
+    if n_close < SIMHASH_TOP:  # Phase 2 — exact fallback: top-k not fully banded
+        fa = sigs.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
+        fb = sigs.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
+        cands = fa.join(fb, F.col("ia") < F.col("ib")).select(
+            "ia", "ib", F.expr("bit_count(sa ^ sb)").alias("hamming")
+        )
+    return cands.orderBy(
+        F.asc("hamming"), F.asc("ia"), F.asc("ib")
+    ).limit(SIMHASH_TOP)
 
 
 _DUCK_TOKEN_HASH = _DUCK_STR_HASH.format(s="t")
