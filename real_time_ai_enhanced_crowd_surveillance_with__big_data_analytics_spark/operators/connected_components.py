@@ -93,6 +93,11 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # tiny graphs: single partition kills per-round scheduling overhead
+    # (32 tasks/shuffle × ~6 shuffles/round dwarfs 1e2..1e5 edges);
+    # big graphs keep the session's shuffle parallelism
+    if cur.count() < 100_000:
+        cur = cur.coalesce(1).localCheckpoint()
     nodes = (
         cur.select(F.col("src").alias("node"))
         .union(cur.select(F.col("dst").alias("node")))
@@ -101,9 +106,13 @@ def connected_components(
     )
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # one-job symmetric-difference probe (vs two anti-join counts)
         changed = (
-            nxt.join(cur, ["src", "dst"], "left_anti").limit(1).count()
-            + cur.join(nxt, ["src", "dst"], "left_anti").limit(1).count()
+            nxt.withColumn("_n", F.lit(1))
+            .join(cur.withColumn("_c", F.lit(1)), ["src", "dst"], "full_outer")
+            .filter(F.col("_n").isNull() | F.col("_c").isNull())
+            .limit(1)
+            .count()
         )
         cur = nxt
         if changed == 0:
