@@ -18,10 +18,12 @@ from .similarity import SIMILARITY_QUERIES
 from .surveillance import SURVEILLANCE_QUERIES
 from .text import TEXT_QUERIES
 from .tpch_advanced import TPCH_ADVANCED_QUERIES
+from .tpch_extra import TPCH_EXTRA_QUERIES
 
 _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     RELATIONAL_QUERIES,
     TPCH_ADVANCED_QUERIES,
+    TPCH_EXTRA_QUERIES,
     SIMILARITY_QUERIES,
     DEDUP_QUERIES,
     TEXT_QUERIES,
