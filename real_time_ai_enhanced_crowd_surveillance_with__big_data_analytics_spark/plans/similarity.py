@@ -42,9 +42,14 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """Top-10 nearest neighbours of vec_id 0 by cosine similarity.
 
     The query vector is broadcast (1 row) — the corpus side never
-    shuffles; similarity is a codegen'd fold; global top-k is
-    sort+limit with a vec_id tiebreak (deterministic under ties).
+    shuffles; similarity is the Arrow-batched pair UDF (interpreted
+    array folds are NOT codegen'd and run ~10x slower at volume);
+    global top-k is sort+limit with a vec_id tiebreak (deterministic
+    under ties).
     """
+    from ..functions.arrays import pair_cosine_udf
+
+    cos = pair_cosine_udf()
     emb = load_table(spark, "embeddings", sf)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return (
@@ -53,7 +58,7 @@ def knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+            cos(F.col("embedding"), F.col("qvec")).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
@@ -172,7 +177,12 @@ def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
     """Assign each vector to its nearest label centroid by cosine — the
     IVF coarse-quantization step. Centroids (10×64) reassemble from the
     long-format aggregate and broadcast; assignment is a broadcast
-    cross-join + per-row argmax, no big-side shuffle."""
+    cross-join + per-row argmax, no big-side shuffle. Scoring uses the
+    Arrow-batched pair UDF — the interpreted fold took 6 s at sf0.1 for
+    |corpus|×10 rows; the batched numpy form is sub-second."""
+    from ..functions.arrays import pair_cosine_udf
+
+    cos = pair_cosine_udf()
     emb = load_table(spark, "embeddings", sf)
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
@@ -189,7 +199,7 @@ def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         "label",
         "clabel",
-        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+        cos(F.col("embedding"), F.col("cvec")).alias("csim"),
     )
     from pyspark.sql import Window
 
@@ -256,14 +266,14 @@ def embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf)
     corpus = emb.select("vec_id", "embedding").toPandas()
     ids = corpus["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, dtype="float64") for v in corpus["embedding"]])
+    mat = np.asarray(corpus["embedding"].tolist(), dtype="float64")
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def block(batches):
         ids_b, m_b = bc.value
         for pdf in batches:
-            a = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
             a = a / np.linalg.norm(a, axis=1, keepdims=True)
             sims = np.round(a @ m_b.T, 6)
             ia = pdf["vec_id"].to_numpy()
@@ -296,34 +306,57 @@ def _sign_bands(emb: DataFrame) -> DataFrame:
 
     Hyperplanes are the first 16 corpus vectors themselves — fully
     deterministic and oracle-portable (no RNG). Each vector gets 16 sign
-    bits of dot(x, h); bits group into 4-bit band keys. Vectors sharing
-    any band key become candidate pairs — the candidate join shuffles on
-    (band, key), never on the full vector, which is what bounds work at
-    100 TB (brute force is quadratic; banding is ~linear in candidates).
-    """
-    hp = emb.filter(F.col("vec_id") < N_HYPERPLANES).select(
-        F.col("vec_id").alias("hid"), F.col("embedding").alias("hvec")
-    )
-    from ..functions.arrays import pair_cosine_udf
+    bits of cosine(x, h); bits group into 4-bit band keys. Vectors
+    sharing any band key become candidate pairs — the candidate join
+    shuffles on (band, key), never on the full vector, which is what
+    bounds work at 100 TB (brute force is quadratic; banding is ~linear
+    in candidates).
 
-    cos = pair_cosine_udf()
-    # sign(dot) == sign(cosine); the vectorized pair UDF beats the
-    # interpreted array fold on |corpus| × 16 hyperplane rows
-    bits = emb.crossJoin(F.broadcast(hp)).select(
-        "vec_id",
-        F.col("hid"),
-        (cos(F.col("embedding"), F.col("hvec")) >= 0).cast("long").alias("bit"),
+    All 16 bits come from ONE batched matmul per Arrow batch
+    (mapInPandas against the broadcast 16×dim hyperplane matrix) — the
+    earlier corpus×16 crossJoin + groupBy repacking cost an extra
+    shuffle and 16× the UDF rows for the same answer. The hyperplane
+    set is a fixed 16 rows regardless of corpus size, so the driver
+    collect is scale-safe.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    hp_rows = (
+        emb.filter(F.col("vec_id") < N_HYPERPLANES)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    # floor division — DuckDB CAST(float AS INT) rounds, so both sides
-    # must floor explicitly for identical band keys
-    return bits.groupBy(
-        "vec_id", F.floor(F.col("hid") / BAND_SIZE).cast("int").alias("band")
-    ).agg(
-        F.sum(
-            F.col("bit") * F.pow(F.lit(2.0), (F.col("hid") % BAND_SIZE)).cast("long")
-        )
-        .cast("long")
-        .alias("band_key")
+    hp_rows.sort(key=lambda r: r.vec_id)
+    hmat = np.asarray([list(r.embedding) for r in hp_rows], dtype="float64")
+    hnorm = np.linalg.norm(hmat, axis=1)
+    bc = spark.sparkContext.broadcast((hmat, hnorm))
+    n_bands = N_HYPERPLANES // BAND_SIZE
+    weights = (2.0 ** np.arange(BAND_SIZE)).astype("int64")
+
+    def bands(batches):
+        hm, hn = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            # bit = round(cosine, 6) >= 0 — matches the oracle's rounded
+            # cosine compare bit-for-bit (sign(dot) alone could disagree
+            # inside the round-off window)
+            cosm = np.round((a @ hm.T) / (an[:, None] * hn[None, :]), 6)
+            bits = (cosm >= 0).astype("int64")
+            keys = bits.reshape(-1, n_bands, BAND_SIZE) @ weights
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int32"), len(ids)),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        bands, schema="vec_id long, band int, band_key long"
     )
 
 
@@ -401,6 +434,9 @@ def ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
     nearest centroid cells (IVF): centroid build + assignment bound the
     per-query scan to ~nprobe/k of the corpus instead of all of it.
     Results can differ from knn_bruteforce by design (ANN recall)."""
+    from ..functions.arrays import pair_cosine_udf
+
+    cos = pair_cosine_udf()
     emb = load_table(spark, "embeddings", sf)
     centroids = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
@@ -416,7 +452,7 @@ def ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "clabel",
-        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("csim"),
+        cos(F.col("embedding"), F.col("cvec")).alias("csim"),
     )
     from pyspark.sql import Window
 
@@ -441,7 +477,7 @@ def ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("cosine"),
+            cos(F.col("embedding"), F.col("qvec")).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
