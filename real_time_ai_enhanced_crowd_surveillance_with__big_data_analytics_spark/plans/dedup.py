@@ -158,8 +158,10 @@ def _perm_params(j: int) -> tuple[int, int]:
     return 2 * j + 1, j * 12_345 + 7
 
 
-def _shingle_postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, sid): distinct hashed token-trigram shingles per doc.
+def _shingle_postings(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, sid): hashed token-trigram shingles per doc (distinct
+    by default; ``distinct=False`` keeps every occurrence, for
+    repetition metrics).
 
     Fully relational shingle hashing: the token vocabulary is hashed
     ONCE (distinct tokens → polynomial char hash → broadcast join back),
@@ -183,12 +185,12 @@ def _shingle_postings(docs: DataFrame) -> DataFrame:
     sid = (
         (F.col("th") * HASH_BASE + F.lead("th", 1).over(w)) % HASH_MOD
     ) * 37 + F.lead("th", 2).over(w)
-    return (
+    out = (
         hashed.select("doc_id", "pos", (sid % HASH_MOD).alias("sid"))
         .filter(F.col("sid").isNotNull())
         .select("doc_id", "sid")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 _DUCK_POSTINGS = f"""

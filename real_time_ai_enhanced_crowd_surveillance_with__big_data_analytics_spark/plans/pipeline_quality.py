@@ -1,0 +1,188 @@
+"""Training-data pipeline quality operators (north-star extensions):
+benchmark contamination, intra-document repetition, policy pattern scan.
+
+These are the corpus-hygiene passes an LLM data pipeline runs between
+ingestion and training (the reference's "historical analysis" promise
+generalized to corpus analytics; the operators themselves follow the
+published recipes — n-gram overlap decontamination and repetition
+filters as in the Gopher/RefinedWeb data-quality literature):
+
+- contamination_check: token-trigram overlap between a held-out eval
+  slice and the training slice — the decontamination join. Same
+  inverted-index shape as dedup_ngram_jaccard: linear in postings-pair
+  count, never quadratic in the corpus.
+- doc_repetition: fraction of repeated token-trigrams within each
+  document (high ⇒ boilerplate/spam) — two aggregations over the SAME
+  (doc_id, sid) partitioning, so one shuffle total.
+- policy_pattern_scan: per-document regex hit counts (PII-style email
+  pattern, long digit runs, keyword mentions) — pure codegen'd
+  regexp_count, no UDF. Patterns are RE2-safe (no lookahead) so the
+  DuckDB oracle runs them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import _DUCK_POSTINGS, _shingle_postings
+
+EVAL_SOURCE = "src0"  # deterministic held-out slice of the corpus
+MIN_SHARED = 3        # trigrams in common before a pair counts as contaminated
+
+
+def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """(eval_doc, train_doc) pairs sharing >= MIN_SHARED token trigrams,
+    with the contaminated fraction of the eval doc.
+
+    The join is postings(eval) ⋈ postings(train) on the trigram id —
+    candidate work is Σ df_eval·df_train per shingle, bounded and
+    skew-resistant (both sides carry only (doc_id, sid)). The eval
+    slice is typically ~1% of the corpus, so the build side is small;
+    at 100 TB broadcast the eval postings and the join is shuffle-free.
+    """
+    docs = load_table(spark, "documents", sf)
+    # cached: the postings subtree feeds both the split AND the eval
+    # trigram totals; uncached Spark re-derives it per branch
+    postings = _shingle_postings(docs).cache()
+    src = docs.select("doc_id", "source")
+    tagged = postings.join(src, "doc_id")
+    ev = tagged.filter(F.col("source") == EVAL_SOURCE).select(
+        F.col("doc_id").alias("eval_id"), "sid"
+    )
+    tr = tagged.filter(F.col("source") != EVAL_SOURCE).select(
+        F.col("doc_id").alias("train_id"), F.col("sid").alias("sid_t")
+    )
+    ev_sizes = ev.groupBy("eval_id").agg(F.count("*").alias("n_eval_tri"))
+    shared = (
+        ev.join(tr, F.col("sid") == F.col("sid_t"))
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED)
+    )
+    return shared.join(ev_sizes, "eval_id").select(
+        "eval_id",
+        "train_id",
+        "shared",
+        F.round(F.col("shared") / F.col("n_eval_tri"), 6).alias("contaminated_frac"),
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH {_DUCK_POSTINGS},
+tagged AS (
+  SELECT p.doc_id, p.sid, d.source
+  FROM postings p JOIN documents d USING (doc_id)
+),
+ev AS (SELECT doc_id AS eval_id, sid FROM tagged WHERE source = '{EVAL_SOURCE}'),
+tr AS (SELECT doc_id AS train_id, sid FROM tagged WHERE source <> '{EVAL_SOURCE}'),
+ev_sizes AS (SELECT eval_id, count(*) AS n_eval_tri FROM ev GROUP BY eval_id),
+shared AS (
+  SELECT e.eval_id, t.train_id, count(*) AS shared
+  FROM ev e JOIN tr t USING (sid)
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SHARED}
+)
+SELECT s.eval_id, s.train_id, s.shared,
+       round(s.shared / z.n_eval_tri, 6) AS contaminated_frac
+FROM shared s JOIN ev_sizes z USING (eval_id)
+"""
+
+
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document trigram repetition: total vs distinct trigrams, the
+    repeated fraction, and the highest single-trigram frequency — the
+    Gopher-style repetition filter inputs.
+
+    Two-level aggregate on one key chain: groupBy(doc_id, sid) then
+    groupBy(doc_id) — the second reuses the first's hash partitioning
+    (no extra exchange). Everything is codegen'd; no UDF.
+    """
+    docs = load_table(spark, "documents", sf)
+    per_tri = (
+        _shingle_postings(docs, distinct=False)
+        .groupBy("doc_id", "sid")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        per_tri.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tri"),
+            F.count("*").alias("n_distinct"),
+            F.max("tf").alias("max_tf"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_distinct",
+            "max_tf",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tri"), 6).alias(
+                "repeated_frac"
+            ),
+        )
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH {_DUCK_POSTINGS.replace("SELECT DISTINCT doc_id", "SELECT doc_id")},
+per_tri AS (
+  SELECT doc_id, sid, count(*) AS tf FROM postings GROUP BY doc_id, sid
+)
+SELECT doc_id,
+       sum(tf) AS n_tri,
+       count(*) AS n_distinct,
+       max(tf) AS max_tf,
+       round(1.0 - count(*) / CAST(sum(tf) AS DOUBLE), 6) AS repeated_frac
+FROM per_tri
+GROUP BY doc_id
+"""
+
+
+# RE2-safe (no lookahead/backreference) — runs verbatim on both engines
+EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_PAT = r"[0-9]{6,}"
+KEYWORD_PAT = r"\b(table|query|join)\b"
+
+
+def policy_pattern_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document policy pattern counts: PII-style email hits, long
+    digit runs, and analytics keyword mentions, plus a redaction flag.
+
+    All three are codegen'd regexp_count over the scanned text — the
+    at-scale form of a PII/policy pass (a real pipeline swaps in its
+    pattern pack; the plumbing — one projection, no shuffle, no UDF —
+    is the point). On this clean synthetic corpus the PII columns are
+    legitimately zero; the keyword column carries the signal that the
+    counting is real.
+    """
+    docs = load_table(spark, "documents", sf)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_PAT)).alias("email_hits"),
+        F.regexp_count(F.col("text"), F.lit(DIGIT_RUN_PAT)).alias("digit_run_hits"),
+        F.regexp_count(F.col("text"), F.lit(KEYWORD_PAT)).alias("keyword_hits"),
+        (
+            (F.regexp_count(F.col("text"), F.lit(EMAIL_PAT)) > 0)
+            | (F.regexp_count(F.col("text"), F.lit(DIGIT_RUN_PAT)) > 0)
+        ).alias("needs_redaction"),
+    )
+
+
+POLICY_PATTERN_SCAN_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_PAT}')) AS email_hits,
+       len(regexp_extract_all(text, '{DIGIT_RUN_PAT}')) AS digit_run_hits,
+       len(regexp_extract_all(text, '{KEYWORD_PAT}')) AS keyword_hits,
+       (len(regexp_extract_all(text, '{EMAIL_PAT}')) > 0
+        OR len(regexp_extract_all(text, '{DIGIT_RUN_PAT}')) > 0)
+         AS needs_redaction
+FROM documents
+"""
+
+
+PIPELINE_QUALITY_QUERIES = {
+    "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "policy_pattern_scan": (policy_pattern_scan, POLICY_PATTERN_SCAN_SQL),
+}

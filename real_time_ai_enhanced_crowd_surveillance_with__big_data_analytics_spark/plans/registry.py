@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import DEDUP_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
+from .pipeline_quality import PIPELINE_QUALITY_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .surveillance import SURVEILLANCE_QUERIES
@@ -26,6 +27,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     TPCH_EXTRA_QUERIES,
     SIMILARITY_QUERIES,
     DEDUP_QUERIES,
+    PIPELINE_QUALITY_QUERIES,
     TEXT_QUERIES,
     SURVEILLANCE_QUERIES,
     MULTIMODAL_QUERIES,
