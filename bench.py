@@ -41,6 +41,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries cache() their multi-referenced subtrees; dropping them
+        # between queries keeps each measurement independent and stops
+        # storage-memory pressure from skewing late queries' numbers
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

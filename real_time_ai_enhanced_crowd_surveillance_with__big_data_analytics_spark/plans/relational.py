@@ -715,6 +715,104 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+# --- RANGE-interval moving window (time-based frame) -------------------------
+
+_EPOCH_DAY = "1990-01-01"
+
+
+def moving_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day order revenue per customer — a RANGE frame over a
+    day number (rows-frames can't express "last 7 days": a day with
+    many orders must contribute all of them, a quiet week none).
+
+    The ORDER BY key is an integer day offset, so rangeBetween(-6, 0)
+    is exact peer-group arithmetic on both engines (interval RANGE
+    frames over raw timestamps differ in peer handling). Revenue sums
+    in exact integer cents — frame membership varies the summation
+    order, which would otherwise flip low bits between engines.
+    """
+    orders = load_table(spark, "orders", sf)
+    day = F.datediff(F.col("o_orderdate"), F.lit(_EPOCH_DAY))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _ts_str(F.col("o_orderdate")).alias("order_date"),
+        (F.sum(cents).over(w) / 100.0).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+MOVING_REVENUE_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0 AS rev_7d,
+       count(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '{_EPOCH_DAY}', o_orderdate)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- ntile decile segmentation -----------------------------------------------
+
+
+def revenue_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers bucketed into revenue deciles (ntile), with per-decile
+    totals — the RFM-style segmentation rollup. ntile's bucket-boundary
+    arithmetic is specified identically in Spark and DuckDB (floor
+    division of ordered rank), so the decile assignment is
+    deterministic given the (total, custkey) tiebreak order.
+
+    The un-partitioned ntile window funnels the per-customer aggregate
+    (already reduced from the fact table) through one task — exact
+    equal-count deciles are inherently a global total order. At 100 TB
+    swap the boundary step for approx_percentile thresholds broadcast
+    back over the aggregate (approximate bucket counts, no global
+    sort); the exact form here is the oracle-checkable specification.
+    """
+    orders = load_table(spark, "orders", sf)
+    per_cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias(
+            "total_rev"
+        )
+    )
+    w = Window.orderBy(F.desc("total_rev"), F.asc("o_custkey"))
+    tiled = per_cust.select(
+        "o_custkey", "total_rev", F.ntile(10).over(w).alias("decile")
+    )
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total_rev"), 2).alias("decile_rev"),
+        F.round(F.min("total_rev"), 2).alias("floor_rev"),
+    )
+
+
+REVENUE_DECILES_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_rev
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, total_rev,
+         ntile(10) OVER (ORDER BY total_rev DESC, o_custkey ASC) AS decile
+  FROM per_cust
+)
+SELECT decile, count(*) AS n_customers,
+       round(sum(total_rev), 2) AS decile_rev,
+       round(min(total_rev), 2) AS floor_rev
+FROM tiled
+GROUP BY decile
+"""
+
+
 # --- distinct-count aggregates ----------------------------------------------
 
 def distinct_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -834,6 +932,8 @@ RELATIONAL_QUERIES = {
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
     "running_revenue": (running_revenue, RUNNING_REVENUE_SQL),
+    "moving_revenue": (moving_revenue, MOVING_REVENUE_SQL),
+    "revenue_deciles": (revenue_deciles, REVENUE_DECILES_SQL),
     "clicks_near_purchases": (clicks_near_purchases, CLICKS_NEAR_PURCHASES_SQL),
     "approx_aggregates": (approx_aggregates, None),
     "stratified_sample": (stratified_sample, None),
