@@ -20,11 +20,15 @@ from .surveillance import SURVEILLANCE_QUERIES
 from .text import TEXT_QUERIES
 from .tpch_advanced import TPCH_ADVANCED_QUERIES
 from .tpch_extra import TPCH_EXTRA_QUERIES
+from .tpch_final import TPCH_FINAL_QUERIES
+from .training_data import TRAINING_DATA_QUERIES
 
 _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     RELATIONAL_QUERIES,
     TPCH_ADVANCED_QUERIES,
     TPCH_EXTRA_QUERIES,
+    TPCH_FINAL_QUERIES,
+    TRAINING_DATA_QUERIES,
     SIMILARITY_QUERIES,
     DEDUP_QUERIES,
     PIPELINE_QUALITY_QUERIES,

@@ -1,0 +1,264 @@
+"""Training-data pipeline operators over documents/embeddings — the
+ops a 100 TB LLM-pretraining corpus build needs beyond dedup/quality
+(BASELINE.json "north_star"; complements plans/dedup.py,
+plans/pipeline_quality.py, plans/text.py).
+
+- sequence packing: concat-and-chunk documents into fixed token-budget
+  training sequences (the standard pretraining packing strategy),
+  fully relational — a cumulative-sum window plus an interval explode,
+  no UDF, no driver loop.
+- per-source quota sampling: deterministic hash-priority top-K per
+  source (corpus mixing / domain capping).
+- shard assignment: portable-hash sharding with a balance audit —
+  the "write N training shards" step, verified skew-free.
+- embedding quantization: int8 symmetric quantization error audit per
+  vector (storage-halving decision data).
+
+All four are oracle-checked against DuckDB on identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SEQ_LEN = 256          # token budget per packed sequence
+QUOTA_PER_SOURCE = 50  # domain cap for quota sampling
+N_SHARDS = 32
+HASH_P = 1_000_000_007
+PRIORITY_MULT = 2_654_435_761  # Knuth multiplicative hash constant
+
+
+def _n_tokens() -> F.Column:
+    return F.size(F.split(F.trim(F.col("text")), " "))
+
+
+# --- sequence packing (concat-and-chunk) -------------------------------------
+
+def sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack documents into SEQ_LEN-token training sequences per source:
+    documents concatenate in doc_id order and chunk at exact token
+    boundaries, so a document straddling a boundary contributes a row
+    to each sequence it overlaps (seq_id, tokens contributed,
+    is_split flag).
+
+    Spark shape: the running token total is one window over
+    (source, doc_id) — partitioned by source, so at 100 TB every
+    partition packs independently (packing across the whole corpus
+    would serialize into one task; per-source is also what mixing
+    weights want). The overlap rows come from exploding
+    ``sequence(first_seq, last_seq)`` — interval arithmetic, no UDF.
+    """
+    docs = load_table(spark, "documents", sf)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "source", "doc_id", _n_tokens().alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    spans = sized.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.col("cum") - F.col("n_tok")).alias("start"),
+        F.col("cum").alias("end"),
+        F.floor((F.col("cum") - F.col("n_tok")) / SEQ_LEN).alias("first_seq"),
+        F.floor((F.col("cum") - 1) / SEQ_LEN).alias("last_seq"),
+    )
+    return spans.select(
+        "source",
+        "doc_id",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+        "start",
+        "end",
+        (F.col("first_seq") != F.col("last_seq")).alias("is_split"),
+    ).select(
+        "source",
+        "doc_id",
+        "seq_id",
+        (
+            F.least(F.col("end"), (F.col("seq_id") + 1) * SEQ_LEN)
+            - F.greatest(F.col("start"), F.col("seq_id") * SEQ_LEN)
+        ).alias("n_tok_in_seq"),
+        "is_split",
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id,
+         len(string_split(trim(text), ' ')) AS n_tok,
+         sum(len(string_split(trim(text), ' ')))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+), spans AS (
+  SELECT source, doc_id, n_tok, cum - n_tok AS start_tok, cum AS end_tok,
+         CAST(floor((cum - n_tok) / {SEQ_LEN}) AS BIGINT) AS first_seq,
+         CAST(floor((cum - 1) / {SEQ_LEN}) AS BIGINT) AS last_seq
+  FROM sized
+), exploded AS (
+  SELECT source, doc_id, start_tok, end_tok, first_seq, last_seq,
+         unnest(generate_series(first_seq, last_seq)) AS seq_id
+  FROM spans
+)
+SELECT source, doc_id, seq_id,
+       least(end_tok, (seq_id + 1) * {SEQ_LEN})
+         - greatest(start_tok, seq_id * {SEQ_LEN}) AS n_tok_in_seq,
+       first_seq <> last_seq AS is_split
+FROM exploded
+"""
+
+
+# --- per-source quota sampling -----------------------------------------------
+
+def source_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic domain capping: keep at most QUOTA_PER_SOURCE
+    documents per source, chosen by a multiplicative-hash priority
+    (uniform, seedless-reproducible — reruns pick identical rows,
+    unlike sample()). One window shuffle keyed by source; the rank
+    predicate prunes inside the window operator, so only K rows per
+    source survive the exchange at 100 TB (rank pushdown)."""
+    docs = load_table(spark, "documents", sf)
+    priority = (F.col("doc_id") * PRIORITY_MULT) % HASH_P
+    w = Window.partitionBy("source").orderBy(priority.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", priority.alias("priority"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "rk")
+    )
+
+
+SOURCE_QUOTA_SAMPLE_SQL = f"""
+SELECT doc_id, source, rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * {PRIORITY_MULT}) % {HASH_P} ASC,
+                                     doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= {QUOTA_PER_SOURCE}
+"""
+
+
+# --- shard assignment + balance audit ----------------------------------------
+
+def shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash documents into N_SHARDS training shards and audit balance:
+    per-shard doc count, token sum, and each shard's deviation from the
+    mean token load. The portable affine hash (not engine hash()) keeps
+    the assignment reproducible across engines and runs — shard
+    membership IS training data lineage. At 100 TB this is the
+    ``repartition(N, shard).write`` layout step; the audit aggregate is
+    a map-side-combined single shuffle of N rows."""
+    docs = load_table(spark, "documents", sf)
+    shard = ((F.col("doc_id") * 40_503 + 7) % HASH_P) % N_SHARDS
+    per_shard = (
+        docs.select(shard.alias("shard"), _n_tokens().alias("n_tok"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
+    )
+    mean_tokens = F.avg("tokens").over(Window.partitionBy())
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / mean_tokens, 6).alias("load_ratio"),
+    )
+
+
+SHARD_ASSIGNMENT_SQL = f"""
+WITH per_shard AS (
+  SELECT ((doc_id * 40503 + 7) % {HASH_P}) % {N_SHARDS} AS shard,
+         count(*) AS n_docs,
+         sum(len(string_split(trim(text), ' '))) AS tokens
+  FROM documents
+  GROUP BY 1
+)
+SELECT shard, n_docs, tokens,
+       round(tokens / avg(tokens) OVER (), 6) AS load_ratio
+FROM per_shard
+"""
+
+
+# --- int8 embedding quantization audit ---------------------------------------
+
+def embedding_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization audit per embedding: scale =
+    max|x|/127, q_i = floor(x_i/scale + 0.5) (explicit half-up — both
+    engines' round() tie-break the same way only on this form), error =
+    max_i |q_i*scale − x_i|. Output decides whether int8 storage is
+    loss-acceptable corpus-wide.
+
+    Array folds stay in Column higher-order functions — fine at this
+    dimension (64); the bulk path for re-encoding payloads at 100 TB is
+    the vectorized mapInPandas matmul pattern (plans/similarity.py).
+    """
+    emb = load_table(spark, "embeddings", sf)
+    x = F.col("embedding")
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.greatest(amax, F.lit(1e-12)) / 127.0
+    quant = F.transform(
+        x, lambda v: F.floor(v.cast("double") / F.col("scale") + 0.5)
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("q"),
+            x,
+            lambda qi, xi: F.abs(qi * F.col("scale") - xi.cast("double")),
+        )
+    )
+    return (
+        emb.select("vec_id", "label", "embedding", scale.alias("scale"))
+        .withColumn("q", quant)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("scale"), 6).alias("scale_r"),
+            F.round(err, 6).alias("max_abs_err"),
+            F.aggregate(
+                F.col("q"),
+                F.lit(0).cast("long"),
+                lambda acc, qi: acc + F.abs(qi).cast("long"),
+            ).alias("q_l1"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZATION_SQL = """
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         greatest(list_max(list_transform(embedding,
+                                          v -> abs(CAST(v AS DOUBLE)))),
+                  1e-12) / 127.0 AS scale
+  FROM embeddings
+), quantized AS (
+  SELECT vec_id, label, embedding, scale,
+         list_transform(embedding,
+                        v -> floor(CAST(v AS DOUBLE) / scale + 0.5)) AS q
+  FROM scaled
+)
+SELECT vec_id, label,
+       round(scale, 6) AS scale_r,
+       round(list_max(list_transform(list_zip(q, embedding),
+             p -> abs(p[1] * scale - CAST(p[2] AS DOUBLE)))), 6)
+         AS max_abs_err,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(q, v -> CAST(abs(v) AS BIGINT))),
+                   (acc, v) -> acc + v) AS q_l1
+FROM quantized
+"""
+
+
+TRAINING_DATA_QUERIES = {
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SAMPLE_SQL),
+    "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
+    "embedding_quantization": (embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
+}

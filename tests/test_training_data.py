@@ -1,0 +1,87 @@
+"""Invariant tests for the training-data pipeline operators
+(plans/training_data.py): packing conservation/chunk-exactness, quota
+determinism and cap, shard total conservation, quantization error bound.
+The DuckDB oracle checks value parity; these check the semantics are
+the *right* semantics."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.training_data import (
+    N_SHARDS,
+    QUOTA_PER_SOURCE,
+    SEQ_LEN,
+    embedding_quantization,
+    sequence_packing,
+    shard_assignment,
+    source_quota_sample,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), " "))).alias("t")
+    ).first().t
+    packed = sequence_packing(spark, sf_dir).collect()
+    assert sum(r.n_tok_in_seq for r in packed) == total_tokens
+    assert all(1 <= r.n_tok_in_seq <= SEQ_LEN for r in packed)
+
+
+def test_sequence_packing_full_chunks(spark, sf_dir):
+    """Every sequence except the last of each source holds exactly
+    SEQ_LEN tokens (concat-and-chunk leaves no padding gaps)."""
+    packed = sequence_packing(spark, sf_dir).collect()
+    per_seq: dict[tuple, int] = defaultdict(int)
+    for r in packed:
+        per_seq[(r.source, r.seq_id)] += r.n_tok_in_seq
+    last = {}
+    for (src, seq), _ in per_seq.items():
+        last[src] = max(last.get(src, -1), seq)
+    for (src, seq), tok in per_seq.items():
+        if seq != last[src]:
+            assert tok == SEQ_LEN, (src, seq, tok)
+        else:
+            assert 1 <= tok <= SEQ_LEN
+    # split flags mark exactly the docs appearing in >1 sequence
+    seen: dict[int, list] = defaultdict(list)
+    for r in packed:
+        seen[r.doc_id].append(r.is_split)
+    for doc_id, flags in seen.items():
+        assert all(f == (len(flags) > 1) for f in flags), doc_id
+
+
+def test_source_quota_cap_and_determinism(spark, sf_dir):
+    out1 = source_quota_sample(spark, sf_dir).collect()
+    out2 = source_quota_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    per_src: dict[str, int] = defaultdict(int)
+    for r in out1:
+        per_src[r.source] += 1
+    assert all(n <= QUOTA_PER_SOURCE for n in per_src.values())
+
+
+def test_shard_assignment_conserves_docs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = shard_assignment(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert {r.shard for r in out} <= set(range(N_SHARDS))
+    # multiplicative hashing keeps the worst shard within 3x mean load
+    ratios = [r.load_ratio for r in out]
+    assert max(ratios) < 3.0 and min(ratios) > 0.0
+
+
+def test_embedding_quantization_error_bound(spark, sf_dir):
+    """Symmetric int8: reconstruction error is at most scale/2 per
+    element (round-half-up), so max_abs_err <= scale_r/2 + rounding."""
+    out = embedding_quantization(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.max_abs_err <= r.scale_r / 2 + 1e-6, r
+        assert r.q_l1 >= 0
