@@ -80,3 +80,33 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.processAllAvailable()
     return q
+
+
+def click_purchase_pairs(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: (purchase, click) pairs of the same
+    user within ±``window_s`` seconds — the streaming twin of the batch
+    range join behind clicks_near_purchases (operators/range_join.py).
+
+    Both inputs carry watermarks AND the join condition bounds c_ts
+    relative to p_ts, which is exactly what Structured Streaming needs
+    to expire join state: a click older than purchase-watermark −
+    window can never match again and is dropped. Without the time
+    bound the state store grows without limit — the unbounded-join
+    anti-pattern this module exists to avoid. Works identically on
+    batch DataFrames (no code change), which the parity test exploits.
+    """
+    p = purchases.withWatermark("p_ts", watermark)
+    c = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (p["user_id"] == c["c_user_id"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (c["c_ts"] <= p["p_ts"] + F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    return p.join(c, cond).select(
+        "user_id", "purchase_id", "click_id", "p_ts", "c_ts"
+    )
