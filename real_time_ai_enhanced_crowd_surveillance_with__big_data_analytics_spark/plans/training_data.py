@@ -256,9 +256,58 @@ FROM quantized
 """
 
 
+# --- token-budget mixture sampling -------------------------------------------
+
+TOKEN_BUDGET = 2000  # per-source token budget for the training mixture
+
+
+def token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture construction by token budget: per source, admit documents
+    in hash-priority order until the source's cumulative token count
+    reaches TOKEN_BUDGET (the first overflowing doc is admitted, so
+    every source with data contributes ≥1 doc and the budget is a
+    floor — matching greedy mixture builders).
+
+    Same single-window shape as source_quota_sample but the admission
+    predicate rides a running sum, not a rank: cum_before < budget.
+    At 100 TB per-source budgets replace global proportional sampling
+    precisely because each source windows independently."""
+    docs = load_table(spark, "documents", sf)
+    priority = (F.col("doc_id") * PRIORITY_MULT) % HASH_P
+    w = (
+        Window.partitionBy("source")
+        .orderBy(priority.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "source", _n_tokens().alias("n_tok"), priority.alias("priority")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        sized.filter(F.col("cum") - F.col("n_tok") < TOKEN_BUDGET)
+        .select("doc_id", "source", "n_tok", (F.col("cum") - F.col("n_tok")).alias("cum_before"))
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         len(string_split(trim(text), ' ')) AS n_tok,
+         sum(len(string_split(trim(text), ' ')))
+           OVER (PARTITION BY source
+                 ORDER BY (doc_id * {PRIORITY_MULT}) % {HASH_P} ASC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_tok, cum - n_tok AS cum_before
+FROM sized
+WHERE cum - n_tok < {TOKEN_BUDGET}
+"""
+
+
 TRAINING_DATA_QUERIES = {
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SAMPLE_SQL),
     "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
     "embedding_quantization": (embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
+    "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
 }

@@ -85,3 +85,22 @@ def test_embedding_quantization_error_bound(spark, sf_dir):
     for r in out:
         assert r.max_abs_err <= r.scale_r / 2 + 1e-6, r
         assert r.q_l1 >= 0
+
+
+def test_token_budget_floor_and_priority(spark, sf_dir):
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.training_data import (
+        TOKEN_BUDGET,
+        token_budget_sample,
+    )
+
+    out = token_budget_sample(spark, sf_dir).collect()
+    per_src: dict[str, list] = defaultdict(list)
+    for r in out:
+        per_src[r.source].append(r)
+    for src, rows in per_src.items():
+        total = sum(r.n_tok for r in rows)
+        # budget is a floor: dropping the last-admitted doc goes under it
+        assert total >= min(TOKEN_BUDGET, total), src
+        worst = max(rows, key=lambda r: r.cum_before)
+        assert worst.cum_before < TOKEN_BUDGET
+        assert total - worst.n_tok < TOKEN_BUDGET, src
