@@ -1,0 +1,122 @@
+"""Scale-sensitivity probe: amplify the documents/embeddings tables
+N× (shifted ids, jittered text so rows aren't pure duplicates) and
+time the candidate-generation-heavy queries at 1× and N×.
+
+A healthy scale-path query grows ~linearly in input (plus shuffle
+log terms); super-linear growth flags a candidate blowup (banding too
+coarse, df cap missing, quadratic verify leaking). Usage::
+
+    python tools/scale_probe.py [amplification] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup_lsh",
+    "sequence_packing",
+    "contamination_check",
+]
+
+SF = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    amp = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = sys.argv[2:] or DEFAULT_QUERIES
+
+    import __spark_entry__ as e
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark import (
+        get_spark,
+    )
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources import (
+        tables,
+    )
+
+    spark = get_spark("scale_probe")
+    qs = e.queries()
+
+    # amplified copies: ids shift per replica; text gets a replica tag
+    # appended so replicas are near-dups (the hard case for banding —
+    # candidate sets genuinely grow), not exact dups.
+    base_docs = tables.load_table(spark, "documents", SF)
+    base_emb = tables.load_table(spark, "embeddings", SF)
+    max_doc = base_docs.agg(F.max("doc_id")).first()[0] + 1
+    max_vec = base_emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def amplified_docs(n: int):
+        reps = spark.range(n).select(F.col("id").alias("rep"))
+        return (
+            base_docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
+                F.when(F.col("rep") == 0, F.col("text"))
+                .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("rep"), "rep")))
+                .alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+
+    def amplified_emb(n: int):
+        reps = spark.range(n).select(F.col("id").alias("rep"))
+        return (
+            base_emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+
+    results = {}
+    for n in (1, amp):
+        # monkey-patch the loader so queries read the amplified frames
+        orig = tables.load_table
+
+        def patched(spark_, name, sf_, _n=n):
+            if name == "documents":
+                return amplified_docs(_n)
+            if name == "embeddings":
+                return amplified_emb(_n)
+            return orig(spark_, name, sf_)
+
+        tables.load_table = patched
+        for mod in list(sys.modules.values()):
+            if getattr(mod, "load_table", None) is orig:
+                mod.load_table = patched
+        try:
+            for name in only:
+                t0 = time.time()
+                qs[name](spark, SF).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                results.setdefault(name, {})[n] = dt
+                print(f"  {name:30s} x{n:<3d} {dt:7.2f}s", flush=True)
+                spark.catalog.clearCache()
+        finally:
+            tables.load_table = orig
+            for mod in list(sys.modules.values()):
+                if getattr(mod, "load_table", None) is patched:
+                    mod.load_table = orig
+
+    print(f"\n{'query':30s} {'1x':>8s} {amp:>7d}x {'ratio':>7s}  (linear == {amp}.0)")
+    worst = 0.0
+    for name, r in results.items():
+        ratio = r[amp] / r[1] if r[1] > 0 else float("inf")
+        worst = max(worst, ratio)
+        print(f"{name:30s} {r[1]:8.2f} {r[amp]:8.2f} {ratio:7.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
