@@ -317,7 +317,13 @@ FROM flagged WHERE fire AND NOT prev_fire
 def user_cohorts_setops(spark: SparkSession, sf: str) -> DataFrame:
     """union/intersect/except over per-type user cohorts: clickers ∩
     purchasers, clickers ∖ purchasers, signup ∪ error — each tagged.
-    Set ops shuffle once on the row value; counts verify semantics."""
+    Deliberately expressed through Spark's set operators (SURVEY §2.7
+    coverage; ~6 small shuffles on the deduped cohort ids). When the
+    cohorts share one fact table like here, the 100 TB rewrite is a
+    single conditional aggregation — groupBy(user_id).agg(bool_or per
+    type) then derive membership — one fact shuffle total; the set-op
+    form stays the right tool when cohorts come from different
+    sources."""
     events = load_table(spark, "events", sf)
 
     def cohort(t: str) -> DataFrame:
