@@ -913,6 +913,105 @@ GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """
 
 
+# --- explicit GROUPING SETS with grouping_id ---------------------------------
+
+def event_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Hand-picked grouping sets — (event_type, day), (event_type), ()
+    — with grouping_id disambiguating the null-vs-rollup levels.
+    Unlike cube/rollup this computes ONLY the requested sets (cube on k
+    cols computes 2^k); all sets still share one shuffle. The
+    per-(type, day) set is the fine-grained trend table, (type) the
+    per-class totals, () the grand total — the reference dashboard's
+    three zoom levels in one pass."""
+    events = load_table(spark, "events", sf)
+    with_day = events.withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    with_day.createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               CAST(grouping_id(event_type, day) AS INT) AS gid,
+               count(*) AS n_events,
+               -- 1e2 not 100.0: Spark SQL parses a 100.0 literal as
+               -- DECIMAL, which would make sum_value DECIMAL('3832.70')
+               -- vs the oracle's DOUBLE ('3832.7') and break the hash
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 1e2, 2)
+                 AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """
+    )
+
+
+EVENT_GROUPING_SETS_SQL = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(grouping(event_type) * 2
+            + grouping(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS INT)
+         AS gid,
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS
+  ((event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')),
+   (event_type), ())
+"""
+
+
+# --- z-score outlier detection -----------------------------------------------
+
+Z_THRESHOLD = 3.0
+
+
+def value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Events whose value deviates > 3σ from their event_type's mean —
+    the 'predictive modeling' anomaly primitive the reference paper
+    promises (p.3) with none built. Population std over exact per-type
+    aggregates: one shuffle computes (n, Σv, Σv²) per type; the z-score
+    predicate is a broadcast join back — the fact table shuffles once,
+    the stats relation is k rows. Both engines compute std from the
+    same Σ/Σ² floats, and z rounds before the compare to pin the
+    boundary rows."""
+    events = load_table(spark, "events", sf)
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    ).select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) ** 2).alias(
+            "sigma"
+        ),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("value_r"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+VALUE_OUTLIERS_SQL = f"""
+WITH stats AS (
+  SELECT event_type, sum(value) / count(*) AS mu,
+         sqrt(sum(value * value) / count(*)
+              - (sum(value) / count(*)) * (sum(value) / count(*))) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id, round(e.value, 2) AS value_r,
+       round((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(round((e.value - s.mu) / s.sigma, 6)) > {Z_THRESHOLD}
+"""
+
+
 RELATIONAL_QUERIES = {
     "crowded_frames": (crowded_frames, CROWDED_FRAMES_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
@@ -939,4 +1038,6 @@ RELATIONAL_QUERIES = {
     "stratified_sample": (stratified_sample, None),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "event_cube": (event_cube, EVENT_CUBE_SQL),
+    "event_grouping_sets": (event_grouping_sets, EVENT_GROUPING_SETS_SQL),
+    "value_outliers": (value_outliers, VALUE_OUTLIERS_SQL),
 }
