@@ -153,6 +153,99 @@ WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
 """
 
 
+# --- df-capped n-gram Jaccard (bounded candidate generation) -----------------
+
+DF_CAP = 20
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs like :func:`dedup_ngram_jaccard`, but candidate
+    generation drops shingles whose document frequency exceeds
+    ``DF_CAP`` — the standard stopword-shingle cut that bounds the
+    postings-pair cost Σ df² at df ≤ cap (the exact variant's documented
+    100 TB fix). Jaccard is still computed on the FULL shingle sets, so
+    scores are exact; only recall is approximate (a pair sharing solely
+    ultra-common shingles is skipped — by construction those pairs sit
+    far below any useful threshold anyway).
+
+    Scale shape: the hot-shingle set is tiny by definition (few shingles
+    exceed the cap), so it broadcasts into a left-anti join — no extra
+    shuffle of the postings; candidate pairing then behaves like the
+    MinHash verify phase (touches candidates, never the corpus square).
+    """
+    docs = load_table(spark, "documents", sf)
+    postings = _shingle_postings(docs)  # NOT cached — see dedup_ngram_jaccard
+    hot = (
+        postings.groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("sid")
+    )
+    rare = postings.join(F.broadcast(hot), "sid", "left_anti")
+    a = rare.select(F.col("doc_id").alias("ia"), "sid")
+    b = rare.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
+    cands = (
+        a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
+        .select("ia", "ib")
+        .distinct()
+    )
+    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
+    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
+    shared = (
+        cands.join(pa, "ia")
+        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
+    return (
+        shared.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DEDUP_NGRAM_CAPPED_SQL = f"""
+WITH {{postings}},
+hot AS (
+  SELECT sid FROM postings GROUP BY sid HAVING count(*) > {DF_CAP}
+), rare AS (
+  SELECT p.doc_id, p.sid FROM postings p
+  WHERE p.sid NOT IN (SELECT sid FROM hot)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM rare a JOIN rare b ON a.sid = b.sid AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT c.ia, c.ib, count(*) AS shared
+  FROM cands c
+  JOIN postings pa ON pa.doc_id = c.ia
+  JOIN postings pb ON pb.doc_id = c.ib AND pb.sid = pa.sid
+  GROUP BY 1, 2
+)
+SELECT s.ia, s.ib,
+       round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+         AS jaccard
+FROM shared s
+JOIN counts na ON na.doc_id = s.ia
+JOIN counts nb ON nb.doc_id = s.ib
+WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- MinHash + LSH (the scale path) ------------------------------------------
 
 def _perm_params(j: int) -> tuple[int, int]:
@@ -464,6 +557,36 @@ LIMIT {SIMHASH_TOP}
 
 # --- near-dup clusters (connected components; iterative) ---------------------
 
+def _neardup_edges(docs: DataFrame) -> DataFrame:
+    """(ia, ib) pairs with shingle Jaccard ≥ threshold — the near-dup
+    graph shared by the clustering queries (same join shape as
+    dedup_ngram_jaccard)."""
+    postings = _shingle_postings(docs)  # NOT cached — see dedup_ngram_jaccard
+    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    a = postings.select(F.col("doc_id").alias("ia"), "sid")
+    b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
+    shared = (
+        a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
+    return (
+        shared.join(na, "ia")
+        .join(nb, "ib")
+        .filter(
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            )
+            >= JACCARD_THRESHOLD
+        )
+        .select("ia", "ib")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the near-dup pair graph: each document
     gets cluster_id = min doc_id reachable through Jaccard-≥-threshold
@@ -477,30 +600,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     adversarial near-dup chains). The oracle is a recursive-CTE
     transitive closure."""
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)  # NOT cached — see dedup_ngram_jaccard
-    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
-    a = postings.select(F.col("doc_id").alias("ia"), "sid")
-    b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
-    shared = (
-        a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
-        .groupBy("ia", "ib")
-        .agg(F.count("*").alias("shared"))
-    )
-    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
-    edges = (
-        shared.join(na, "ia")
-        .join(nb, "ib")
-        .filter(
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            )
-            >= JACCARD_THRESHOLD
-        )
-        .select("ia", "ib")
-    )
+    edges = _neardup_edges(docs)
     from ..operators.connected_components import connected_components
 
     # the edge graph is tiny relative to the corpus (near-dup rate);
@@ -551,17 +651,108 @@ FROM comp c
 """
 
 
+# --- canonical selection (the corpus-level dedup output) ---------------------
+
+def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The actual 'deduplicate the corpus' answer: every document gets
+    its near-dup cluster (singletons are their own cluster) and a
+    ``keep`` flag — canonical = longest document in the cluster
+    (max n_chars, min doc_id tiebreak), everything else is dropped.
+    Downstream training-data builds consume ``WHERE keep``.
+
+    Scale shape: the component labels cover only documents that appear
+    in a near-dup edge — a small fraction of the corpus — so the
+    corpus-side join is a broadcast left join (no shuffle of the big
+    side); canonical selection windows only within clusters.
+    """
+    docs = load_table(spark, "documents", sf)
+    edges = _neardup_edges(docs)
+    from ..operators.connected_components import connected_components
+
+    labels = connected_components(edges.coalesce(8), src="ia", dst="ib").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cid")
+    )
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("cid"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return full.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+DEDUP_KEEP_CANONICAL_SQL_TEMPLATE = """
+WITH {postings},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges0 AS (
+  SELECT s.ia, s.ib
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+  WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+        >= {threshold}
+), edges AS (
+  SELECT ia, ib FROM edges0 UNION SELECT ib, ia FROM edges0
+), nodes AS (
+  SELECT DISTINCT ia AS doc_id FROM edges
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT r.src, e.ib FROM r JOIN edges e ON r.dst = e.ia
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT src AS doc_id, min(dst) AS cid FROM reach GROUP BY src
+), whole AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.cid, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM whole
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (
         dedup_ngram_jaccard,
         DEDUP_NGRAM_JACCARD_SQL.format(postings=_DUCK_POSTINGS),
     ),
+    "dedup_ngram_jaccard_capped": (
+        dedup_ngram_jaccard_capped,
+        DEDUP_NGRAM_CAPPED_SQL.format(postings=_DUCK_POSTINGS),
+    ),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _duck_minhash_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (
         dedup_clusters,
         DEDUP_CLUSTERS_SQL_TEMPLATE.format(
+            postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
+        ),
+    ),
+    "dedup_keep_canonical": (
+        dedup_keep_canonical,
+        DEDUP_KEEP_CANONICAL_SQL_TEMPLATE.format(
             postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
         ),
     ),
