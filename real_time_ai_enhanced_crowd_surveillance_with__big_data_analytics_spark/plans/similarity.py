@@ -173,46 +173,72 @@ FROM long GROUP BY label, dim
 
 # --- nearest-centroid assignment (IVF cell assignment) ----------------------
 
-def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
-    """Assign each vector to its nearest label centroid by cosine — the
-    IVF coarse-quantization step. Centroids (10×64) reassemble from the
-    long-format aggregate and broadcast; assignment is a broadcast
-    cross-join + per-row argmax, no big-side shuffle. Scoring uses the
-    Arrow-batched pair UDF — the interpreted fold took 6 s at sf0.1 for
-    |corpus|×10 rows; the batched numpy form is sub-second."""
-    from ..functions.arrays import pair_cosine_udf
+def _centroid_matrix(emb: DataFrame):
+    """Per-label mean vectors as a driver-side numpy matrix, labels
+    ascending. The aggregate is distributed (posexplode → groupBy —
+    same layout as label_centroids); only the tiny result
+    (n_labels × dim) is collected, which is scale-safe because the
+    label/cell count is bounded by design, not by corpus size."""
+    import numpy as np
 
-    cos = pair_cosine_udf()
-    emb = load_table(spark, "embeddings", sf)
-    centroids = (
+    rows = (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(F.avg(F.col("x").cast("double")).alias("c"))
-        .groupBy(F.col("label").alias("clabel"))
+        .groupBy("label")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
             ).alias("cvec")
         )
+        .collect()
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "label",
-        "clabel",
-        cos(F.col("embedding"), F.col("cvec")).alias("csim"),
-    )
-    from pyspark.sql import Window
+    rows.sort(key=lambda r: r.label)
+    labs = np.asarray([r.label for r in rows], dtype="int64")
+    cmat = np.asarray([list(r.cvec) for r in rows], dtype="float64")
+    return labs, cmat
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "label",
-            F.col("clabel").alias("assigned_label"),
-            F.col("csim").alias("centroid_cosine"),
-        )
+
+def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    """Assign each vector to its nearest label centroid by cosine — the
+    IVF coarse-quantization step.
+
+    Single mapInPandas pass: each Arrow batch hits the broadcast
+    centroid matrix with one BLAS matmul and emits the argmax
+    assignment directly. This replaced a broadcast crossJoin (corpus ×
+    n_centroids rows) + row_number window, whose rank shuffle
+    repartitioned the whole scored fan-out by vec_id — at 100 TB that
+    shuffle IS the job; the matmul form never leaves the scan. Ties on
+    the round-6 cosine break toward the smallest label (labels are
+    ascending, argmax returns the first maximum — same order as the
+    oracle's ``csim DESC, clabel ASC`` rank)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    labs, cmat = _centroid_matrix(emb)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    bc = spark.sparkContext.broadcast((labs, cmat, cnorm))
+
+    def assign(batches):
+        labs_b, cm, cn = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(a @ cm.T / (an[:, None] * cn[None, :]), 6)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "assigned_label": labs_b[best],
+                    "centroid_cosine": sims[np.arange(len(best)), best],
+                }
+            )
+
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        assign,
+        schema="vec_id long, label int, assigned_label int, centroid_cosine double",
     )
 
 
@@ -433,55 +459,56 @@ def ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
     """Top-10 neighbours of vec_id 0 searching only the ``nprobe``
     nearest centroid cells (IVF): centroid build + assignment bound the
     per-query scan to ~nprobe/k of the corpus instead of all of it.
-    Results can differ from knn_bruteforce by design (ANN recall)."""
-    from ..functions.arrays import pair_cosine_udf
+    Results can differ from knn_bruteforce by design (ANN recall).
 
-    cos = pair_cosine_udf()
+    One mapInPandas pass does cell assignment, probe-set filtering, AND
+    query scoring per Arrow batch (two matmuls against broadcast
+    constants); only the surviving ~nprobe/k fraction reaches the final
+    top-k sort. The previous form (crossJoin + per-vector row_number
+    window + three joins back to the corpus) shuffled the full scored
+    fan-out twice; this one never shuffles anything but the top-k. The
+    probe list is computed driver-side from the same centroid matrix
+    with the oracle's exact tie order (csim DESC round-6, label ASC)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, "embeddings", sf)
-    centroids = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
-        .groupBy(F.col("label").alias("clabel"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
-            ).alias("cvec")
-        )
+    labs, cmat = _centroid_matrix(emb)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    qvec = np.asarray(
+        list(
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        ),
+        dtype="float64",
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "clabel",
-        cos(F.col("embedding"), F.col("cvec")).alias("csim"),
-    )
-    from pyspark.sql import Window
+    qn = np.linalg.norm(qvec)
+    qsims = np.round(cmat @ qvec / (cnorm * qn), 6)
+    order = np.lexsort((labs, -qsims))  # csim desc, then label asc
+    probe = labs[order[:IVF_NPROBE]]
+    bc = spark.sparkContext.broadcast((labs, cmat, cnorm, qvec, qn, probe))
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("clabel"))
-    # one window pass serves both cell assignment (rn=1 per vector) and
-    # the query's probe list (top-nprobe cells of vec 0); cached since
-    # two branches consume it
-    ranked = scored.withColumn("rn", F.row_number().over(w)).cache()
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", F.col("clabel").alias("cell")
+    def scan(batches):
+        labs_b, cm, cn, qv, qnb, probe_b = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(a @ cm.T / (an[:, None] * cn[None, :]), 6)
+            cell = labs_b[sims.argmax(axis=1)]
+            ids = pdf["vec_id"].to_numpy()
+            mask = np.isin(cell, probe_b) & (ids != 0)
+            cos = np.round(a[mask] @ qv / (an[mask] * qnb), 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[mask],
+                    "label": pdf["label"].to_numpy()[mask],
+                    "cosine": cos,
+                }
+            )
+
+    scanned = emb.select("vec_id", "label", "embedding").mapInPandas(
+        scan, schema="vec_id long, label int, cosine double"
     )
-    probe_cells = (
-        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= IVF_NPROBE))
-        .select(F.col("clabel").alias("cell"))
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    return (
-        assign.join(F.broadcast(probe_cells), "cell", "left_semi")
-        .filter(F.col("vec_id") != 0)
-        .join(emb, "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            cos(F.col("embedding"), F.col("qvec")).alias("cosine"),
-        )
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return scanned.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
 
 IVF_KNN_SQL = f"""
