@@ -181,8 +181,112 @@ FROM documents
 """
 
 
+# --- quality funnel (per-stage rejection accounting) -------------------------
+
+def quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential quality-filter funnel over the corpus: each document
+    passes through min-token, stopword-ratio, mean-token-length, and
+    composite-quality gates in order; output is one row per stage with
+    how many documents entered, failed, and survived — the rejection
+    report every pretraining data pipeline publishes alongside its
+    filtered corpus.
+
+    One full-corpus pass: all four gate predicates evaluate in a single
+    codegen'd projection, the funnel counts are conditional sums in ONE
+    aggregate (map-side partial → single row), and the per-stage rows
+    explode from that one driver-sized row. Adding stages adds columns,
+    not passes — at 100 TB this stays a single scan regardless of
+    funnel depth.
+    """
+    from ..functions.text import quality_score, stopword_count, token_count
+
+    docs = load_table(spark, "documents", sf)
+    t = F.col("text")
+    n_tok = token_count(t).cast("double")
+    n_sw = stopword_count(t).cast("double")
+    # chars-per-token over the space-free character count
+    mean_len = (F.length(F.trim(t)) - (n_tok - 1)) / n_tok
+    flags = docs.select(
+        (n_tok >= 25).alias("p1"),
+        ((n_sw / n_tok) <= 0.12).alias("p2"),
+        mean_len.between(4.2, 5.2).alias("p3"),
+        (quality_score(t) >= 0.5).alias("p4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("p1") & F.col("p2"), 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("p1") & F.col("p2") & F.col("p3"), 1).otherwise(0)
+        ).alias("n3"),
+        F.sum(
+            F.when(
+                F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"), 1
+            ).otherwise(0)
+        ).alias("n4"),
+    )
+    names = ["min_tokens", "stopword_ratio", "mean_token_len", "composite_quality"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_in"),
+                F.col(f"n{i + 1}").alias("n_pass"),
+            )
+            for i, name in enumerate(names)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_in").alias("n_in"),
+        (F.col("s.n_in") - F.col("s.n_pass")).alias("n_fail"),
+        F.col("s.n_pass").alias("n_pass"),
+        F.round(F.col("s.n_pass") / F.col("s.n_in"), 6).alias("pass_rate"),
+    )
+
+
+QUALITY_FUNNEL_SQL = """
+WITH t AS (
+  SELECT len(string_split(trim(text), ' ')) AS n_tok,
+         len(list_filter(string_split(trim(text), ' '),
+                         x -> x = 'the' OR x = 'a')) AS n_sw,
+         len(trim(text)) AS n_chr
+  FROM documents
+), f AS (
+  SELECT n_tok >= 25 AS p1,
+         CAST(n_sw AS DOUBLE) / n_tok <= 0.12 AS p2,
+         (CAST(n_chr - (n_tok - 1) AS DOUBLE) / n_tok) BETWEEN 4.2 AND 5.2 AS p3,
+         round(least(n_tok / 50.0, 1.0)
+               * (1.0 - CAST(n_sw AS DOUBLE) / n_tok), 6) >= 0.5 AS p4
+  FROM t
+), agg AS (
+  SELECT count(*) AS n0,
+         sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS n3,
+         sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS n4
+  FROM f
+)
+SELECT 1 AS stage_no, 'min_tokens' AS stage, n0 AS n_in,
+       n0 - n1 AS n_fail, n1 AS n_pass,
+       round(CAST(n1 AS DOUBLE) / n0, 6) AS pass_rate FROM agg
+UNION ALL
+SELECT 2, 'stopword_ratio', n1, n1 - n2, n2,
+       round(CAST(n2 AS DOUBLE) / n1, 6) FROM agg
+UNION ALL
+SELECT 3, 'mean_token_len', n2, n2 - n3, n3,
+       round(CAST(n3 AS DOUBLE) / n2, 6) FROM agg
+UNION ALL
+SELECT 4, 'composite_quality', n3, n3 - n4, n4,
+       round(CAST(n4 AS DOUBLE) / n3, 6) FROM agg
+"""
+
+
 PIPELINE_QUALITY_QUERIES = {
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "policy_pattern_scan": (policy_pattern_scan, POLICY_PATTERN_SCAN_SQL),
+    "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
 }
