@@ -7,9 +7,10 @@ as ``100 * image @ text.T``, softmaxed, top-k'd, and thresholded
 vec_id 0-2 (standing in for the 3 CLIP text targets, main.py:31-35)
 and every other vector is an 'image'.
 
-Scale posture: the probe/prompt side is always tiny → broadcast
-cross-join (no shuffle of the big side); the big side streams through
-codegen'd array folds. The IVF variant bounds work per query to the
+Scale posture: the probe/prompt/centroid side is always tiny → it
+broadcasts as a numpy matrix and the corpus side streams through one
+Arrow-batched matmul per batch, never shuffling (fall detection,
+nearest-centroid, IVF). The IVF variant bounds work per query to the
 probed cells — the 100 TB path where brute force would scan everything.
 """
 
@@ -18,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.arrays import cosine_sim, dot, l2_norm
 from ..sources.tables import load_table
 
 # DuckDB-side cosine expressed with the same sequential-fold arithmetic
@@ -83,37 +83,56 @@ def fall_detection_softmax(spark: SparkSession, sf: str) -> DataFrame:
     the 3 prompt vectors ×100, softmax, top prompt, fall flag
     (prob of prompt 0 > 0.1 — main.py:84-86).
 
-    Prompts (3 rows) broadcast; one shuffle to regroup per-image sims.
-    """
+    Single mapInPandas pass: the 3 prompt vectors broadcast as one
+    matrix and every Arrow batch computes sims + softmax + argmax in
+    numpy. The previous form (broadcast crossJoin to 3N rows of
+    interpreted cosine folds, then a groupBy(vec_id) shuffle to regroup
+    them) paid a full-corpus shuffle for what is a per-row computation
+    — this is the reference's own layout (main.py:79 does the whole
+    3-prompt scoring as one matmul per image). Cross-engine parity:
+    sims round to 6 decimals on BOTH engines before the softmax, and
+    the fall flag compares the round-6 probability, so the oracle's
+    libm and numpy's cannot disagree past the rounding."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, "embeddings", sf)
-    prompts = emb.filter(F.col("vec_id") <= 2).select(
-        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    prows = (
+        emb.filter(F.col("vec_id") <= 2)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    sims = (
+    prows.sort(key=lambda r: r.vec_id)
+    pmat = np.asarray([list(r.embedding) for r in prows], dtype="float64")
+    pnorm = np.linalg.norm(pmat, axis=1)
+    bc = spark.sparkContext.broadcast((pmat, pnorm))
+
+    def infer(batches):
+        pm, pn = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(100.0 * (a @ pm.T) / (an[:, None] * pn[None, :]), 6)
+            m = sims.max(axis=1, keepdims=True)
+            exps = np.exp(sims - m)
+            probs = exps / exps.sum(axis=1, keepdims=True)
+            p0 = np.round(probs[:, 0], 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "fall_prob": p0,
+                    "top_prompt": sims.argmax(axis=1).astype("int32"),
+                    "fall": p0 > 0.1,
+                }
+            )
+
+    return (
         emb.filter(F.col("vec_id") > 2)
-        .crossJoin(F.broadcast(prompts))
-        .select(
-            "vec_id",
-            "pid",
-            (cosine_sim(F.col("embedding"), F.col("pvec")) * 100.0).alias("sim"),
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            infer,
+            schema="vec_id long, fall_prob double, top_prompt int, fall boolean",
         )
-    )
-    arr = sims.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pid", "sim"))), lambda s: s.sim
-        ).alias("sims")
-    )
-    m = F.array_max("sims")
-    exps = F.transform("sims", lambda x: F.exp(x - m))
-    total = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
-    probs = F.transform(exps, lambda x: x / total)
-    return arr.select(
-        "vec_id",
-        F.round(F.element_at(probs, 1), 6).alias("fall_prob"),
-        (F.expr("array_position(sims, array_max(sims))") - 1)
-        .cast("int")
-        .alias("top_prompt"),
-        (F.element_at(probs, 1) > 0.1).alias("fall"),
     )
 
 
@@ -122,7 +141,7 @@ WITH prompts AS (
   SELECT vec_id AS pid, embedding AS pvec FROM embeddings WHERE vec_id <= 2
 ), sims AS (
   SELECT e.vec_id, p.pid,
-         {_duck_cosine('e.embedding', 'p.pvec')} * 100.0 AS sim
+         round({_duck_cosine('e.embedding', 'p.pvec')} * 100.0, 6) AS sim
   FROM embeddings e CROSS JOIN prompts p
   WHERE e.vec_id > 2
 ), arr AS (
@@ -135,7 +154,7 @@ WITH prompts AS (
 SELECT vec_id,
        round(exps[1] / list_sum(exps), 6) AS fall_prob,
        CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS top_prompt,
-       (exps[1] / list_sum(exps)) > 0.1 AS fall
+       round(exps[1] / list_sum(exps), 6) > 0.1 AS fall
 FROM sm
 """
 
