@@ -888,6 +888,41 @@ GROUP BY user_id
 """
 
 
+def event_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Melt (UNPIVOT) the per-user pivot back to long format — the
+    reshape pair to event_pivot, exercising Spark's native ``unpivot``
+    (wide metric columns → (key, metric, value) rows). Zero cells drop
+    on both engines, so the round trip reproduces the sparse long layout
+    the pivot started from."""
+    events = load_table(spark, "events", sf)
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return wide.unpivot(
+        "user_id", list(EVENT_TYPES), "event_type", "n_events"
+    ).filter(F.col("n_events") > 0)
+
+
+EVENT_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, event_type, n_events
+FROM wide UNPIVOT (n_events FOR event_type IN (click, error, purchase, signup, view))
+WHERE n_events > 0
+"""
+
+
 def event_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE over (event_type, day) — all grouping sets in one shuffle."""
     events = load_table(spark, "events", sf)
@@ -1037,6 +1072,7 @@ RELATIONAL_QUERIES = {
     "approx_aggregates": (approx_aggregates, None),
     "stratified_sample": (stratified_sample, None),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
+    "event_unpivot": (event_unpivot, EVENT_UNPIVOT_SQL),
     "event_cube": (event_cube, EVENT_CUBE_SQL),
     "event_grouping_sets": (event_grouping_sets, EVENT_GROUPING_SETS_SQL),
     "value_outliers": (value_outliers, VALUE_OUTLIERS_SQL),
