@@ -469,6 +469,55 @@ WHERE round({_duck_cosine('ea.embedding', 'eb.embedding')}, 6) >= {NEARDUP_THRES
 """
 
 
+# --- embedding near-dup clusters (LSH pairs → connected components) ----------
+
+def embedding_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic-duplicate clusters over the embedding space: the
+    sign-LSH candidate pairs (cosine ≥ threshold) become edges, and
+    connected components collapse transitively-similar vectors into
+    clusters — the embedding-side twin of dedup_clusters, completing
+    the near-dup surface from pairs to dedup groups.
+
+    Scale shape: edges come from the banded LSH join (never the corpus
+    square), the edge graph is small relative to the corpus (near-dup
+    rate), and components run alternating large-star/small-star —
+    O(log² n) rounds regardless of cluster diameter."""
+    pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
+    from ..operators.connected_components import connected_components
+
+    labels = connected_components(pairs.coalesce(8), src="ia", dst="ib").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "vec_id", "cluster_id", F.count("*").over(w).alias("cluster_size")
+    )
+
+
+EMBEDDING_DEDUP_CLUSTERS_SQL = f"""
+WITH pairs AS ({{lsh_pairs}}),
+edges AS (
+  SELECT ia, ib FROM pairs UNION SELECT ib AS ia, ia AS ib FROM pairs
+), nodes AS (
+  SELECT DISTINCT ia AS vec_id FROM edges
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT vec_id, vec_id FROM nodes
+    UNION
+    SELECT r.src, e.ib FROM r JOIN edges e ON r.dst = e.ia
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
 # --- IVF probed kNN (bounded-work ANN; the 100 TB query path) ---------------
 
 IVF_NPROBE = 3
@@ -576,5 +625,9 @@ SIMILARITY_QUERIES = {
     "nearest_centroid": (nearest_centroid, NEAREST_CENTROID_SQL),
     "embedding_neardup_exact": (embedding_neardup_exact, NEARDUP_EXACT_SQL),
     "embedding_neardup_lsh": (embedding_neardup_lsh, NEARDUP_LSH_SQL),
+    "embedding_dedup_clusters": (
+        embedding_dedup_clusters,
+        EMBEDDING_DEDUP_CLUSTERS_SQL.format(lsh_pairs=NEARDUP_LSH_SQL),
+    ),
     "ivf_knn": (ivf_knn, IVF_KNN_SQL),
 }
