@@ -20,6 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 DEFAULT_QUERIES = [
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup_lsh",
