@@ -76,6 +76,92 @@ LIMIT 10
 """
 
 
+# --- batch kNN (multi-query top-k in one pass) -------------------------------
+
+KNN_BATCH_QUERIES = 8
+KNN_BATCH_K = 3
+
+
+def knn_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 corpus neighbours for EACH of the first 8 vectors — the
+    batch shape real similarity search runs (N probes per request, not
+    one), generalizing the reference's 3-prompts-at-once scoring
+    (main.py:79 scores all prompts in a single matmul).
+
+    Distributed top-k done right: each Arrow batch scores against the
+    broadcast 8×dim query matrix AND keeps only its local top-k per
+    query (global top-k ⊆ union of per-partition top-k), so the final
+    rank shuffle sees ≤ partitions × queries × k candidate rows — at
+    100 TB the full 8N scored fan-out never moves."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    qrows = (
+        emb.filter(F.col("vec_id") < KNN_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.asarray([r.vec_id for r in qrows], dtype="int64")
+    qmat = np.asarray([list(r.embedding) for r in qrows], dtype="float64")
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def partial_topk(batches):
+        qi, qm, qn = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(a @ qm.T / (an[:, None] * qn[None, :]), 6)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(qi)):
+                top = np.lexsort((ids, -sims[:, j]))[:KNN_BATCH_K]
+                out_q.append(np.full(len(top), qi[j]))
+                out_v.append(ids[top])
+                out_c.append(sims[top, j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partial = (
+        emb.filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(partial_topk, schema="qid long, vec_id long, cosine double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_BATCH_K)
+        .select("qid", "rank", "vec_id", "cosine")
+    )
+
+
+KNN_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {KNN_BATCH_QUERIES}
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         round({_duck_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= {KNN_BATCH_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= {KNN_BATCH_K}
+"""
+
+
 # --- CLIP fall-detection pipeline (A5-A7 + P10; main.py:70-88) ---------------
 
 def fall_detection_softmax(spark: SparkSession, sf: str) -> DataFrame:
@@ -620,6 +706,7 @@ LIMIT 10
 
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "knn_batch": (knn_batch, KNN_BATCH_SQL),
     "fall_detection_softmax": (fall_detection_softmax, FALL_DETECTION_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "nearest_centroid": (nearest_centroid, NEAREST_CENTROID_SQL),
