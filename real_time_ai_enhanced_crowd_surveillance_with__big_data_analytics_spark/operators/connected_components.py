@@ -69,11 +69,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(edge_rows) -> list[tuple[int, int]]:
+    """Union-by-min with path halving — component label = min node id,
+    matching the distributed fixed point exactly."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    driver_fallback_edges: int = 100_000,
 ) -> DataFrame:
     """Labels (node, component) with component = min node id reachable.
 
@@ -83,9 +103,18 @@ def connected_components(
     round localCheckpoints to truncate lineage — without it the plan
     doubles per round and planning time dominates at ~10 rounds.
 
-    Convergence check: small_star output is canonically oriented
-    (src > dst), so a changed-row count against the previous round is
-    an exact fixed-point test, not a heuristic.
+    Adaptive execution: below ``driver_fallback_edges`` deduped edges
+    the graph is collected and solved with union-find on the driver —
+    at that size the distributed loop is pure scheduling overhead
+    (~6 shuffles × several rounds for microseconds of actual work).
+    The distributed path is the default above the threshold and the
+    only path that matters at 100 TB; near-dup edge graphs are a small
+    fraction of the corpus but NOT driver-sized there, so the
+    threshold stays conservative.
+
+    Convergence check (distributed path): small_star output is
+    canonically oriented (src > dst), so a changed-row count against
+    the previous round is an exact fixed-point test, not a heuristic.
     """
     cur = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -93,10 +122,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # tiny graphs: single partition kills per-round scheduling overhead
-    # (32 tasks/shuffle × ~6 shuffles/round dwarfs 1e2..1e5 edges);
-    # big graphs keep the session's shuffle parallelism
-    if cur.count() < 100_000:
+    n_edges = cur.count()
+    if n_edges <= driver_fallback_edges:
+        labels = _driver_union_find(
+            [(r.src, r.dst) for r in cur.collect()]
+        )
+        return edges.sparkSession.createDataFrame(
+            labels or [], "node long, component long"
+        )
+    # moderate graphs: single partition kills per-round scheduling
+    # overhead (32 tasks/shuffle × ~6 shuffles/round dwarfs 1e5 edges)
+    if n_edges < 1_000_000:
         cur = cur.coalesce(1).localCheckpoint()
     nodes = (
         cur.select(F.col("src").alias("node"))

@@ -31,27 +31,37 @@ def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+import pytest
+
+# fallback=100_000 exercises the driver union-find path; fallback=0
+# forces the distributed large-star/small-star loop — both must agree
+PATHS = pytest.mark.parametrize("fallback", [100_000, 0], ids=["driver", "distributed"])
+
+
+def _run(spark, edges: list[tuple[int, int]], fallback: int = 100_000) -> dict[int, int]:
     df = spark.createDataFrame(edges, "src long, dst long")
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_fallback_edges=fallback).collect()
     }
 
 
-def test_chain_exceeds_diameter_bounds(spark):
+@PATHS
+def test_chain_exceeds_diameter_bounds(spark, fallback):
     edges = [(i, i + 1) for i in range(60)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, fallback)
     assert got == {i: 0 for i in range(61)}
 
 
-def test_two_components_with_dups_and_self_loops(spark):
+@PATHS
+def test_two_components_with_dups_and_self_loops(spark, fallback):
     edges = [(5, 3), (3, 5), (3, 3), (10, 20), (20, 30), (30, 10)]
-    got = _run(spark, edges)
+    got = _run(spark, edges, fallback)
     assert got == {3: 3, 5: 3, 10: 10, 20: 10, 30: 10}
 
 
-def test_random_graphs_match_union_find(spark):
+@PATHS
+def test_random_graphs_match_union_find(spark, fallback):
     rng = random.Random(42)
     for _ in range(3):
         n = 80
@@ -59,4 +69,4 @@ def test_random_graphs_match_union_find(spark):
             (rng.randrange(n), rng.randrange(n)) for _ in range(60)
         ]
         edges = [(a, b) for a, b in edges if a != b]
-        assert _run(spark, edges) == _uf_components(edges)
+        assert _run(spark, edges, fallback) == _uf_components(edges)
