@@ -683,6 +683,38 @@ GROUP BY event_type
 """
 
 
+# --- rank-family ordered analytics -------------------------------------------
+
+def value_rank_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist / lag deltas per event_type over value —
+    the remaining rank-family window functions in one partitioned pass
+    (one shuffle on event_type; the order key (value, event_id) is
+    tie-free so every engine ranks identically)."""
+    events = load_table(spark, "events", sf)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 6).alias("step"),
+    )
+
+
+VALUE_RANK_PROFILE_SQL = """
+SELECT event_id,
+       round(value, 6) AS value,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(value - lag(value, 1) OVER w, 6) AS step
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+
 # --- cumulative window frames ------------------------------------------------
 
 def running_revenue(spark: SparkSession, sf: str) -> DataFrame:
@@ -1065,6 +1097,7 @@ RELATIONAL_QUERIES = {
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
+    "value_rank_profile": (value_rank_profile, VALUE_RANK_PROFILE_SQL),
     "running_revenue": (running_revenue, RUNNING_REVENUE_SQL),
     "moving_revenue": (moving_revenue, MOVING_REVENUE_SQL),
     "revenue_deciles": (revenue_deciles, REVENUE_DECILES_SQL),

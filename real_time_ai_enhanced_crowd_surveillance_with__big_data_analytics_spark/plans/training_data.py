@@ -304,7 +304,56 @@ WHERE cum - n_tok < {TOKEN_BUDGET}
 """
 
 
+# --- source mixture report (the dataset card) --------------------------------
+
+def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per (source, lang) corpus composition: document count, token
+    total, mean quality, and each cell's share of corpus tokens — the
+    dataset-card summary published next to every training mixture.
+    One groupBy plus a windowed total (the second pass runs over the
+    already-aggregated frame, which is mixture-cardinality-sized, not
+    corpus-sized)."""
+    from ..functions.text import quality_score, token_count
+
+    docs = load_table(spark, "documents", sf)
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        F.round(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "mean_quality",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(total), 6
+        ).alias("token_share"),
+    )
+
+
+SOURCE_MIXTURE_REPORT_SQL = """
+WITH agg AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         sum(len(string_split(trim(text), ' '))) AS n_tokens,
+         round(avg(round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
+               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+                                             x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                  / len(string_split(trim(text), ' '))), 6)), 6) AS mean_quality
+  FROM documents
+  GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens, mean_quality,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share
+FROM agg
+"""
+
+
 TRAINING_DATA_QUERIES = {
+    "source_mixture_report": (source_mixture_report, SOURCE_MIXTURE_REPORT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SAMPLE_SQL),
     "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
