@@ -601,6 +601,72 @@ FROM joined WHERE rn = 1
 """
 
 
+def asof_next_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join WITH tolerance: for each click, the same
+    user's first purchase within the next hour (or nulls). The
+    tolerance bounds the join both ways (c_ts < p_ts ≤ c_ts + 1h),
+    which is what makes the operator streamable — the same predicate
+    drives the watermarked stream-stream interval join
+    (streaming/runner.py::click_purchase_pairs), and in batch it keeps
+    the per-key join output bounded instead of all-history."""
+    events = load_table(spark, "events", sf)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.asc_nulls_last("p_ts"), F.asc_nulls_last("purchase_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            _ts_str(F.col("c_ts")).alias("click_ts"),
+            F.col("purchase_id").alias("next_purchase_id"),
+            _ts_str(F.col("p_ts")).alias("next_purchase_ts"),
+        )
+    )
+
+
+ASOF_NEXT_EVENT_SQL = """
+WITH clicks AS (
+  SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT c.*, p.purchase_id, p.p_ts,
+         row_number() OVER (PARTITION BY c.click_id
+                            ORDER BY p.p_ts ASC NULLS LAST,
+                                     p.purchase_id ASC NULLS LAST) AS rn
+  FROM clicks c
+  LEFT JOIN purchases p ON p.p_user = c.c_user
+    AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+)
+SELECT c_user AS user_id, click_id,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       purchase_id AS next_purchase_id,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+FROM joined WHERE rn = 1
+"""
+
+
 # --- range join (proximity join; bucketized — no cartesian) ------------------
 
 RANGE_WINDOW_S = 1800  # ±30 min
@@ -1095,6 +1161,7 @@ RELATIONAL_QUERIES = {
     "props_extract": (props_extract, PROPS_EXTRACT_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
+    "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
     "distinct_stats": (distinct_stats, DISTINCT_STATS_SQL),
     "value_rank_profile": (value_rank_profile, VALUE_RANK_PROFILE_SQL),
