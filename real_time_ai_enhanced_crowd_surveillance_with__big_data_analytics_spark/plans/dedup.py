@@ -172,7 +172,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     MinHash verify phase (touches candidates, never the corpus square).
     """
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)  # localCheckpointed: 5 references
+    postings = _shingle_postings(docs)  # localCheckpointed: 4 references
     hot = (
         postings.groupBy("sid")
         .agg(F.count("*").alias("df"))
@@ -182,20 +182,38 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     rare = postings.join(F.broadcast(hot), "sid", "left_anti")
     a = rare.select(F.col("doc_id").alias("ia"), "sid")
     b = rare.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
-    cands = (
+    # candidate pairs AND their rare-shingle overlap in ONE groupBy —
+    # a .distinct() here would shuffle the same pair fan-out and then
+    # throw the counts away, forcing a re-join against FULL postings
+    shared_rare = (
         a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
-        .select("ia", "ib")
-        .distinct()
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("sh_rare"))
+    )
+    # shared = shared_rare + shared_hot; the hot-side correction only
+    # needs the hot postings (a small subset by construction), so the
+    # verify joins never touch the full postings again
+    hotp = postings.join(F.broadcast(hot), "sid", "left_semi")
+    ha = hotp.select(F.col("doc_id").alias("ia"), "sid")
+    hb = hotp.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
+    shared_hot = (
+        shared_rare.select("ia", "ib")
+        .join(ha, "ia")
+        .join(hb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("sh_hot"))
+    )
+    shared = (
+        shared_rare.join(shared_hot, ["ia", "ib"], "left")
+        .select(
+            "ia",
+            "ib",
+            (F.col("sh_rare") + F.coalesce(F.col("sh_hot"), F.lit(0))).alias(
+                "shared"
+            ),
+        )
     )
     counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
-    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
-    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
-    shared = (
-        cands.join(pa, "ia")
-        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("ia", "ib")
-        .agg(F.count("*").alias("shared"))
-    )
     na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
     nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
     return (
