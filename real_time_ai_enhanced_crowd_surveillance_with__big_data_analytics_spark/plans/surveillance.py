@@ -302,9 +302,9 @@ WITH frames AS (
            AS prev_fire
   FROM frames
 ), flagged AS (
-  SELECT *, sum(CASE WHEN fire AND NOT prev_fire THEN 1 ELSE 0 END)
+  SELECT *, CAST(sum(CASE WHEN fire AND NOT prev_fire THEN 1 ELSE 0 END)
               OVER (PARTITION BY camera_id ORDER BY frame_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode
   FROM lagged
 )
 SELECT camera_id, frame_id, red_pixel_count, episode

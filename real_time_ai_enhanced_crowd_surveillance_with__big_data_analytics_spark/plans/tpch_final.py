@@ -258,10 +258,10 @@ def shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
 SHIPMODE_PRIORITY_SQL = """
 SELECT (['MAIL', 'SHIP', 'TRUCK'])[CAST((l.l_orderkey + l.l_linenumber) % 3
                                         AS INT) + 1] AS ship_mode,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE year(l.l_shipdate) = 1997

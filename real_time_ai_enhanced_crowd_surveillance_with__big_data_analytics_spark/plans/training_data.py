@@ -92,9 +92,9 @@ SEQUENCE_PACKING_SQL = f"""
 WITH sized AS (
   SELECT source, doc_id,
          len(string_split(trim(text), ' ')) AS n_tok,
-         sum(len(string_split(trim(text), ' ')))
+         CAST(sum(len(string_split(trim(text), ' ')))
            OVER (PARTITION BY source ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM documents
 ), spans AS (
   SELECT source, doc_id, n_tok, cum - n_tok AS start_tok, cum AS end_tok,
@@ -177,7 +177,7 @@ SHARD_ASSIGNMENT_SQL = f"""
 WITH per_shard AS (
   SELECT ((doc_id * 40503 + 7) % {HASH_P}) % {N_SHARDS} AS shard,
          count(*) AS n_docs,
-         sum(len(string_split(trim(text), ' '))) AS tokens
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens
   FROM documents
   GROUP BY 1
 )
@@ -292,10 +292,10 @@ TOKEN_BUDGET_SAMPLE_SQL = f"""
 WITH sized AS (
   SELECT doc_id, source,
          len(string_split(trim(text), ' ')) AS n_tok,
-         sum(len(string_split(trim(text), ' ')))
+         CAST(sum(len(string_split(trim(text), ' ')))
            OVER (PARTITION BY source
                  ORDER BY (doc_id * {PRIORITY_MULT}) % {HASH_P} ASC, doc_id ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM documents
 )
 SELECT doc_id, source, n_tok, cum - n_tok AS cum_before
@@ -338,7 +338,7 @@ SOURCE_MIXTURE_REPORT_SQL = """
 WITH agg AS (
   SELECT source, lang,
          count(*) AS n_docs,
-         sum(len(string_split(trim(text), ' '))) AS n_tokens,
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
          round(avg(round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
                * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
                                              x -> x = 'the' OR x = 'a')) AS DOUBLE)

@@ -28,31 +28,69 @@ def sf_dir() -> str:
 def load_table(spark: SparkSession, name: str, sf_path: str | None = None) -> DataFrame:
     """Read one driver table; column pruning + predicate pushdown apply.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark reads it as a
-    nanos long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a
-    micros timestamp here (floor, matching DuckDB's nanos→micros read).
+    ``events.ts`` arrives in one of three physical shapes depending on
+    how the driver generated the parquet:
+
+    - ``timestamp[us]`` (tz-naive) → Spark reads TIMESTAMP_NTZ; cast to
+      session-local TIMESTAMP (session tz is pinned UTC below, so the
+      NTZ→LTZ cast is value-preserving) so downstream
+      ``ts.cast("long")`` epoch arithmetic keeps working.
+    - ``TIMESTAMP(NANOS)`` → read as a nanos long via
+      ``spark.sql.legacy.parquet.nanosAsLong`` and convert with integer
+      division (floor, matching DuckDB's nanos→micros read).
+    - tz-aware ``timestamp[us, UTC]`` → already TIMESTAMP, passthrough.
+
     The cast is a codegen'd projection; pushdown on other columns is
     unaffected.
     """
     base = sf_path or sf_dir()
-    # All settable at runtime; applied here so externally-created
-    # sessions (the driver harness) get oracle-compatible semantics:
-    # UTC timestamps (DuckDB is UTC-naive) and nanos-as-long reads.
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{base}/{name}.parquet")
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-local TIMESTAMP whatever the
+    physical parquet shape (see ``load_table``); shared by the batch
+    loader and the streaming source so batch ≡ stream parity holds by
+    construction."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # legacy nanos-as-long read: integer floor-division to micros
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.col("ts").cast("long") // 1000)
+        )
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """One-time per-session conf for oracle-compatible semantics.
+
+    Externally-created sessions (the driver harness) need UTC timestamps
+    (DuckDB is UTC-naive), nanos-as-long parquet reads (legacy testdata),
+    and a machine-sized shuffle-partition default. Applied once and
+    remembered via a marker conf so repeated ``load_table`` calls don't
+    mutate the caller's session on every read (round-1 ADVICE item c).
+    """
+    marker = "spark.spark_graft.confApplied"
+    try:
+        if spark.conf.get(marker, "") == "true":
+            return
+    except Exception:
+        pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # externally-created sessions default to 200 shuffle partitions —
     # wrong for both this machine and the test scale factors
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(max(os.cpu_count() or 4, 4))
         )
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{base}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    return df
+    spark.conf.set(marker, "true")
 
 
 def load_tables(spark: SparkSession, sf_path: str | None = None) -> dict[str, DataFrame]:

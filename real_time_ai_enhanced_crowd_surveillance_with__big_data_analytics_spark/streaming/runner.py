@@ -16,36 +16,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# events schema as stored (ts is TIMESTAMP(NANOS) → read as long,
-# converted below; see sources/tables.py for the batch twin)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from ..sources.tables import _ensure_session_conf, normalize_events_ts
 
 
 def stream_events(spark: SparkSession, sf_path: str) -> DataFrame:
     """events table as an unbounded stream (file source, one file =
     one-or-more micro-batches). Same column surface as the batch
-    loader, so every batch plan composes unchanged."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    loader, so every batch plan composes unchanged.
+
+    The file-source schema is taken from a one-off batch read of the
+    events parquet footer (streaming sources can't infer), so the
+    physical ts shape (nanos-long / NTZ / LTZ — see
+    ``sources.tables.load_table``) is handled identically to batch.
+    """
+    _ensure_session_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_path}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return normalize_events_ts(raw)
 
 
 def windowed_trend(events: DataFrame, window: str = "1 day", watermark: str = "2 days") -> DataFrame:
