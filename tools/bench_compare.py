@@ -1,15 +1,19 @@
-"""Per-query bench regression compare.
+"""Bench regression guard (ADVICE r2 item 8).
+
+Compares a fresh bench.py output against the last good recorded bench
+(default BENCH_LOCAL.json) and fails loudly on:
+
+- DNF: the new bench is missing queries the baseline had, or carries
+  an ``errors`` map (bench.py records per-query failures there);
+- regression: total ratio > ``--max-ratio`` (default 1.5), or any
+  single query > ``--max-ratio`` slower AND above an absolute floor
+  (``--floor-sec``, default 0.5 s — sub-floor queries are scheduling
+  noise, not plans).
 
 Usage::
 
-    python tools/bench_compare.py BASE.json NEW.json [--threshold 1.5]
-
-Each file is a bench.py output line ({"queries": {name: sec}}). Prints
-per-query deltas, flags regressions beyond the threshold ratio, and
-exits 1 if any query regressed (new queries and removed queries are
-reported but never fail the check — machine noise on this box is
-±40%, so the default threshold is deliberately loose; see memory
-round1-status).
+    SPARK_GRAFT_SF_DIR=... python bench.py > /tmp/bench_new.json
+    python tools/bench_compare.py /tmp/bench_new.json [BENCH_LOCAL.json]
 """
 
 from __future__ import annotations
@@ -19,45 +23,53 @@ import json
 import sys
 
 
+def compare(
+    new: dict,
+    base: dict,
+    max_ratio: float = 1.5,
+    floor_sec: float = 0.5,
+) -> list[str]:
+    """Return a list of human-readable violations (empty = pass)."""
+    problems: list[str] = []
+    nq, bq = new.get("queries", {}), base.get("queries", {})
+    for err_name, err in (new.get("errors") or {}).items():
+        problems.append(f"DNF: {err_name}: {err}")
+    missing = sorted(set(bq) - set(nq))
+    if missing:
+        problems.append(f"DNF: missing queries vs baseline: {missing}")
+    base_total, new_total = base.get("value"), new.get("value")
+    if base_total and new_total and new_total > base_total * max_ratio:
+        problems.append(
+            f"total regression: {new_total:.1f}s vs baseline "
+            f"{base_total:.1f}s ({new_total / base_total:.2f}x)"
+        )
+    for name, sec in nq.items():
+        b = bq.get(name)
+        if b and sec > max(b * max_ratio, floor_sec):
+            problems.append(
+                f"query regression: {name} {sec:.2f}s vs {b:.2f}s "
+                f"({sec / b:.2f}x)"
+            )
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("base")
-    ap.add_argument("new")
-    ap.add_argument("--threshold", type=float, default=1.5,
-                    help="fail if new/base exceeds this ratio (default 1.5)")
-    ap.add_argument("--min-sec", type=float, default=1.0,
-                    help="ignore queries faster than this in BOTH runs "
-                         "(sub-second timings are pure noise)")
+    ap.add_argument("new_bench")
+    ap.add_argument("baseline", nargs="?", default="BENCH_LOCAL.json")
+    ap.add_argument("--max-ratio", type=float, default=1.5)
+    ap.add_argument("--floor-sec", type=float, default=0.5)
     args = ap.parse_args()
-
-    with open(args.base) as f:
-        base = json.load(f)["queries"]
-    with open(args.new) as f:
-        new = json.load(f)["queries"]
-
-    regressions = []
-    for name in sorted(set(base) | set(new)):
-        b, n = base.get(name), new.get(name)
-        if b is None:
-            print(f"  {name:35s} NEW       {n:8.2f}s")
-            continue
-        if n is None:
-            print(f"  {name:35s} REMOVED   (was {b:.2f}s)")
-            continue
-        ratio = n / b if b > 0 else float("inf")
-        flag = ""
-        if max(b, n) >= args.min_sec and ratio > args.threshold:
-            flag = f"  REGRESSED {ratio:.2f}x"
-            regressions.append(name)
-        elif max(b, n) >= args.min_sec and ratio < 1 / args.threshold:
-            flag = f"  improved {ratio:.2f}x"
-        print(f"  {name:35s} {b:8.2f}s -> {n:8.2f}s{flag}")
-
-    tb, tn = sum(base.values()), sum(new.values())
-    print(f"TOTAL {tb:.1f}s -> {tn:.1f}s "
-          f"({len(regressions)} regression(s) past {args.threshold}x)")
-    return 1 if regressions else 0
+    with open(args.new_bench) as f:
+        new = json.load(f)
+    with open(args.baseline) as f:
+        base = json.load(f)
+    problems = compare(new, base, args.max_ratio, args.floor_sec)
+    for p in problems:
+        print(p)
+    print("PASS" if not problems else f"{len(problems)} PROBLEMS")
+    return 1 if problems else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    sys.exit(main())
