@@ -289,6 +289,56 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# --- corpus-LM cross-entropy (CCNet/KenLM-style quality filter) --------------
+
+def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus unigram LM — the
+    relational skeleton of the CCNet/RefinedWeb perplexity quality
+    filter (there: a KenLM n-gram model; here: the maximum-likelihood
+    unigram model of the corpus itself, so the whole filter stays
+    oracle-checkable). Documents whose token distribution diverges
+    from the corpus (boilerplate, noise, wrong language) score high
+    and are the head of the filter's rejection list.
+
+    Spark shape for 100 TB: the LM is a token→count aggregate —
+    Zipf-bounded vocabulary, megabytes even for web-scale corpora —
+    so it broadcasts; per-document scoring is then a broadcast join +
+    one groupBy(doc_id). Two shuffles total (LM build, per-doc agg),
+    both map-side combined. The corpus total is a driver scalar
+    (constant-folding pattern, same as tfidf's n_docs).
+    """
+    docs = load_table(spark, "documents", sf)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    n_total = lm.agg(F.sum("tf")).collect()[0][0]  # corpus token count
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.lit(float(n_total)))), 6
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+LM_CROSS_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+), lm AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS n FROM lm
+)
+SELECT doc_id,
+       count(*) AS n_tok,
+       round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS cross_entropy
+FROM toks JOIN lm USING (tok)
+GROUP BY doc_id
+"""
+
+
 # --- BPE-style pretokenizer (GPT-2 pattern, RE2-safe subset) -----------------
 
 # GPT-2's pretokenizer splits on letter-runs / digit-runs / punctuation
@@ -354,4 +404,5 @@ TEXT_QUERIES = {
     "lang_id": (lang_id, LANG_ID_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "trigram_profile": (trigram_profile, TRIGRAM_PROFILE_SQL),
+    "lm_cross_entropy": (lm_cross_entropy, LM_CROSS_ENTROPY_SQL),
 }

@@ -304,6 +304,62 @@ WHERE cum - n_tok < {TOKEN_BUDGET}
 """
 
 
+# --- quality-weighted resampling (DCLM/FineWeb-style) ------------------------
+
+QUALITY_TEMP = 2.0        # temperature: >1 sharpens toward high quality
+KEEP_SCALE = 1_000_000    # integer-scaled threshold for exact parity
+
+
+def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic quality-weighted document resampling: keep a
+    document iff its multiplicative-hash coin lands under
+    quality^TEMP — the probability-proportional-to-quality sampler
+    used to upweight high-quality strata in pretraining mixtures
+    (temperature sharpens or flattens the weighting).
+
+    Scale shape: a pure per-row filter — ZERO shuffles, no window, no
+    join; at 100 TB this is a map-only pass the scan pushes through.
+    Determinism (hash coin, not rand()) makes the sample reproducible
+    and oracle-checkable; the keep threshold is integer-scaled so both
+    engines compare exact integers, never raw doubles.
+    """
+    from ..functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf)
+    coin = (F.col("doc_id") * PRIORITY_MULT) % HASH_P % KEEP_SCALE
+    thresh = F.round(
+        F.pow(quality_score(F.col("text")), F.lit(QUALITY_TEMP)) * KEEP_SCALE, 0
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            quality_score(F.col("text")).alias("quality"),
+            coin.alias("coin"),
+            thresh.alias("keep_below"),
+        )
+        .filter(F.col("coin") < F.col("keep_below"))
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
+               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+                                             x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                  / len(string_split(trim(text), ' '))), 6) AS quality,
+         (doc_id * {PRIORITY_MULT}) % {HASH_P} % {KEEP_SCALE} AS coin
+  FROM documents
+)
+SELECT doc_id, source, quality, coin,
+       CAST(round(pow(quality, {QUALITY_TEMP}) * {KEEP_SCALE}, 0) AS BIGINT)
+         AS keep_below
+FROM scored
+WHERE coin < CAST(round(pow(quality, {QUALITY_TEMP}) * {KEEP_SCALE}, 0) AS BIGINT)
+"""
+
+
 # --- source mixture report (the dataset card) --------------------------------
 
 def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -359,4 +415,8 @@ TRAINING_DATA_QUERIES = {
     "shard_assignment": (shard_assignment, SHARD_ASSIGNMENT_SQL),
     "embedding_quantization": (embedding_quantization, EMBEDDING_QUANTIZATION_SQL),
     "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SAMPLE_SQL),
+    "quality_weighted_sample": (
+        quality_weighted_sample,
+        QUALITY_WEIGHTED_SAMPLE_SQL,
+    ),
 }

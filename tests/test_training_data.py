@@ -104,3 +104,48 @@ def test_token_budget_floor_and_priority(spark, sf_dir):
         worst = max(rows, key=lambda r: r.cum_before)
         assert worst.cum_before < TOKEN_BUDGET
         assert total - worst.n_tok < TOKEN_BUDGET, src
+
+
+def test_quality_weighted_sample_monotone(spark, sf_dir):
+    """Keep-rate must rise with quality: in expectation the hash coin
+    is uniform, so the kept fraction of the top quality tercile beats
+    the bottom tercile; every kept row satisfies coin < keep_below."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.training_data import (
+        quality_weighted_sample,
+    )
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.functions.text import (
+        quality_score,
+    )
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    kept = quality_weighted_sample(spark, sf_dir).collect()
+    assert kept and all(r.coin < r.keep_below for r in kept)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    ).collect()
+    qs = sorted(docs, key=lambda r: r.q)
+    lo = {r.doc_id for r in qs[: len(qs) // 3]}
+    hi = {r.doc_id for r in qs[-len(qs) // 3 :]}
+    kept_ids = {r.doc_id for r in kept}
+    lo_rate = len(lo & kept_ids) / len(lo)
+    hi_rate = len(hi & kept_ids) / len(hi)
+    assert hi_rate > lo_rate
+
+
+def test_lm_cross_entropy_bounds(spark, sf_dir):
+    """Unigram cross-entropy is >= corpus-entropy floor per token:
+    -ln(p) >= 0 always, and <= ln(total tokens) (a token seen once)."""
+    import math
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.text import (
+        lm_cross_entropy,
+    )
+
+    out = lm_cross_entropy(spark, sf_dir).collect()
+    assert out
+    n_total = sum(r.n_tok for r in out)
+    for r in out:
+        assert 0.0 <= r.cross_entropy <= math.log(n_total) + 1e-6, r
