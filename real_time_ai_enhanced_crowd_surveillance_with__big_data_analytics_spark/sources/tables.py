@@ -59,9 +59,9 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # legacy nanos-as-long read: integer floor-division to micros
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.col("ts").cast("long") // 1000)
-        )
+        # (SQL `div`, not `/` — double division loses sub-ms precision
+        # on large epoch-nanos)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_type == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
