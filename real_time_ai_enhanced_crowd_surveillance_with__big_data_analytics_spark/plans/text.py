@@ -309,7 +309,10 @@ def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    lm = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # cache: the vocab-sized LM feeds both the corpus total and the
+    # scoring join — without it the corpus-wide token aggregation runs
+    # twice
+    lm = toks.groupBy("tok").agg(F.count("*").alias("tf")).cache()
     n_total = lm.agg(F.sum("tf")).collect()[0][0]  # corpus token count
     return (
         toks.join(F.broadcast(lm), "tok")
