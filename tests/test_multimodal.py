@@ -40,3 +40,48 @@ def test_features_shape_and_determinism(spark, sf_dir):
         assert abs(sum(r.features) - 1.0) < 1e-6  # histogram normalized
     out2 = {r.doc_id: r.features for r in multimodal_features(docs).collect()}
     assert {r.doc_id: r.features for r in out} == out2
+
+
+def test_resize_nearest_neighbor_golden():
+    import numpy as np
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    down = resize_image(img, 2, 2)
+    assert down.tolist() == [[0, 2], [8, 10]]
+    up = resize_image(img, 8, 8)
+    assert up.shape == (8, 8)
+    # nearest-neighbor: every output pixel is an input pixel
+    assert set(up.flatten().tolist()) <= set(img.flatten().tolist())
+    # identity resize is exact
+    assert np.array_equal(resize_image(img, 4, 4), img)
+
+
+def test_video_frame_sample_chunks(spark, sf_dir):
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        FRAME_SIZE,
+        FRAME_STRIDE,
+        video_frame_sample,
+    )
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(25)
+    n_bytes = {
+        r.doc_id: r.n
+        for r in docs.selectExpr(
+            "doc_id", "length(encode(text, 'utf-8')) as n"
+        ).collect()
+    }
+    rows = video_frame_sample(docs).collect()
+    assert {r.doc_id for r in rows} == set(n_bytes)
+    for r in rows:
+        total = n_bytes[r.doc_id]
+        n_frames = -(-total // FRAME_SIZE)
+        assert r.frame_idx % FRAME_STRIDE == 0 and r.frame_idx < n_frames
+        expect = min(FRAME_SIZE, total - r.frame_idx * FRAME_SIZE)
+        assert r.frame_bytes == expect
