@@ -68,6 +68,10 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 spark.catalog.clearCache()
 
+    # `value` sums only queries that RAN — a failed query must never
+    # make the headline look faster, so failures are surfaced
+    # unconditionally via n_failed (0 on a clean run) and per-query
+    # detail in `errors`; tools/bench_compare.py exits nonzero on any.
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_query_sec",
@@ -75,6 +79,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_failed": len(errors),
     }
     if errors:
         out["errors"] = errors

@@ -46,8 +46,10 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # CORRECTNESS_r01 and r02) rotates past the cap; across rounds every
 # query gets a driver verdict.
 _PRIORITY: list[str] = [
-    # flagship canaries
-    "crowded_frames", "revenue_by_nation",
+    # flagship canaries (crowded_frames is additionally smoke-checked
+    # every round via entry(); revenue_by_nation rotates to r4 to make
+    # room for the round-3 additions)
+    "crowded_frames",
     # red in r2 (HUGEINT oracle types / TIMESTAMP_NTZ) — re-verify first
     "sessionize", "clicks_near_purchases", "alarm_rising_edges",
     "conditional_counts", "event_pivot", "event_unpivot",
@@ -55,9 +57,14 @@ _PRIORITY: list[str] = [
     # never driver-checked: training-data build
     "source_quota_sample", "shard_assignment", "embedding_quantization",
     "token_budget_sample",
-    # never driver-checked: similarity / ANN
-    "knn_bruteforce", "knn_batch", "fall_detection_softmax",
-    "label_centroids", "nearest_centroid", "embedding_neardup_exact",
+    # never driver-checked: round-3 additions (lm filter, quality
+    # resampling, frame sampling)
+    "lm_cross_entropy", "quality_weighted_sample", "video_frame_sample",
+    # never driver-checked: similarity / ANN (nearest_centroid and
+    # knn_batch rotate to r4 — knn_bruteforce + label_centroids cover
+    # the family this round)
+    "knn_bruteforce", "fall_detection_softmax",
+    "label_centroids", "embedding_neardup_exact",
     "embedding_neardup_lsh", "embedding_dedup_clusters", "ivf_knn",
     # never driver-checked: dedup
     "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
@@ -83,13 +90,17 @@ for _mod in _MODULES:
         _ALL[_name] = _pair
 
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in _PRIORITY"
+# the driver verifies exactly the first 50 — a 51st priority entry
+# would silently push the 50th out of the verification window
+assert len(_PRIORITY) == 50, f"priority window must be 50, is {len(_PRIORITY)}"
 for _name in _PRIORITY:
     assert _name in _ALL, f"unknown priority query {_name}"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-for _name in [*_PRIORITY, *[n for n in _ALL if n not in set(_PRIORITY)]]:
+_pset = set(_PRIORITY)
+for _name in [*_PRIORITY, *[n for n in _ALL if n not in _pset]]:
     _fn, _sql = _ALL[_name]
     QUERIES[_name] = _fn
     if _sql is not None:

@@ -309,18 +309,19 @@ def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    # cache: the vocab-sized LM feeds both the corpus total and the
-    # scoring join — without it the corpus-wide token aggregation runs
-    # twice
-    lm = toks.groupBy("tok").agg(F.count("*").alias("tf")).cache()
-    n_total = lm.agg(F.sum("tf")).collect()[0][0]  # corpus token count
+    lm = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    # corpus token total as a broadcast 1-row frame — fully lazy (no
+    # driver collect at plan-construction time, no crash on an empty
+    # corpus), constant-folded into every executor like tfidf's n_docs
+    total = lm.agg(F.sum("tf").cast("double").alias("n_total"))
     return (
         toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tok"),
             F.round(
-                F.avg(-F.log(F.col("tf") / F.lit(float(n_total)))), 6
+                F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6
             ).alias("cross_entropy"),
         )
     )

@@ -124,7 +124,7 @@ def source_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     predicate prunes inside the window operator, so only K rows per
     source survive the exchange at 100 TB (rank pushdown)."""
     docs = load_table(spark, "documents", sf)
-    priority = (F.col("doc_id") * PRIORITY_MULT) % HASH_P
+    priority = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P  # mod-first: no int64 overflow at any doc_id
     w = Window.partitionBy("source").orderBy(priority.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source", priority.alias("priority"))
@@ -139,7 +139,7 @@ SELECT doc_id, source, rk
 FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-                            ORDER BY (doc_id * {PRIORITY_MULT}) % {HASH_P} ASC,
+                            ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
                                      doc_id ASC) AS rk
   FROM documents
 )
@@ -273,7 +273,7 @@ def token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB per-source budgets replace global proportional sampling
     precisely because each source windows independently."""
     docs = load_table(spark, "documents", sf)
-    priority = (F.col("doc_id") * PRIORITY_MULT) % HASH_P
+    priority = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P  # mod-first: no int64 overflow at any doc_id
     w = (
         Window.partitionBy("source")
         .orderBy(priority.asc(), F.col("doc_id").asc())
@@ -294,7 +294,7 @@ WITH sized AS (
          len(string_split(trim(text), ' ')) AS n_tok,
          CAST(sum(len(string_split(trim(text), ' ')))
            OVER (PARTITION BY source
-                 ORDER BY (doc_id * {PRIORITY_MULT}) % {HASH_P} ASC, doc_id ASC
+                 ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC, doc_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM documents
 )
@@ -326,7 +326,7 @@ def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.text import quality_score
 
     docs = load_table(spark, "documents", sf)
-    coin = (F.col("doc_id") * PRIORITY_MULT) % HASH_P % KEEP_SCALE
+    coin = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P % KEEP_SCALE  # mod-first: overflow-free
     thresh = F.round(
         F.pow(quality_score(F.col("text")), F.lit(QUALITY_TEMP)) * KEEP_SCALE, 0
     ).cast("long")
@@ -349,7 +349,7 @@ WITH scored AS (
                * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
                                              x -> x = 'the' OR x = 'a')) AS DOUBLE)
                   / len(string_split(trim(text), ' '))), 6) AS quality,
-         (doc_id * {PRIORITY_MULT}) % {HASH_P} % {KEEP_SCALE} AS coin
+         (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} % {KEEP_SCALE} AS coin
   FROM documents
 )
 SELECT doc_id, source, quality, coin,

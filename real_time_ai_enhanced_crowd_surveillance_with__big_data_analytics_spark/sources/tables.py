@@ -58,10 +58,15 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     construction."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        # legacy nanos-as-long read: integer floor-division to micros
-        # (SQL `div`, not `/` — double division loses sub-ms precision
-        # on large epoch-nanos)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # legacy nanos-as-long read: FLOOR division to micros in pure
+        # integer arithmetic (`div` truncates toward zero, wrong for
+        # pre-epoch nanos; double `/` loses precision beyond 2^53 ns)
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("(ts - ((ts % 1000 + 1000) % 1000)) div 1000")
+            ),
+        )
     if ts_type == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -14,28 +14,72 @@ source replays it micro-batch by micro-batch in tests
 
 from __future__ import annotations
 
+import glob
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import _ensure_session_conf, normalize_events_ts
 
+# one replay directory per (session-lifetime, sf_path): the chunking
+# write runs once, every stream_events call after that just points the
+# file source at it
+_REPLAY_DIRS: dict[str, str] = {}
+_REPLAY_CHUNKS = 8
+
+
+def _replay_dir(spark: SparkSession, sf_path: str) -> str:
+    """Materialize the events table as _REPLAY_CHUNKS range-ordered
+    parquet files for multi-batch replay.
+
+    The file source processes oldest-modification-time first, and task
+    completion order is not partition order — so after the write, each
+    part file's mtime is pinned ascending in sorted-path order
+    (repartitionByRange makes part-00000 the lowest event_id range).
+    Result: micro-batches arrive in event_id order, which is what the
+    stateful operators' incremental correctness is measured against.
+    """
+    base = _REPLAY_DIRS.get(sf_path)
+    if base is not None and os.path.isdir(base):
+        return base
+    events = spark.read.parquet(f"{sf_path}/events.parquet")
+    base = tempfile.mkdtemp(prefix="events_replay_")
+    (
+        events.repartitionByRange(_REPLAY_CHUNKS, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    t0 = 1_000_000_000  # fixed epoch base: deterministic replay order
+    for i, path in enumerate(sorted(glob.glob(f"{base}/part-*"))):
+        os.utime(path, (t0 + i, t0 + i))
+    _REPLAY_DIRS[sf_path] = base
+    return base
+
 
 def stream_events(spark: SparkSession, sf_path: str) -> DataFrame:
-    """events table as an unbounded stream (file source, one file =
-    one-or-more micro-batches). Same column surface as the batch
-    loader, so every batch plan composes unchanged.
+    """events table as an unbounded stream: a test-harness replay that
+    chunks the driver's events parquet (TESTDATA.md fixes the file
+    name) into ordered files, one micro-batch each — state really does
+    carry across batches, unlike a single-file single-batch replay.
+    Same column surface as the batch loader, so every batch plan
+    composes unchanged; production swaps this for a Kafka/file-drop
+    source with the same schema (sources/kafka.py).
 
-    The file-source schema is taken from a one-off batch read of the
-    events parquet footer (streaming sources can't infer), so the
-    physical ts shape (nanos-long / NTZ / LTZ — see
-    ``sources.tables.load_table``) is handled identically to batch.
+    The file-source schema comes from the replay files' parquet footer
+    (streaming sources can't infer), so the physical ts shape
+    (nanos-long / NTZ / LTZ — see ``sources.tables.load_table``) is
+    handled identically to batch.
     """
     _ensure_session_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_path}/events.parquet").schema
+    base = _replay_dir(spark, sf_path)
+    raw_schema = spark.read.parquet(base).schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(sf_path)
+        .parquet(base)
     )
     return normalize_events_ts(raw)
 

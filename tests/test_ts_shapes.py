@@ -24,6 +24,8 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sou
 ROWS = [
     (1, dt.datetime(2024, 1, 2, 3, 4, 5, 123456), 10, "click", 1.5, "{}"),
     (2, dt.datetime(2024, 6, 7, 8, 9, 10, 654321), 11, "error", 2.5, "{}"),
+    # pre-epoch: nanos→micros conversion must FLOOR, not truncate
+    (3, dt.datetime(1969, 12, 31, 23, 59, 58, 700001), 12, "view", 3.5, "{}"),
 ]
 
 
@@ -58,7 +60,11 @@ def test_load_table_normalizes_all_ts_shapes(spark, tmp_path, ts_type):
     got = [r.ts for r in df.orderBy("event_id").collect()]
     assert got == [r[1] for r in ROWS]
     # epoch arithmetic — the exact call path that broke in round 2
+    import math
+
     secs = sorted(
         r.epoch for r in df.selectExpr("cast(ts as long) as epoch").collect()
     )
-    assert secs == sorted(int(r[1].replace(tzinfo=dt.timezone.utc).timestamp()) for r in ROWS)
+    assert secs == sorted(
+        math.floor(r[1].replace(tzinfo=dt.timezone.utc).timestamp()) for r in ROWS
+    )

@@ -7,8 +7,9 @@ Compares a fresh bench.py output against the last good recorded bench
   an ``errors`` map (bench.py records per-query failures there);
 - regression: total ratio > ``--max-ratio`` (default 1.5), or any
   single query > ``--max-ratio`` slower AND above an absolute floor
-  (``--floor-sec``, default 0.5 s — sub-floor queries are scheduling
-  noise, not plans).
+  (``--floor-sec``, default 1.0 s — this box shows ±40% run-to-run
+  jitter on sub-second queries, so anything landing under the floor is
+  scheduling noise, not plans).
 
 Usage::
 
@@ -27,7 +28,7 @@ def compare(
     new: dict,
     base: dict,
     max_ratio: float = 1.5,
-    floor_sec: float = 0.5,
+    floor_sec: float = 1.0,
 ) -> list[str]:
     """Return a list of human-readable violations (empty = pass)."""
     problems: list[str] = []
@@ -58,7 +59,7 @@ def main() -> int:
     ap.add_argument("new_bench")
     ap.add_argument("baseline", nargs="?", default="BENCH_LOCAL.json")
     ap.add_argument("--max-ratio", type=float, default=1.5)
-    ap.add_argument("--floor-sec", type=float, default=0.5)
+    ap.add_argument("--floor-sec", type=float, default=1.0)
     args = ap.parse_args()
     with open(args.new_bench) as f:
         new = json.load(f)
