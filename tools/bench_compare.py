@@ -6,10 +6,12 @@ Compares a fresh bench.py output against the last good recorded bench
 - DNF: the new bench is missing queries the baseline had, or carries
   an ``errors`` map (bench.py records per-query failures there);
 - regression: total ratio > ``--max-ratio`` (default 1.5), or any
-  single query > ``--max-ratio`` slower AND above an absolute floor
-  (``--floor-sec``, default 1.0 s — this box shows ±40% run-to-run
-  jitter on sub-second queries, so anything landing under the floor is
-  scheduling noise, not plans).
+  single query > ``--query-ratio`` (default 2.0) slower AND above an
+  absolute floor (``--floor-sec``, default 2.0 s). Calibration note:
+  this box shows up to ~3x first-run jitter on sub-2s queries under
+  load (measured: multimodal_meta 0.26 s steady vs 1.2-2.9 s cold),
+  so per-query thresholds are deliberately loose; the total (noise-
+  averaged) and the heavy tail are the trustworthy signals.
 
 Usage::
 
@@ -28,7 +30,8 @@ def compare(
     new: dict,
     base: dict,
     max_ratio: float = 1.5,
-    floor_sec: float = 1.0,
+    floor_sec: float = 2.0,
+    query_ratio: float = 2.0,
 ) -> list[str]:
     """Return a list of human-readable violations (empty = pass)."""
     problems: list[str] = []
@@ -46,7 +49,7 @@ def compare(
         )
     for name, sec in nq.items():
         b = bq.get(name)
-        if b and sec > max(b * max_ratio, floor_sec):
+        if b and sec > max(b * query_ratio, floor_sec):
             problems.append(
                 f"query regression: {name} {sec:.2f}s vs {b:.2f}s "
                 f"({sec / b:.2f}x)"
@@ -59,13 +62,14 @@ def main() -> int:
     ap.add_argument("new_bench")
     ap.add_argument("baseline", nargs="?", default="BENCH_LOCAL.json")
     ap.add_argument("--max-ratio", type=float, default=1.5)
-    ap.add_argument("--floor-sec", type=float, default=1.0)
+    ap.add_argument("--floor-sec", type=float, default=2.0)
+    ap.add_argument("--query-ratio", type=float, default=2.0)
     args = ap.parse_args()
     with open(args.new_bench) as f:
         new = json.load(f)
     with open(args.baseline) as f:
         base = json.load(f)
-    problems = compare(new, base, args.max_ratio, args.floor_sec)
+    problems = compare(new, base, args.max_ratio, args.floor_sec, args.query_ratio)
     for p in problems:
         print(p)
     print("PASS" if not problems else f"{len(problems)} PROBLEMS")
