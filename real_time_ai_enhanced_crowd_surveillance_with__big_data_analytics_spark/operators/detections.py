@@ -25,15 +25,20 @@ FRAME_W = 416  # reference blob geometry main.py:93
 FRAME_H = 416
 
 
-def synthesize_raw(events: DataFrame) -> DataFrame:
+def synthesize_raw(events: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic raw 'model output' from events: each event becomes
     one candidate detection row with a synthetic score vector and a
-    center-format box — the shape of a YOLO output row (main.py:105)."""
+    center-format box — the shape of a YOLO output row (main.py:105).
+
+    ``keep`` passes extra source columns through untouched (the
+    streaming pipeline threads ``ts`` for its event-time watermark);
+    batch callers default to the original column surface."""
     scores = F.transform(
         F.sequence(F.lit(0), F.lit(N_CLASSES - 1)),
         lambda k: ((F.col("event_id") * (k + 7)) % 100).cast("double") / 100.0,
     )
     return events.select(
+        *keep,
         F.col("user_id").alias("camera_id"),
         (F.col("event_id") % 50).alias("frame_id"),
         F.col("event_id"),
@@ -46,9 +51,12 @@ def synthesize_raw(events: DataFrame) -> DataFrame:
     )
 
 
-def parse_detections(raw: DataFrame) -> DataFrame:
+def parse_detections(raw: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """score-slice → argmax → confidence filter → center→corner box
-    (reference main.py:105-122). First-max argmax matches np.argmax."""
+    (reference main.py:105-122). First-max argmax matches np.argmax.
+
+    ``keep`` mirrors :func:`synthesize_raw` — extra pass-through columns
+    for streaming event-time; the batch schema is unchanged by default."""
     class_id = (
         F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1
     ).cast("int")
@@ -58,6 +66,7 @@ def parse_detections(raw: DataFrame) -> DataFrame:
         .withColumn("confidence", confidence)
         .filter(F.col("confidence") > CONFIDENCE_THRESHOLD)
         .select(
+            *keep,
             "camera_id",
             "frame_id",
             "event_id",

@@ -11,9 +11,12 @@ re-emits the frame's current NMS verdict every time new boxes arrive
 (update semantics — the last emission per frame equals batch NMS over
 the complete set, however arrivals were split). State per key is the
 frame's candidate list — tens of boxes, O(frame), hash-partitioned by
-the high-cardinality frame key; at 100 TB scale an event-time timeout
-(watermark TTL) evicts completed frames, which is exactly the
-reference's per-frame lifetime (main.py:188-233) made explicit.
+the high-cardinality frame key; an event-time timeout (watermark TTL)
+evicts completed frames, which is exactly the reference's per-frame
+lifetime (main.py:188-233) made explicit. Without eviction the state
+store grows one cell per frame ever seen — unbounded on a real
+stream; with it, live state is O(frames inside the watermark+TTL
+horizon) regardless of stream age.
 """
 
 from __future__ import annotations
@@ -54,52 +57,90 @@ _CROWD_STATE_SCHEMA = T.StructType(
 _BOX_COLS = ("event_id", "confidence", "x", "y", "w", "h")
 
 
-def _crowd_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    camera_id, frame_id = key
-    acc: dict[str, list] = (
-        dict(zip(_BOX_COLS, (list(v) for v in state.get)))
-        if state.exists
-        else {c: [] for c in _BOX_COLS}
-    )
-    for pdf in pdfs:
-        for c in _BOX_COLS:
-            acc[c].extend(pdf[c].tolist())
-    state.update(tuple(acc[c] for c in _BOX_COLS))
-    # canonical order: event_id (the batch twin's order_cols), then
-    # nms_pandas' stable confidence sort — identical tie-breaks
-    frame = pd.DataFrame(acc).sort_values("event_id", ignore_index=True)
-    kept = nms_pandas(frame, PERSON_IOU)
-    n = len(kept)
-    yield pd.DataFrame(
-        {
-            "camera_id": [camera_id],
-            "frame_id": [frame_id],
-            "n_persons": [n],
-            "crowded": [n > CROWD_THRESHOLD],
-        }
-    )
+def _crowd_fn(ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        camera_id, frame_id = key
+        if state.hasTimedOut:
+            # watermark passed this frame's horizon: its last update
+            # emission is final, drop the accumulated boxes.
+            state.remove()
+            return
+        acc: dict[str, list] = (
+            dict(zip(_BOX_COLS, (list(v) for v in state.get)))
+            if state.exists
+            else {c: [] for c in _BOX_COLS}
+        )
+        max_ts_ms = 0
+        for pdf in pdfs:
+            for c in _BOX_COLS:
+                acc[c].extend(pdf[c].tolist())
+            if len(pdf):
+                max_ts_ms = max(
+                    max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
+                )
+        state.update(tuple(acc[c] for c in _BOX_COLS))
+        # Evict once the watermark passes the frame's newest event + TTL.
+        # Spark rejects timeout timestamps at/behind the current
+        # watermark, so clamp against it (a frame whose events are
+        # already older than the watermark horizon gets the minimum
+        # legal lifetime and is collected on the next batch).
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts_ms, wm_ms + 1) + ttl_ms)
+        # canonical order: event_id (the batch twin's order_cols), then
+        # nms_pandas' stable confidence sort — identical tie-breaks
+        frame = pd.DataFrame(acc).sort_values("event_id", ignore_index=True)
+        kept = nms_pandas(frame, PERSON_IOU)
+        n = len(kept)
+        yield pd.DataFrame(
+            {
+                "camera_id": [camera_id],
+                "frame_id": [frame_id],
+                "n_persons": [n],
+                "crowded": [n > CROWD_THRESHOLD],
+            }
+        )
+
+    return fn
 
 
 def streaming_crowd_alerts(
     events_stream: DataFrame,
     on_batch: Callable[[DataFrame, int], None],
+    watermark: str = "35 days",
+    frame_ttl_ms: int = 3_600_000,
+    checkpoint_dir: str | None = None,
 ):
     """Wire the full pipeline onto an unbounded events stream. Each
     micro-batch emits the CURRENT verdict for every frame that received
     boxes (update semantics); ``on_batch`` sinks them — a keyed upsert
-    sink (or the test's dict) naturally keeps the latest."""
-    det = parse_detections(synthesize_raw(events_stream))
+    sink (or the test's dict) naturally keeps the latest.
+
+    ``watermark`` bounds how late a frame's boxes may arrive;
+    ``frame_ttl_ms`` is how long past its newest event a frame's state
+    survives before eviction. The defaults are replay-safe for the
+    test harness (the events replay is event_id-ordered while ts is
+    uniform over ~30 days, so a tight watermark would drop 'late' rows
+    that are merely replay-reordered); production streams with
+    near-ordered event time should tighten both.
+    """
+    det = parse_detections(
+        synthesize_raw(events_stream, keep=("ts",)), keep=("ts",)
+    )
     crowded = (
-        det.select("camera_id", "frame_id", *(c for c in _BOX_COLS if c != "frame_id"))
+        det.select("ts", "camera_id", "frame_id", *_BOX_COLS)
+        .withWatermark("ts", watermark)
         .groupBy("camera_id", "frame_id")
         .applyInPandasWithState(
-            _crowd_fn,
+            _crowd_fn(frame_ttl_ms),
             outputStructType=_CROWD_OUTPUT_SCHEMA,
             stateStructType=_CROWD_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    return crowded.writeStream.outputMode("update").foreachBatch(on_batch).start()
+    writer = crowded.writeStream.outputMode("update").foreachBatch(on_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
