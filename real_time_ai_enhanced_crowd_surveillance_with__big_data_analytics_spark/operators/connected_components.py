@@ -18,8 +18,26 @@ dedup/cluster extension mandated by BASELINE.json ("north_star").
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# target edges per task for the iterative rounds: an edge row is two
+# longs (~16 B + row overhead), so 1M edges ≈ 16-32 MB per task — big
+# enough that scheduling doesn't dominate, small enough to never spill
+EDGES_PER_PARTITION = 1_000_000
+
+
+def _edge_partitions(n_edges: int) -> int:
+    """Partition count for the iterative edge frame, derived from the
+    measured (deduped) edge count instead of a hardcoded constant: a
+    fixed coalesce(1) serializes the rounds on a 1B-edge graph, a fixed
+    32 fragments a 200k-edge one into scheduling overhead. Linear in
+    the graph, floor 1 — at 100 TB a multi-billion-edge near-dup graph
+    gets thousands of tasks, a just-past-driver-threshold graph gets
+    one."""
+    return max(1, math.ceil(n_edges / EDGES_PER_PARTITION))
 
 
 def _min_neighbor(edges: DataFrame) -> DataFrame:
@@ -130,10 +148,14 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             labels or [], "node long, component long"
         )
-    # moderate graphs: single partition kills per-round scheduling
-    # overhead (32 tasks/shuffle × ~6 shuffles/round dwarfs 1e5 edges)
-    if n_edges < 1_000_000:
-        cur = cur.coalesce(1).localCheckpoint()
+    # right-size the iterative frame to the measured graph: moderate
+    # graphs collapse to few partitions (per-round scheduling overhead
+    # dwarfs the work), huge graphs keep/raise parallelism
+    parts = _edge_partitions(n_edges)
+    if parts != cur.rdd.getNumPartitions():
+        shrink = parts < cur.rdd.getNumPartitions()
+        cur = (cur.coalesce(parts) if shrink else cur.repartition(parts))
+        cur = cur.localCheckpoint()
     nodes = (
         cur.select(F.col("src").alias("node"))
         .union(cur.select(F.col("dst").alias("node")))

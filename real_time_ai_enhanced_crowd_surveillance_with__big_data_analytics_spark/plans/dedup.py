@@ -60,13 +60,21 @@ _DUCK_STR_HASH = (
 
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact duplicate grouping: canonical id = min doc_id per identical
-    text. The groupBy key is the text hash at scale (group on
-    fingerprint, verify within group); here text itself — one shuffle."""
+    text. The shuffle key is a SHA-256 fingerprint of the text, not the
+    text itself — the output carries no text, so each shuffle row is
+    (doc_id, 64-hex-char digest) instead of a full document; at 100 TB
+    that's the difference between shuffling the corpus and shuffling
+    ~70 bytes/doc. Digest equality stands in for text equality (a
+    256-bit cryptographic hash has no random collisions at any feasible
+    corpus size, and unlike the portable polynomial hashes used for
+    shingles it is not adversarially forgeable), so no within-group
+    re-verify pass is needed. DuckDB's sha256() matches Spark's sha2
+    bit-for-bit, keeping the grouping oracle-identical."""
     docs = load_table(spark, "documents", sf)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("text")
-    return docs.select(
+    w = Window.partitionBy("fp")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("fp")).select(
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_id"),
         F.count("*").over(w).alias("group_size"),
@@ -76,9 +84,9 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 DEDUP_EXACT_SQL = """
 SELECT doc_id,
-       min(doc_id) OVER (PARTITION BY text) AS canonical_id,
-       count(*) OVER (PARTITION BY text) AS group_size,
-       doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+       min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY sha256(text)) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
 FROM documents
 """
 
@@ -629,10 +637,10 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = _neardup_edges(docs)
     from ..operators.connected_components import connected_components
 
-    # the edge graph is tiny relative to the corpus (near-dup rate);
-    # coalesce keeps the per-round shuffles from fragmenting
+    # partitioning of the iterative rounds is derived inside
+    # connected_components from the measured edge count
     labels = connected_components(
-        edges.coalesce(8), src="ia", dst="ib"
+        edges, src="ia", dst="ib"
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     from pyspark.sql import Window
 
@@ -695,7 +703,7 @@ def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
     edges = _neardup_edges(docs)
     from ..operators.connected_components import connected_components
 
-    labels = connected_components(edges.coalesce(8), src="ia", dst="ib").select(
+    labels = connected_components(edges, src="ia", dst="ib").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cid")
     )
     full = (

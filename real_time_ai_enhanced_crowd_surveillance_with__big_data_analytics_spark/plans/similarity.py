@@ -379,43 +379,71 @@ FROM ranked WHERE rn = 1
 NEARDUP_THRESHOLD = 0.4
 
 
+NEARDUP_TILE_ROWS = 1024
+
+
 def embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """All vector pairs with cosine ≥ threshold — the exact answer for
-    near-duplicate detection, as a blocked matrix product.
+    near-duplicate detection, as a TILED blocked matrix product.
 
-    One side is L2-normalized driver-side and broadcast (2000×64
-    doubles ≈ 1 MB); each Arrow batch of the other side hits it with a
-    single BLAS matmul inside mapInPandas. This replaced a row-pair
-    cross-join whose per-pair interpreted array folds took 85 s at
-    sf0.1 — the matmul form runs in ~2 s. Still O(n²) work by
-    definition: the broadcast side must fit in executor memory, so at
-    100 TB the LSH variant below is the real path (or tile the
-    broadcast side block by block)."""
+    The corpus is split into vec_id-range tiles of ≤NEARDUP_TILE_ROWS
+    vectors; each tile is L2-normalized driver-side and broadcast
+    (≤1024×64 doubles ≈ 0.5 MB per tile), and every Arrow batch of the
+    full corpus hits one tile with a single BLAS matmul inside
+    mapInPandas — the union over tiles covers each (ia < ib) pair
+    exactly once because ib lives in exactly one tile. Peak driver
+    materialization is ONE TILE, never the corpus, so the anchor
+    survives a corpus 10-100× past driver memory (the earlier form
+    collected the whole corpus with toPandas). The matmul form itself
+    replaced a row-pair cross-join whose per-pair interpreted array
+    folds took 85 s at sf0.1 (~2 s now). Still O(n²) compute by
+    definition — n/tile corpus scans of n×tile matmuls — so at 100 TB
+    the LSH variant below is the real path; this is the correctness
+    anchor."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, "embeddings", sf)
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids = corpus["vec_id"].to_numpy()
-    mat = np.asarray(corpus["embedding"].tolist(), dtype="float64")
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    n_tiles = max(1, -(-(hi - lo + 1) // NEARDUP_TILE_ROWS))
+    out = None
+    for t in range(n_tiles):
+        tlo = lo + t * NEARDUP_TILE_ROWS
+        thi = tlo + NEARDUP_TILE_ROWS
+        # vec_id-range filter reaches the parquet scan (row-group
+        # pruning on the tile's min/max at scale)
+        tile = (
+            emb.filter((F.col("vec_id") >= tlo) & (F.col("vec_id") < thi))
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+        if not len(tile):
+            continue
+        ids = tile["vec_id"].to_numpy()
+        mat = np.asarray(tile["embedding"].tolist(), dtype="float64")
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ids, mat))
 
-    def block(batches):
-        ids_b, m_b = bc.value
-        for pdf in batches:
-            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ m_b.T, 6)
-            ia = pdf["vec_id"].to_numpy()
-            # upper-triangle mask (ia < ib) + threshold
-            mask = (sims >= NEARDUP_THRESHOLD) & (ia[:, None] < ids_b[None, :])
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"ia": ia[r], "ib": ids_b[c], "cosine": sims[r, c]}
-            )
+        def block(batches, _bc=bc):
+            ids_b, m_b = _bc.value
+            for pdf in batches:
+                a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+                a = a / np.linalg.norm(a, axis=1, keepdims=True)
+                sims = np.round(a @ m_b.T, 6)
+                ia = pdf["vec_id"].to_numpy()
+                # upper-triangle mask (ia < ib) + threshold
+                mask = (sims >= NEARDUP_THRESHOLD) & (
+                    ia[:, None] < ids_b[None, :]
+                )
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"ia": ia[r], "ib": ids_b[c], "cosine": sims[r, c]}
+                )
 
-    return emb.mapInPandas(block, schema="ia long, ib long, cosine double")
+        part = emb.mapInPandas(block, schema="ia long, ib long, cosine double")
+        out = part if out is None else out.unionAll(part)
+    assert out is not None, "empty embeddings table"
+    return out
 
 
 NEARDUP_EXACT_SQL = f"""
@@ -571,7 +599,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
     from ..operators.connected_components import connected_components
 
-    labels = connected_components(pairs.coalesce(8), src="ia", dst="ib").select(
+    labels = connected_components(pairs, src="ia", dst="ib").select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
     from pyspark.sql import Window

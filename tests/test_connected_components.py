@@ -60,6 +60,56 @@ def test_two_components_with_dups_and_self_loops(spark, fallback):
     assert got == {3: 3, 5: 3, 10: 10, 20: 10, 30: 10}
 
 
+def test_edge_partitions_scale_with_graph():
+    """Partitioning of the iterative rounds is a function of the
+    measured edge count, not a constant: just past the driver
+    threshold collapses to 1 task, the >1M-edge branch grows linearly
+    (a 1B-edge graph gets 1000 tasks, not coalesce(1))."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.connected_components import (
+        EDGES_PER_PARTITION,
+        _edge_partitions,
+    )
+
+    assert _edge_partitions(0) == 1
+    assert _edge_partitions(100_001) == 1
+    assert _edge_partitions(EDGES_PER_PARTITION) == 1
+    assert _edge_partitions(EDGES_PER_PARTITION + 1) == 2
+    assert _edge_partitions(5 * EDGES_PER_PARTITION) == 5
+    assert _edge_partitions(1_000_000_000) == 1000
+
+
+def test_distributed_path_uses_derived_partitioning(spark, monkeypatch):
+    """The distributed loop actually consults _edge_partitions (branch
+    selection for a graph notionally past the 1M-edge knee is exercised
+    by lowering the per-partition target, not by materializing 1M
+    rows)."""
+    import real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.connected_components as cc
+
+    seen: list[int] = []
+    real = cc._edge_partitions
+    monkeypatch.setattr(
+        cc, "_edge_partitions", lambda n: seen.append(n) or real(n)
+    )
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in cc.connected_components(df, driver_fallback_edges=0).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+    assert seen == [60]  # sized from the deduped edge count
+
+    # >1M-edge branch: shrink the target so 60 edges select the
+    # multi-partition branch, result unchanged
+    monkeypatch.setattr(cc, "EDGES_PER_PARTITION", 16)
+    monkeypatch.setattr(cc, "_edge_partitions", real)
+    got2 = {
+        r["node"]: r["component"]
+        for r in cc.connected_components(df, driver_fallback_edges=0).collect()
+    }
+    assert got2 == got
+
+
 @PATHS
 def test_random_graphs_match_union_find(spark, fallback):
     rng = random.Random(42)
