@@ -27,6 +27,24 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
 )
 
 
+def headline_value(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    baseline_queries: dict[str, float],
+) -> tuple[float | None, float]:
+    """(value, penalty_sec) for the summary line. A failed query is
+    priced at 2x its recorded-baseline time so the headline can only
+    DEGRADE on failure; with no baseline to price a failure, value is
+    null rather than silently-faster."""
+    total = round(sum(timings.values()), 3)
+    if not errors:
+        return total, 0.0
+    if all(name in baseline_queries for name in errors):
+        penalty = round(sum(2 * baseline_queries[n] for n in errors), 3)
+        return round(total + penalty, 3), penalty
+    return None, 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -68,11 +86,24 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 spark.catalog.clearCache()
 
-    # `value` sums only queries that RAN — a failed query must never
-    # make the headline look faster, so failures are surfaced
-    # unconditionally via n_failed (0 on a clean run) and per-query
-    # detail in `errors`; tools/bench_compare.py exits nonzero on any.
-    total = round(sum(timings.values()), 3)
+    # a failed query must never make the headline FASTER: each failure
+    # is priced into `value` at 2x its recorded-baseline time (DNF
+    # penalty), and if any failure has no baseline to price it with,
+    # `value` is null — a consumer comparing only `value` across rounds
+    # can then only see degradation on failure. Per-query detail stays
+    # in `errors`/`n_failed`; tools/bench_compare.py exits nonzero on
+    # any.
+    baseline_q: dict[str, float] = {}
+    if errors:
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        try:
+            with open(base_path) as fh:
+                baseline_q = json.load(fh).get("queries", {})
+        except (OSError, ValueError):
+            pass
+    total, penalty = headline_value(timings, errors, baseline_q)
     out = {
         "metric": "total_query_sec",
         "value": total,
@@ -83,6 +114,7 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+        out["penalty_sec"] = penalty
     print(json.dumps(out))
 
 

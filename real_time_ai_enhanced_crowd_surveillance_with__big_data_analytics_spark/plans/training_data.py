@@ -306,7 +306,7 @@ WHERE cum - n_tok < {TOKEN_BUDGET}
 
 # --- quality-weighted resampling (DCLM/FineWeb-style) ------------------------
 
-QUALITY_TEMP = 2.0        # temperature: >1 sharpens toward high quality
+QUALITY_TEMP = 2          # temperature: >1 sharpens toward high quality (integer: applied as explicit products for cross-engine bit-parity)
 KEEP_SCALE = 1_000_000    # integer-scaled threshold for exact parity
 
 
@@ -327,9 +327,12 @@ def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf)
     coin = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P % KEEP_SCALE  # mod-first: overflow-free
-    thresh = F.round(
-        F.pow(quality_score(F.col("text")), F.lit(QUALITY_TEMP)) * KEEP_SCALE, 0
-    ).cast("long")
+    # quality^2 as an explicit product, NOT pow(): both engines round
+    # quality to 6 decimals first, so the product of those identical
+    # doubles is IEEE-identical, whereas libm pow() may differ by 1 ulp
+    # across engines and flip the round() at a .5 boundary (ADVICE r3)
+    q = quality_score(F.col("text"))
+    thresh = F.round(q * q * KEEP_SCALE, 0).cast("long")
     return (
         docs.select(
             "doc_id",
@@ -353,10 +356,10 @@ WITH scored AS (
   FROM documents
 )
 SELECT doc_id, source, quality, coin,
-       CAST(round(pow(quality, {QUALITY_TEMP}) * {KEEP_SCALE}, 0) AS BIGINT)
+       CAST(round(quality * quality * {KEEP_SCALE}, 0) AS BIGINT)
          AS keep_below
 FROM scored
-WHERE coin < CAST(round(pow(quality, {QUALITY_TEMP}) * {KEEP_SCALE}, 0) AS BIGINT)
+WHERE coin < CAST(round(quality * quality * {KEEP_SCALE}, 0) AS BIGINT)
 """
 
 

@@ -14,8 +14,10 @@ source replays it micro-batch by micro-batch in tests
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,11 +25,29 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import _ensure_session_conf, normalize_events_ts
 
-# one replay directory per (session-lifetime, sf_path): the chunking
-# write runs once, every stream_events call after that just points the
-# file source at it
-_REPLAY_DIRS: dict[str, str] = {}
+# one replay directory per (session-lifetime, source file identity):
+# the chunking write runs once, every stream_events call after that
+# just points the file source at it. Keyed on the source parquet's
+# (path, mtime, size) so a regenerated events.parquet within one
+# session re-derives the replay instead of streaming stale chunks;
+# the mkdtemp dirs are removed at interpreter exit.
+_REPLAY_DIRS: dict[tuple[str, float, int], str] = {}
 _REPLAY_CHUNKS = 8
+
+
+def _cleanup_replay_dirs() -> None:
+    for base in _REPLAY_DIRS.values():
+        shutil.rmtree(base, ignore_errors=True)
+    _REPLAY_DIRS.clear()
+
+
+atexit.register(_cleanup_replay_dirs)
+
+
+def _source_key(sf_path: str) -> tuple[str, float, int]:
+    src = f"{sf_path}/events.parquet"
+    st = os.stat(src)
+    return (src, st.st_mtime, st.st_size)
 
 
 def _replay_dir(spark: SparkSession, sf_path: str) -> str:
@@ -41,7 +61,8 @@ def _replay_dir(spark: SparkSession, sf_path: str) -> str:
     Result: micro-batches arrive in event_id order, which is what the
     stateful operators' incremental correctness is measured against.
     """
-    base = _REPLAY_DIRS.get(sf_path)
+    key = _source_key(sf_path)
+    base = _REPLAY_DIRS.get(key)
     if base is not None and os.path.isdir(base):
         return base
     events = spark.read.parquet(f"{sf_path}/events.parquet")
@@ -55,7 +76,7 @@ def _replay_dir(spark: SparkSession, sf_path: str) -> str:
     t0 = 1_000_000_000  # fixed epoch base: deterministic replay order
     for i, path in enumerate(sorted(glob.glob(f"{base}/part-*"))):
         os.utime(path, (t0 + i, t0 + i))
-    _REPLAY_DIRS[sf_path] = base
+    _REPLAY_DIRS[key] = base
     return base
 
 

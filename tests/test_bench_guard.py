@@ -49,6 +49,20 @@ def test_bench_compare_flags(new, expect_substr):
     assert any(expect_substr in p for p in problems), problems
 
 
+def test_headline_value_cannot_improve_on_failure():
+    """ADVICE r3: a failed query silently excluded from `value` made
+    the headline FASTER. Failures are now priced at 2x baseline, or
+    the value goes null when unpriceable."""
+    from bench import headline_value
+
+    base = {"a": 5.0, "b": 5.0}
+    assert headline_value({"a": 5.0, "b": 5.0}, {}, base) == (10.0, 0.0)
+    # b failed: 5.0 measured + 2*5.0 penalty > clean 10.0
+    assert headline_value({"a": 5.0}, {"b": "boom"}, base) == (15.0, 10.0)
+    # failure with no baseline entry: null, never silently-faster
+    assert headline_value({"a": 5.0}, {"new_q": "boom"}, base) == (None, 0.0)
+
+
 def test_bench_compare_passes_clean():
     base = {"value": 10.0, "queries": {"a": 5.0, "b": 5.0}}
     new = {"value": 11.0, "queries": {"a": 5.5, "b": 5.5}}
