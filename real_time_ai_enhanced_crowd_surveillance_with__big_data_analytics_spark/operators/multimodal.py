@@ -27,9 +27,18 @@ from pyspark.sql import functions as F
 try:  # decode path needs cv2/PIL — absent in this container by design
     import cv2  # type: ignore[import-not-found]
 
-    HAS_IMAGE_LIBS = True
+    HAS_CV2 = True
 except ImportError:
-    HAS_IMAGE_LIBS = False
+    HAS_CV2 = False
+
+try:
+    from PIL import Image  # type: ignore[import-not-found]
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+HAS_IMAGE_LIBS = HAS_CV2 or HAS_PIL
 
 FEATURE_DIM = 8
 
@@ -45,20 +54,52 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Real decode when libs exist; deterministic fake otherwise.
+    """Real decode when a lib is importable (cv2 first, PIL second);
+    deterministic fake otherwise. Always returns a uint8 array in
+    cv2's BGR channel order so everything downstream (preprocess_blob,
+    feature histograms) is convention-stable regardless of which
+    decoder ran — matching the reference, whose frames are cv2 BGR
+    (main.py:143-149) and whose RGB conversion is an explicit
+    transform step (util.py:13-14, blobFromImage swapRB).
 
     The fake 'image' is the byte buffer reshaped/padded to 8×8 — enough
     to exercise the downstream feature path deterministically.
     """
-    if HAS_IMAGE_LIBS:  # pragma: no cover - libs absent in this container
+    if HAS_CV2:  # pragma: no cover - lib absent in this container
         img = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
         if img is None:
             raise ValueError("undecodable image buffer")
         return img
+    if HAS_PIL:  # pragma: no cover - lib absent in this container
+        import io
+
+        img = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        return img[:, :, ::-1].copy()  # RGB → BGR, cv2 convention
     arr = np.frombuffer(buf, dtype=np.uint8)
     out = np.zeros(64, dtype=np.uint8)
     out[: min(64, len(arr))] = arr[:64]
     return out.reshape(8, 8)
+
+
+BLOB_SIZE = (416, 416)  # reference main.py:93,190 blobFromImage geometry
+BLOB_SCALE = 1.0 / 255.0
+
+
+def preprocess_blob(
+    img: np.ndarray, size: tuple[int, int] = BLOB_SIZE
+) -> np.ndarray:
+    """The reference's ``cv2.dnn.blobFromImage(frame, 1/255, (416,416),
+    swapRB=True, crop=False)`` (main.py:93,190) in pure numpy: resize
+    to ``size``, scale to [0,1], BGR→RGB channel swap, CHW layout with
+    a leading batch axis → float32 (1, 3, H, W). Pure numpy so the
+    projection is identical in real-decode and stub modes (a 2-D stub
+    image is broadcast across the 3 channels first)."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    w, h = size
+    resized = resize_image(img, w, h)
+    rgb = resized[:, :, ::-1].astype("float32") * BLOB_SCALE
+    return np.ascontiguousarray(rgb.transpose(2, 0, 1))[None, ...]
 
 
 def extract_features(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
