@@ -766,8 +766,46 @@ FROM whole
 """
 
 
+def dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup — the production shape: a new batch of
+    documents (here doc_id % 10 == 0 stands in for 'today's crawl')
+    checked against the existing corpus's fingerprint index, marking
+    which increment docs are already present. Only fingerprints move:
+    the corpus side is SELECT DISTINCT sha256(text) — at 100 TB that
+    index lives as bucketed parquet keyed by fingerprint, the daily
+    increment is orders of magnitude smaller than the corpus, and AQE
+    turns this equi-join into a broadcast of the increment side; no
+    raw text ever shuffles (same fingerprint argument as
+    ``dedup_exact``)."""
+    docs = load_table(spark, "documents", sf)
+    fp = F.sha2(F.col("text"), 256)
+    base = (
+        docs.filter(F.col("doc_id") % 10 != 0).select(fp.alias("fp")).distinct()
+    )
+    inc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    return inc.join(
+        base.withColumn("dup", F.lit(True)), "fp", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("dup"), F.lit(False)).alias("is_duplicate")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH base AS (
+  SELECT DISTINCT sha256(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+), inc AS (
+  SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id % 10 = 0
+)
+SELECT i.doc_id, b.fp IS NOT NULL AS is_duplicate
+FROM inc i LEFT JOIN base b USING (fp)
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_ngram_jaccard": (
         dedup_ngram_jaccard,
         DEDUP_NGRAM_JACCARD_SQL.format(postings=_DUCK_POSTINGS),

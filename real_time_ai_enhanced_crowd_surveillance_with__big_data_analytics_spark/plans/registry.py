@@ -38,49 +38,42 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 ]
 
 # The driver's correctness harness records only the FIRST 50 registry
-# entries per round. Order therefore decides verification visibility:
-# the head of the dict is every query that has never had a driver
-# verdict (the dedup/similarity/text/surveillance/multimodal/
-# training-data families) plus the queries that failed in r1/r2, with
-# two flagships as canaries. The long-green TPC-H battery (green in
-# CORRECTNESS_r01 and r02) rotates past the cap; across rounds every
-# query gets a driver verdict.
+# entries per round. Order therefore decides verification visibility.
+# Round-4 window: the last 2 never-driver-checked queries (knn_batch,
+# nearest_centroid — VERDICT r3 top-next), the 4 round-4 additions,
+# every query whose plan changed this round, the flagship canary, and
+# the long-green r1/r2 battery rotating back in for re-verification
+# under current code (ADVICE r3: don't leave the whole battery outside
+# the window). Deferred to the r5 queue (listed at the tail, positions
+# 51+): approx_aggregates + stratified_sample (rows-only no-oracle
+# checks — the least informative re-verifications) and value_outliers
+# (plan unchanged, warm-retimed this round).
 _PRIORITY: list[str] = [
-    # flagship canaries (crowded_frames is additionally smoke-checked
-    # every round via entry(); revenue_by_nation rotates to r4 to make
-    # room for the round-3 additions)
+    # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",
-    # red in r2 (HUGEINT oracle types / TIMESTAMP_NTZ) — re-verify first
-    "sessionize", "clicks_near_purchases", "alarm_rising_edges",
-    "conditional_counts", "event_pivot", "event_unpivot",
-    "shipmode_priority", "sequence_packing", "source_mixture_report",
-    # never driver-checked: training-data build
-    "source_quota_sample", "shard_assignment", "embedding_quantization",
-    "token_budget_sample",
-    # never driver-checked: round-3 additions (lm filter, quality
-    # resampling, frame sampling)
-    "lm_cross_entropy", "quality_weighted_sample", "video_frame_sample",
-    # never driver-checked: similarity / ANN (nearest_centroid and
-    # knn_batch rotate to r4 — knn_bruteforce + label_centroids cover
-    # the family this round)
-    "knn_bruteforce", "fall_detection_softmax",
-    "label_centroids", "embedding_neardup_exact",
-    "embedding_neardup_lsh", "embedding_dedup_clusters", "ivf_knn",
-    # never driver-checked: dedup
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
-    "dedup_keep_canonical",
-    # never driver-checked: pipeline hygiene
-    "contamination_check", "doc_repetition", "policy_pattern_scan",
-    "quality_funnel",
-    # never driver-checked: text analysis
-    "bpe_token_stats", "tfidf_top_terms", "token_stats", "doc_quality",
-    "lang_id", "doc_fingerprint", "trigram_profile",
-    # never driver-checked: surveillance (incl. NMS, the custom operator)
-    "fire_alerts", "user_cohorts_setops", "detection_parse",
-    "validate_registrations", "nms_detections", "crowd_alerts_pipeline",
-    # never driver-checked: multimodal
-    "multimodal_meta", "multimodal_features",
+    # never driver-checked: the last 2 of the registry (r3 rotation)
+    "knn_batch", "nearest_centroid",
+    # new in round 4
+    "session_window_stats", "dedup_incremental", "cap_per_source",
+    "zorder_key",
+    # plans changed in round 4 (fingerprint shuffle key, derived CC
+    # partitioning, tiled broadcast, pow()→product threshold)
+    "dedup_exact", "quality_weighted_sample", "embedding_neardup_exact",
+    "dedup_clusters", "dedup_keep_canonical", "embedding_dedup_clusters",
+    # r1/r2-green battery rotating back in (returning canary first)
+    "revenue_by_nation", "pricing_summary", "top_orders_per_customer",
+    "argmax_event", "customers_without_events", "customers_with_errors",
+    "event_trend_rollup", "shipping_priority", "returned_revenue",
+    "props_extract", "asof_last_event", "asof_next_event",
+    "value_percentiles", "distinct_stats", "value_rank_profile",
+    "running_revenue", "moving_revenue", "revenue_deciles",
+    "event_cube", "event_grouping_sets", "small_quantity_revenue",
+    "volume_shipping", "top_supplier", "high_balance_no_orders",
+    "promo_revenue", "large_volume_orders", "customer_order_distribution",
+    "order_priority_check", "min_cost_supplier", "important_stock",
+    "late_sole_supplier", "forecast_revenue", "market_share",
+    "product_profit", "supplier_part_counts", "disjunctive_revenue",
+    "dominant_shippers",
 ]
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}

@@ -480,6 +480,69 @@ GROUP BY event_type
 
 # --- sessionization (gap-based; classic event analytics) --------------------
 
+SESSION_WINDOW_GAP_MIN = 30
+
+
+def session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` operator
+    (the streaming-ready form: the identical groupBy runs under
+    Structured Streaming with a watermark and merging session state,
+    SPARK-10816), complementing ``sessionize``'s lag+running-sum batch
+    twin. Semantics probed and mirrored exactly in the oracle: events
+    merge while the gap is ≤ the 30-min window (strictly-greater gap
+    opens a new session) at full microsecond precision, and the session
+    end is last-event ts + gap. One shuffle on (user, session)."""
+    events = load_table(spark, "events", sf)
+    return (
+        events.groupBy(
+            F.session_window(
+                "ts", f"{SESSION_WINDOW_GAP_MIN} minutes"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _ts_str(F.col("w.start")).alias("session_start"),
+            _ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOW_STATS_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, value, ts,
+         epoch_us(ts) AS tus,
+         lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR tus - prev > {SESSION_WINDOW_GAP_MIN * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL {SESSION_WINDOW_GAP_MIN} MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
 SESSION_GAP_MIN = 60
 
 
@@ -1160,6 +1223,7 @@ RELATIONAL_QUERIES = {
     "returned_revenue": (returned_revenue, RETURNED_REVENUE_SQL),
     "props_extract": (props_extract, PROPS_EXTRACT_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
+    "session_window_stats": (session_window_stats, SESSION_WINDOW_STATS_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),

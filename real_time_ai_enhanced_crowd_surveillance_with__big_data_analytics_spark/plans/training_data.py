@@ -411,7 +411,103 @@ FROM agg
 """
 
 
+# --- per-source document cap (FineWeb-style domain cap) ----------------------
+
+CAP_PER_SOURCE = 15
+
+
+def cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Cap documents per source at CAP_PER_SOURCE, keeping a
+    deterministic hash-priority sample — the per-domain cap every
+    web-scale pretraining build applies so one giant domain can't
+    dominate the mixture (FineWeb/RefinedWeb style). One shuffle on
+    source; the window never sorts the corpus globally. Skew note: a
+    hot source (the reason this operator exists) makes a hot window
+    partition — at 100 TB pre-aggregate with a per-partition partial
+    top-k on (source,) before the window, same two-phase trick as
+    knn's partial top-k."""
+    docs = load_table(spark, "documents", sf)
+    priority = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P
+    w = Window.partitionBy("source").orderBy(
+        priority.asc(), F.col("doc_id").asc()
+    )
+    return docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= CAP_PER_SOURCE)
+
+
+CAP_PER_SOURCE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= {CAP_PER_SOURCE}
+"""
+
+
+# --- Z-order layout key (multi-dimensional clustering) -----------------------
+
+ZORDER_BITS = 16
+
+
+def _morton_expr(x: str, y: str, shift_fn) -> str:
+    """Bit-interleave expression text shared by both engines: zkey =
+    Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1). ``shift_fn(expr, by,
+    left)`` renders one shift in the target dialect."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(shift_fn(f"({shift_fn(x, i, False)} & 1)", 2 * i, True))
+        terms.append(shift_fn(f"({shift_fn(y, i, False)} & 1)", 2 * i + 1, True))
+    return " + ".join(terms)
+
+
+def _spark_shift(expr: str, by: int, left: bool) -> str:
+    if by == 0:
+        return expr
+    return f"{'shiftleft' if left else 'shiftright'}({expr}, {by})"
+
+
+def _duck_shift(expr: str, by: int, left: bool) -> str:
+    if by == 0:
+        return expr
+    return f"({expr} {'<<' if left else '>>'} {by})"
+
+
+def zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, value-bucket) — the
+    lakehouse OPTIMIZE ZORDER primitive: writing the table
+    repartitionByRange(zkey) clusters rows so parquet min/max prunes
+    BOTH dimensions, not just the leading sort column. The key is pure
+    bit arithmetic inside whole-stage codegen (zero Python, zero
+    shuffle — the optional clustering write is where the range
+    partition happens). 16 bits per dimension = 32-bit keys; both
+    engines evaluate the identical unrolled interleave."""
+    events = load_table(spark, "events", sf)
+    x = f"(user_id % {1 << ZORDER_BITS})"
+    y = f"(CAST(floor(value) AS BIGINT) % {1 << ZORDER_BITS})"
+    return events.selectExpr(
+        "event_id", f"{_morton_expr(x, y, _spark_shift)} AS zkey"
+    )
+
+
+ZORDER_KEY_SQL = (
+    "SELECT event_id, "
+    + _morton_expr(
+        f"(user_id % {1 << ZORDER_BITS})",
+        f"(CAST(floor(value) AS BIGINT) % {1 << ZORDER_BITS})",
+        _duck_shift,
+    )
+    + " AS zkey FROM events"
+)
+
+
 TRAINING_DATA_QUERIES = {
+    "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
+    "zorder_key": (zorder_key, ZORDER_KEY_SQL),
     "source_mixture_report": (source_mixture_report, SOURCE_MIXTURE_REPORT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SAMPLE_SQL),
