@@ -47,7 +47,10 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # the window). Deferred to the r5 queue (listed at the tail, positions
 # 51+): approx_aggregates + stratified_sample (rows-only no-oracle
 # checks — the least informative re-verifications) and value_outliers
-# (plan unchanged, warm-retimed this round).
+# (plan unchanged, warm-retimed this round). The r5 queue is therefore:
+# approx_aggregates, stratified_sample, value_outliers, plus the
+# round-4 analytics additions funnel_conversion / retention_cohorts /
+# user_event_paths (locally oracle-green, positions 51+ this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",

@@ -543,6 +543,159 @@ GROUP BY user_id, sid
 """
 
 
+# --- event analytics: funnel / retention / paths -----------------------------
+
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts a stage only with an event strictly AFTER their previous
+    stage's first event (the classic product-analytics funnel, which a
+    naive per-type count gets wrong on out-of-order users). Three
+    user-keyed aggregations; each join is user_id-equi so all three
+    shuffles share one partitioning — at 100 TB the stage frames are
+    per-user single rows, orders of magnitude smaller than events."""
+    events = load_table(spark, "events", sf)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_stage = [
+        v.select(F.lit("view").alias("stage"), F.lit(1).cast("int").alias("stage_ord")),
+        c.select(F.lit("click").alias("stage"), F.lit(2).cast("int").alias("stage_ord")),
+        p.select(F.lit("purchase").alias("stage"), F.lit(3).cast("int").alias("stage_ord")),
+    ]
+    out = None
+    for s in spark_stage:
+        agg = s.groupBy("stage", "stage_ord").agg(
+            F.count("*").alias("n_users")
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST(1 AS INTEGER) AS stage_ord, count(*) AS n_users FROM v
+UNION ALL
+SELECT 'click', CAST(2 AS INTEGER), count(*) FROM c
+UNION ALL
+SELECT 'purchase', CAST(3 AS INTEGER), count(*) FROM p
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their
+    first event, counted once per subsequent active week. Two shuffles
+    (first-event agg, cohort-week distinct count); week arithmetic is
+    exact epoch math on Monday-truncated timestamps so both engines
+    agree bit-for-bit."""
+    events = load_table(spark, "events", sf)
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
+                / 604800
+            ).cast("long"),
+        )
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM activity a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+PATH_MAX_EVENTS = 8
+
+
+def user_event_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioral path: the first PATH_MAX_EVENTS event types
+    in (ts, event_id) order joined with '>' — the sequence-mining /
+    markov-funnel input shape. One shuffle on user_id; the sort is
+    per-group inside the aggregation buffer (array_sort over collected
+    structs), never a global sort."""
+    events = load_table(spark, "events", sf)
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.collect_list(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("evs"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort("evs"), 1, PATH_MAX_EVENTS),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path"),
+            "n_events",
+        )
+    )
+
+
+USER_EVENT_PATHS_SQL = f"""
+SELECT user_id,
+       array_to_string(
+         list_slice(list(event_type ORDER BY ts, event_id),
+                    1, {PATH_MAX_EVENTS}), '>') AS path,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
 SESSION_GAP_MIN = 60
 
 
@@ -1224,6 +1377,9 @@ RELATIONAL_QUERIES = {
     "props_extract": (props_extract, PROPS_EXTRACT_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "session_window_stats": (session_window_stats, SESSION_WINDOW_STATS_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
+    "retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
+    "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),

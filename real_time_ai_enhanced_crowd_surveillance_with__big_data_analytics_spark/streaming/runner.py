@@ -126,6 +126,38 @@ def windowed_trend(events: DataFrame, window: str = "1 day", watermark: str = "2
     )
 
 
+def streaming_session_stats(
+    events: DataFrame, gap_min: int = 30, watermark: str = "35 days"
+) -> DataFrame:
+    """Per-user session aggregation with Spark's NATIVE merging session
+    windows under Structured Streaming — the streaming twin of the
+    batch ``plans.relational.session_window_stats``. Sessions whose
+    events arrive across micro-batches are merged by the session state
+    store; the watermark bounds how long an open session can wait for
+    more events (wide default = replay-safe, see ``windowed_trend``).
+    State per key is one (start, end, aggs) tuple per open session —
+    eviction happens when the watermark passes session end + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to a memory sink synchronously (test
     harness; production would be Kafka/foreachBatch)."""

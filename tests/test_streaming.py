@@ -129,3 +129,33 @@ def test_tws_edge_trigger_matches_batch_lag(spark, sf_dir):
         (r.user_id, r.event_id): r.alarm_episode for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """Native merging session windows: sessions split across replay
+    micro-batches must merge in the state store and equal the batch
+    session_window_stats answer (chunked replay guarantees genuinely
+    cross-batch sessions)."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.relational import (
+        session_window_stats,
+    )
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.runner import (
+        streaming_session_stats,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    q = run_to_memory(
+        streaming_session_stats(stream), "sessions_out", output_mode="complete"
+    )
+    try:
+        got = {
+            (r.user_id, r.session_start): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in session_window_stats(spark, sf_dir).collect()
+    }
+    assert got == want
