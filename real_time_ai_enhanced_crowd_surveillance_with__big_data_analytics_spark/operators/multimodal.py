@@ -122,6 +122,87 @@ def extract_features(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def bgr_to_hsv(img: np.ndarray) -> np.ndarray:
+    """cv2.cvtColor(..., COLOR_BGR2HSV) for uint8 images in pure numpy
+    (reference main.py:156 fire detection): H in [0,180), S,V in
+    [0,255]. Float math with round-half-away like cv2's saturate_cast;
+    parity with real cv2 is asserted to ±1 in the gated test."""
+    b, g, r = (img[..., i].astype("float64") for i in range(3))
+    v = np.maximum(np.maximum(b, g), r)
+    mn = np.minimum(np.minimum(b, g), r)
+    diff = v - mn
+    s = np.where(v > 0, 255.0 * diff / np.where(v > 0, v, 1), 0.0)
+    # hue by argmax channel, cv2's 0-180 scale
+    safe = np.where(diff > 0, diff, 1)
+    h = np.where(
+        diff == 0,
+        0.0,
+        np.where(
+            v == r,
+            30.0 * (g - b) / safe,
+            np.where(
+                v == g,
+                60.0 + 30.0 * (b - r) / safe,
+                120.0 + 30.0 * (r - g) / safe,
+            ),
+        ),
+    )
+    h = np.where(h < 0, h + 180.0, h)
+    out = np.stack(
+        [np.floor(h + 0.5), np.floor(s + 0.5), v], axis=-1
+    ).clip(0, 255)
+    out[..., 0] %= 180
+    return out.astype("uint8")
+
+
+def _gaussian_kernel(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel with its default sigma for the given
+    aperture: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8, normalized."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype="float64") - (ksize - 1) / 2
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    return k / k.sum()
+
+
+def gaussian_blur(img: np.ndarray, ksize: int = 21) -> np.ndarray:
+    """cv2.GaussianBlur(frame, (ksize, ksize), 0) in pure numpy
+    (reference main.py:155): separable kernel with cv2's default-sigma
+    formula and BORDER_REFLECT_101 padding, rounded back to uint8."""
+    pad = ksize // 2
+    acc = img.astype("float64")
+    k = _gaussian_kernel(ksize)
+    for axis in (0, 1):
+        padded = np.pad(
+            acc,
+            [(pad, pad) if a == axis else (0, 0) for a in range(acc.ndim)],
+            mode="reflect",  # numpy 'reflect' == cv2 BORDER_REFLECT_101
+        )
+        acc = sum(
+            k[i]
+            * np.take(padded, range(i, i + acc.shape[axis]), axis=axis)
+            for i in range(ksize)
+        )
+    return np.floor(acc + 0.5).clip(0, 255).astype("uint8")
+
+
+FIRE_HSV_LOWER = (18, 50, 50)  # reference main.py:158
+FIRE_HSV_UPPER = (35, 255, 255)  # reference main.py:159
+
+
+def fire_pixel_count(img: np.ndarray, blur_ksize: int = 21) -> int:
+    """The reference's full fire-detection pixel path (main.py:154-160):
+    Gaussian blur → BGR2HSV → inRange(lower, upper) → count of matching
+    pixels. The count feeds the same >N-pixels threshold predicate the
+    engine's fire_alerts plan applies to the events table."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    hsv = bgr_to_hsv(gaussian_blur(img, blur_ksize))
+    lo = np.array(FIRE_HSV_LOWER)
+    hi = np.array(FIRE_HSV_UPPER)
+    mask = np.all((hsv >= lo) & (hsv <= hi), axis=-1)
+    return int(mask.sum())
+
+
 def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize in pure numpy — genuinely functional
     (not a stub): index-map sampling, the same semantics as
@@ -168,6 +249,26 @@ def video_frame_sample(docs: DataFrame) -> DataFrame:
     only change is the demuxer inside the worker."""
     return with_binary_payload(docs).mapInPandas(
         sample_frames, schema="doc_id long, frame_idx long, frame_bytes long"
+    )
+
+
+def scan_fire_pixels(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload → decode → blur → HSV → in-range
+    pixel count (the reference's per-frame detect_fire preprocessing,
+    distributed). Arrow batch in, one row per payload out."""
+    for pdf in batches:
+        counts = [
+            fire_pixel_count(decode_image(bytes(buf))) for buf in pdf["payload"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "fire_pixels": counts})
+
+
+def fire_pixel_scan(docs: DataFrame) -> DataFrame:
+    """Distributed fire-pixel scan over binary payloads: the pixel math
+    is the real reference pipeline (blur → HSV → inRange), the decode
+    is the cv2/PIL/stub seam. Partition-local, zero shuffle."""
+    return with_binary_payload(docs).mapInPandas(
+        scan_fire_pixels, schema="doc_id long, fire_pixels long"
     )
 
 

@@ -142,3 +142,82 @@ def test_video_frame_sample_chunks(spark, sf_dir):
         assert r.frame_idx % FRAME_STRIDE == 0 and r.frame_idx < n_frames
         expect = min(FRAME_SIZE, total - r.frame_idx * FRAME_SIZE)
         assert r.frame_bytes == expect
+
+
+def test_bgr_to_hsv_primary_colors():
+    """cv2 HSV conventions: H in [0,180), primaries at 0/60/120."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        bgr_to_hsv,
+    )
+
+    img = np.array(
+        [[[0, 0, 255], [0, 255, 0], [255, 0, 0], [128, 128, 128], [0, 0, 0]]],
+        dtype=np.uint8,
+    )  # red, green, blue (BGR), gray, black
+    hsv = bgr_to_hsv(img)
+    assert hsv[0, 0].tolist() == [0, 255, 255]  # red
+    assert hsv[0, 1].tolist() == [60, 255, 255]  # green
+    assert hsv[0, 2].tolist() == [120, 255, 255]  # blue
+    assert hsv[0, 3].tolist() == [0, 0, 128]  # gray: no saturation
+    assert hsv[0, 4].tolist() == [0, 0, 0]  # black
+
+
+def test_gaussian_blur_properties():
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        _gaussian_kernel,
+        gaussian_blur,
+    )
+
+    k = _gaussian_kernel(21)
+    assert abs(k.sum() - 1.0) < 1e-12
+    assert np.array_equal(k, k[::-1])  # symmetric
+    # uniform image is a fixed point
+    flat = np.full((30, 30, 3), 77, dtype=np.uint8)
+    assert np.array_equal(gaussian_blur(flat), flat)
+    # impulse response is symmetric and mass-preserving-ish
+    imp = np.zeros((41, 41), dtype=np.uint8)
+    imp[20, 20] = 255
+    out = gaussian_blur(imp.astype(np.uint8)[..., None].repeat(3, -1), 5)
+    assert np.array_equal(out, out[::-1, :, :])
+    assert np.array_equal(out, out[:, ::-1, :])
+
+
+def test_hsv_blur_match_cv2_when_present():
+    import pytest
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    if not mm.HAS_CV2:
+        pytest.skip("cv2 absent; numpy implementations carry the tests")
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (32, 24, 3), dtype=np.uint8)
+    ours = mm.bgr_to_hsv(img).astype(int)
+    ref = mm.cv2.cvtColor(img, mm.cv2.COLOR_BGR2HSV).astype(int)
+    assert np.abs(ours - ref).max() <= 1
+    b_ours = mm.gaussian_blur(img, 21).astype(int)
+    b_ref = mm.cv2.GaussianBlur(img, (21, 21), 0).astype(int)
+    assert np.abs(b_ours - b_ref).max() <= 1
+
+
+def test_fire_pixel_scan_distributed(spark, sf_dir):
+    """Distributed pixel path: deterministic, in-range, and equal to
+    the driver-side composition on the same payloads."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        decode_image,
+        fire_pixel_count,
+        fire_pixel_scan,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(12)
+    got = {r.doc_id: r.fire_pixels for r in fire_pixel_scan(docs).collect()}
+    raw = {
+        r.doc_id: bytes(r.payload)
+        for r in docs.selectExpr(
+            "doc_id", "encode(text, 'utf-8') AS payload"
+        ).collect()
+    }
+    assert got == {
+        d: fire_pixel_count(decode_image(buf)) for d, buf in raw.items()
+    }
