@@ -18,7 +18,15 @@ def _rows(spark, name, sf_dir):
 
 def test_timestamp_queries_ignore_session_timezone(spark, sf_dir):
     tz = spark.conf.get("spark.sql.session.timeZone")
-    targets = ["crowded_frames", "asof_next_event", "sessionize"]
+    targets = [
+        "crowded_frames",
+        "asof_next_event",
+        "sessionize",
+        # r4 additions doing session-window / week-truncation arithmetic
+        "session_window_stats",
+        "retention_cohorts",
+        "funnel_conversion",
+    ]
     try:
         utc = {n: _rows(spark, n, sf_dir) for n in targets}
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
