@@ -80,6 +80,28 @@ def main() -> int:
             )
         )
 
+    # events amplification: replicas get disjoint user populations and
+    # a per-replica time shift, so sessions/funnels/cohorts genuinely
+    # multiply (same-user same-ts duplicates would collapse in
+    # session/dedup logic and undercount the work)
+    base_events = tables.load_table(spark, "events", SF)
+    max_user = base_events.agg(F.max("user_id")).first()[0] + 1
+    max_event = base_events.agg(F.max("event_id")).first()[0] + 1
+
+    def amplified_events(n: int):
+        reps = spark.range(n).select(F.col("id").alias("rep"))
+        return (
+            base_events.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * max_event).alias("event_id"),
+                (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+                (F.col("user_id") + F.col("rep") * max_user).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+
     results = {}
     for n in (1, amp):
         # monkey-patch the loader so queries read the amplified frames
@@ -90,6 +112,8 @@ def main() -> int:
                 return amplified_docs(_n)
             if name == "embeddings":
                 return amplified_emb(_n)
+            if name == "events":
+                return amplified_events(_n)
             return orig(spark_, name, sf_)
 
         tables.load_table = patched
