@@ -158,6 +158,19 @@ def streaming_session_stats(
     )
 
 
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the
+    unbounded side joins the static dimension (re-read per batch, so a
+    refreshed dim table is picked up without restarting the query).
+    The static side broadcasts — the stream never shuffles for the
+    join, which is the only sane shape at 100 TB event rates; stateful
+    stream-stream joins (click_purchase_pairs) are for when BOTH sides
+    are unbounded."""
+    from pyspark.sql import functions as F2
+
+    return stream.join(F2.broadcast(dim), "user_id", "left")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to a memory sink synchronously (test
     harness; production would be Kafka/foreachBatch)."""

@@ -159,3 +159,55 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
         for r in session_window_stats(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static join: streaming events enriched with the static
+    customer dimension equal the batch join; the static side broadcasts
+    so the stream side never shuffles."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.runner import (
+        enrich_stream_with_dim,
+    )
+
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .selectExpr("c_custkey AS user_id", "c_mktsegment AS segment")
+    )
+    stream = stream_events(spark, sf_dir).select("event_id", "user_id")
+    q = run_to_memory(enrich_stream_with_dim(stream, dim), "enriched_out")
+    try:
+        got = {
+            r.event_id: (r.user_id, r.segment)
+            for r in spark.sql("SELECT * FROM enriched_out").collect()
+        }
+    finally:
+        q.stop()
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    want = {
+        r.event_id: (r.user_id, r.segment)
+        for r in events.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "segment")
+        .collect()
+    }
+    assert got == want
+
+
+def test_available_now_trigger_drains_and_stops(spark, sf_dir):
+    """Trigger.AvailableNow: the operational batch-drain mode — process
+    everything currently available in bounded micro-batches, then stop
+    on its own (no processAllAvailable/stop choreography)."""
+    stream = stream_events(spark, sf_dir).select("event_id")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("drain_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # stopped by itself after draining
+    got = spark.sql("SELECT count(*) AS n FROM drain_out").first().n
+    want = load_table(spark, "events", sf_dir).count()
+    assert got == want
+    # multiple micro-batches actually ran (maxFilesPerTrigger respected)
+    assert len(q.recentProgress) > 1
