@@ -394,7 +394,11 @@ def embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
     exactly once because ib lives in exactly one tile. Peak driver
     materialization is ONE TILE, never the corpus, so the anchor
     survives a corpus 10-100× past driver memory (the earlier form
-    collected the whole corpus with toPandas). The matmul form itself
+    collected the whole corpus with toPandas). Executor-side the
+    broadcasts still total the corpus across the plan's lifetime —
+    that's inherent to exact all-pairs; Spark broadcast storage is
+    MEMORY_AND_DISK so tiles spill rather than OOM, and the per-tile
+    granularity keeps any single resident block ≤0.5 MB. The matmul form itself
     replaced a row-pair cross-join whose per-pair interpreted array
     folds took 85 s at sf0.1 (~2 s now). Still O(n²) compute by
     definition — n/tile corpus scans of n×tile matmuls — so at 100 TB
