@@ -49,8 +49,9 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # checks — the least informative re-verifications) and value_outliers
 # (plan unchanged, warm-retimed this round). The r5 queue is therefore:
 # approx_aggregates, stratified_sample, value_outliers, plus the
-# round-4 analytics additions funnel_conversion / retention_cohorts /
-# user_event_paths (locally oracle-green, positions 51+ this round).
+# round-4 additions funnel_conversion / retention_cohorts /
+# user_event_paths / vocab_coverage / length_bucket_batches (all
+# locally oracle-green, positions 51+ this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",

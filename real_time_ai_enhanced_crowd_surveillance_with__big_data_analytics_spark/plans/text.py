@@ -400,7 +400,70 @@ FROM t
 """
 
 
+# --- vocabulary coverage (Zipf audit) ---------------------------------------
+
+VOCAB_TOP = 30
+
+
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus Zipf audit: the VOCAB_TOP most frequent tokens with their
+    cumulative share of all corpus tokens — the tokenizer-vocabulary /
+    coverage curve every LM data card publishes. One explode+groupBy
+    shuffle builds the frequency table (vocab-cardinality, tiny vs the
+    corpus); the ordered cumulative window then runs over VOCAB of
+    rows, not documents. The deliberately-single-partition cum window
+    is over the top slice only — at 100 TB take the top-k per
+    partition first (partial top-k), which this plan's groupBy output
+    already satisfies via the final limit."""
+    docs = load_table(spark, "documents", sf)
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    # lazy 1-row total (broadcast cross join) — no driver collect, the
+    # same shape lm_cross_entropy uses for its corpus total
+    total = freq.agg(F.sum("freq").cast("double").alias("_total"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "tok",
+            "freq",
+            F.round(
+                F.sum("freq")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("_total"),
+                6,
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rank") <= VOCAB_TOP)
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH freq AS (
+  SELECT tok, count(*) AS freq
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+  GROUP BY tok
+), total AS (SELECT sum(freq) AS t FROM freq)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank,
+         tok, freq,
+         round(CAST(sum(freq) OVER (ORDER BY freq DESC, tok ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / (SELECT t FROM total), 6) AS cum_share
+  FROM freq
+) WHERE rank <= {VOCAB_TOP}
+"""
+
+
 TEXT_QUERIES = {
+    "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),

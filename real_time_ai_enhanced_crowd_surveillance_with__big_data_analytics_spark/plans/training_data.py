@@ -505,9 +505,61 @@ ZORDER_KEY_SQL = (
 )
 
 
+# --- length-bucketed inference batching --------------------------------------
+
+N_LENGTH_BUCKETS = 8
+INFER_BATCH_SIZE = 16
+
+
+def length_bucket_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-efficient inference batching: documents are ntile'd into
+    N_LENGTH_BUCKETS by token count (similar lengths batch together so
+    per-batch padding waste is minimal), then split into fixed-size
+    batches inside each bucket — the standard layout for batched LLM
+    scoring/embedding jobs. Exact global ntile implies a global sort;
+    at 100 TB swap it for width_bucket over approx-quantile boundaries
+    (one pass, no sort) — semantics identical up to boundary ties,
+    which is why the exact form is the oracle anchor here."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, "documents", sf)
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    w = Window.orderBy(F.col("n_tok").asc(), F.col("doc_id").asc())
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("n_tok").asc(), F.col("doc_id").asc()
+    )
+    return (
+        sized.withColumn("bucket", F.ntile(N_LENGTH_BUCKETS).over(w))
+        .withColumn(
+            "batch_idx",
+            ((F.row_number().over(wb) - 1) / INFER_BATCH_SIZE).cast("long"),
+        )
+    )
+
+
+LENGTH_BUCKET_BATCHES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tok,
+         ntile({N_LENGTH_BUCKETS}) OVER (ORDER BY n_tok ASC, doc_id ASC)
+           AS bucket
+  FROM sized
+)
+SELECT doc_id, n_tok, bucket,
+       CAST(floor((row_number() OVER (PARTITION BY bucket
+                     ORDER BY n_tok ASC, doc_id ASC) - 1)
+                  / {INFER_BATCH_SIZE}) AS BIGINT) AS batch_idx
+FROM bucketed
+"""
+
+
 TRAINING_DATA_QUERIES = {
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "zorder_key": (zorder_key, ZORDER_KEY_SQL),
+    "length_bucket_batches": (length_bucket_batches, LENGTH_BUCKET_BATCHES_SQL),
     "source_mixture_report": (source_mixture_report, SOURCE_MIXTURE_REPORT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "source_quota_sample": (source_quota_sample, SOURCE_QUOTA_SAMPLE_SQL),
