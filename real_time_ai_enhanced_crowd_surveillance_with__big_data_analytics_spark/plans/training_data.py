@@ -556,7 +556,98 @@ FROM bucketed
 """
 
 
+# --- the composed corpus build (flagship data-build DAG) ---------------------
+
+BUILD_QUALITY_MIN = 0.3
+
+
+def corpus_build_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-corpus build as ONE declarative plan — the
+    composition every stage above exists for: quality gate → exact
+    dedup (keep min doc_id per SHA-256 fingerprint) → per-source cap
+    (hash-priority) → per-source cumulative token budget view. Because
+    it is a single DataFrame expression, Catalyst fuses the stage
+    predicates into the scan and the three shuffles (fingerprint,
+    source window, source window) are all the plan needs — no
+    intermediate materialization between stages, which is the point of
+    an engine vs a script chain at 100 TB."""
+    from ..functions.text import quality_score, token_count
+
+    docs = load_table(spark, "documents", sf)
+    fp_w = Window.partitionBy("fp")
+    src_w = Window.partitionBy("source").orderBy(
+        ((F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            quality_score(F.col("text")).alias("quality"),
+            F.sha2(F.col("text"), 256).alias("fp"),
+            token_count(F.col("text")).alias("n_tok"),
+        )
+        .filter(F.col("quality") >= BUILD_QUALITY_MIN)
+        .withColumn("keep_fp", F.col("doc_id") == F.min("doc_id").over(fp_w))
+        .filter(F.col("keep_fp"))
+        .withColumn("rk", F.row_number().over(src_w))
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            "n_tok",
+            "rk",
+            F.sum("n_tok")
+            .over(
+                src_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+
+
+CORPUS_BUILD_PIPELINE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
+               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+                                             x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                  / len(string_split(trim(text), ' '))), 6) AS quality,
+         sha256(text) AS fp,
+         len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE quality >= {BUILD_QUALITY_MIN}
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep_fp
+    FROM gated
+  ) WHERE keep_fp
+), capped AS (
+  SELECT * FROM (
+    SELECT doc_id, source, quality, n_tok,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+                      doc_id ASC) AS rk
+    FROM deduped
+  ) WHERE rk <= {CAP_PER_SOURCE}
+)
+SELECT doc_id, source, quality, n_tok, rk,
+       CAST(sum(n_tok) OVER (
+         PARTITION BY source
+         ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+                  doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM capped
+"""
+
+
 TRAINING_DATA_QUERIES = {
+    "corpus_build_pipeline": (corpus_build_pipeline, CORPUS_BUILD_PIPELINE_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "zorder_key": (zorder_key, ZORDER_KEY_SQL),
     "length_bucket_batches": (length_bucket_batches, LENGTH_BUCKET_BATCHES_SQL),
