@@ -567,8 +567,9 @@ def corpus_build_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     dedup (keep min doc_id per SHA-256 fingerprint) → per-source cap
     (hash-priority) → per-source cumulative token budget view. Because
     it is a single DataFrame expression, Catalyst fuses the stage
-    predicates into the scan and the three shuffles (fingerprint,
-    source window, source window) are all the plan needs — no
+    predicates into the scan and reuses the source-window partitioning
+    across the cap and budget stages — TWO exchanges total
+    (fingerprint, source; verified in PLANS.md) — no
     intermediate materialization between stages, which is the point of
     an engine vs a script chain at 100 TB."""
     from ..functions.text import quality_score, token_count
