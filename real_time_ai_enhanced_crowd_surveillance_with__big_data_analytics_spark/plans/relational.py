@@ -580,15 +580,16 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    spark_stage = [
-        v.select(F.lit("view").alias("stage"), F.lit(1).cast("int").alias("stage_ord")),
-        c.select(F.lit("click").alias("stage"), F.lit(2).cast("int").alias("stage_ord")),
-        p.select(F.lit("purchase").alias("stage"), F.lit(3).cast("int").alias("stage_ord")),
-    ]
+    # global agg, NOT groupBy on the stage literals: an empty stage
+    # must still yield its (stage, 0) row exactly like the oracle's
+    # COUNT(*) over an empty CTE (groupBy over an empty frame emits
+    # nothing and would drop the zero-conversion stage from the report)
     out = None
-    for s in spark_stage:
-        agg = s.groupBy("stage", "stage_ord").agg(
-            F.count("*").alias("n_users")
+    for stage_df, stage, ord_ in ((v, "view", 1), (c, "click", 2), (p, "purchase", 3)):
+        agg = stage_df.agg(F.count("*").alias("n_users")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            "n_users",
         )
         out = agg if out is None else out.unionAll(agg)
     return out

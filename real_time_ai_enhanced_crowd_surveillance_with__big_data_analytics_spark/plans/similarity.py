@@ -409,6 +409,8 @@ def embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf)
     lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    if lo is None:
+        raise ValueError("empty embeddings table")
     n_tiles = max(1, -(-(hi - lo + 1) // NEARDUP_TILE_ROWS))
     out = None
     for t in range(n_tiles):
@@ -446,7 +448,7 @@ def embedding_neardup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
         part = emb.mapInPandas(block, schema="ia long, ib long, cosine double")
         out = part if out is None else out.unionAll(part)
-    assert out is not None, "empty embeddings table"
+    assert out is not None  # unreachable: n_tiles >= 1 and lo checked
     return out
 
 

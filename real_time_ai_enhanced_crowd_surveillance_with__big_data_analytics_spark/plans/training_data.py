@@ -306,16 +306,17 @@ WHERE cum - n_tok < {TOKEN_BUDGET}
 
 # --- quality-weighted resampling (DCLM/FineWeb-style) ------------------------
 
-QUALITY_TEMP = 2          # temperature: >1 sharpens toward high quality (integer: applied as explicit products for cross-engine bit-parity)
 KEEP_SCALE = 1_000_000    # integer-scaled threshold for exact parity
 
 
 def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic quality-weighted document resampling: keep a
-    document iff its multiplicative-hash coin lands under
-    quality^TEMP — the probability-proportional-to-quality sampler
-    used to upweight high-quality strata in pretraining mixtures
-    (temperature sharpens or flattens the weighting).
+    document iff its multiplicative-hash coin lands under quality² —
+    the probability-proportional-to-quality sampler
+    used to upweight high-quality strata in pretraining mixtures. The
+    squaring temperature is FIXED at 2 and written as an explicit
+    product in both engines (see the in-plan comment); a configurable
+    exponent would reintroduce the cross-engine pow() hazard.
 
     Scale shape: a pure per-row filter — ZERO shuffles, no window, no
     join; at 100 TB this is a map-only pass the scan pushes through.

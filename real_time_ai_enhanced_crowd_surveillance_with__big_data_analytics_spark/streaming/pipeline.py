@@ -42,7 +42,10 @@ _CROWD_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-# accumulated candidate boxes for one frame (parallel arrays)
+# accumulated candidate boxes for one frame (parallel arrays) plus the
+# frame's newest-ever event time — persisted so a late out-of-order
+# batch can never move the eviction deadline BACKWARD (recomputing the
+# deadline from only the current batch's max ts would)
 _CROWD_STATE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.ArrayType(T.LongType()), True),
@@ -51,6 +54,7 @@ _CROWD_STATE_SCHEMA = T.StructType(
         T.StructField("y", T.ArrayType(T.LongType()), True),
         T.StructField("w", T.ArrayType(T.LongType()), True),
         T.StructField("h", T.ArrayType(T.LongType()), True),
+        T.StructField("max_ts_ms", T.LongType(), True),
     ]
 )
 
@@ -67,20 +71,24 @@ def _crowd_fn(ttl_ms: int):
             # emission is final, drop the accumulated boxes.
             state.remove()
             return
-        acc: dict[str, list] = (
-            dict(zip(_BOX_COLS, (list(v) for v in state.get)))
-            if state.exists
-            else {c: [] for c in _BOX_COLS}
-        )
-        max_ts_ms = 0
+        if state.exists:
+            *box_state, max_ts_ms = state.get
+            acc: dict[str, list] = dict(
+                zip(_BOX_COLS, (list(v) for v in box_state))
+            )
+        else:
+            acc = {c: [] for c in _BOX_COLS}
+            max_ts_ms = 0
         for pdf in pdfs:
             for c in _BOX_COLS:
                 acc[c].extend(pdf[c].tolist())
             if len(pdf):
+                # max over stored AND batch ts: a late out-of-order
+                # arrival must never pull the deadline earlier
                 max_ts_ms = max(
                     max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
                 )
-        state.update(tuple(acc[c] for c in _BOX_COLS))
+        state.update((*(acc[c] for c in _BOX_COLS), max_ts_ms))
         # Evict once the watermark passes the frame's newest event + TTL.
         # Spark rejects timeout timestamps at/behind the current
         # watermark, so clamp against it (a frame whose events are

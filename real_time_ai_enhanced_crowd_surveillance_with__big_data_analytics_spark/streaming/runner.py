@@ -166,9 +166,7 @@ def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame) -> DataFrame:
     join, which is the only sane shape at 100 TB event rates; stateful
     stream-stream joins (click_purchase_pairs) are for when BOTH sides
     are unbounded."""
-    from pyspark.sql import functions as F2
-
-    return stream.join(F2.broadcast(dim), "user_id", "left")
+    return stream.join(F.broadcast(dim), "user_id", "left")
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):

@@ -35,6 +35,9 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("prev", T.BooleanType(), True),
         T.StructField("episodes", T.LongType(), True),
+        # newest-ever event time — persisted so a late out-of-order
+        # batch never moves the idle-eviction deadline backward
+        T.StructField("max_ts_ms", T.LongType(), True),
     ]
 )
 
@@ -51,9 +54,10 @@ def _edge_fn(threshold: float, ttl_ms: int):
             # documented trade for a bounded store over episodic keys.
             state.remove()
             return
-        prev, episodes = state.get if state.exists else (False, 0)
+        prev, episodes, max_ts_ms = (
+            state.get if state.exists else (False, 0, 0)
+        )
         out_rows = []
-        max_ts_ms = 0
         for pdf in pdfs:
             pdf = pdf.sort_values("event_id")
             for event_id, value in zip(pdf["event_id"], pdf["value"]):
@@ -66,9 +70,9 @@ def _edge_fn(threshold: float, ttl_ms: int):
                 max_ts_ms = max(
                     max_ts_ms, int(pdf["ts"].max().value // 1_000_000)
                 )
-        state.update((prev, episodes))
+        state.update((prev, episodes, max_ts_ms))
         # re-arm on activity: the deadline restarts from this key's
-        # newest event, so only genuinely idle cameras are evicted.
+        # newest-ever event, so only genuinely idle cameras are evicted.
         # Event-time (not processing-time) deliberately: a pending
         # ProcessingTimeTimeout makes MicroBatchExecution's
         # shouldRunAnotherBatch always-true — the query busy-loops

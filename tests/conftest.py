@@ -22,3 +22,34 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+# shared by the stateful-streaming tests (state TTL, RocksDB parity,
+# checkpoint restart): one replay chunk = one parquet file = one
+# micro-batch, with the 4-column events shape the operators consume
+def events_chunk_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+
+def write_events_chunk(spark, src: str, name: str, rows) -> None:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    tmp = f"{src}/_{name}"
+    spark.createDataFrame(rows, events_chunk_schema()).coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    _os.rename(
+        _glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet"
+    )
+    _shutil.rmtree(tmp)

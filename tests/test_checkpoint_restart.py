@@ -8,35 +8,15 @@ genuinely partial (so recovery actually resumed, not recomputed).
 from __future__ import annotations
 
 import datetime as dt
-import glob
 import os
-import shutil
 
-from pyspark.sql import types as T
+from conftest import events_chunk_schema, write_events_chunk
 
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.stateful import (
     streaming_rising_edges,
 )
 
-_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
-)
-
 T0 = dt.datetime(2024, 1, 1)
-
-
-def _write_chunk(spark, src: str, name: str, rows) -> None:
-    tmp = f"{src}/_{name}"
-    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    os.rename(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
-    shutil.rmtree(tmp)
 
 
 def test_stateful_query_resumes_from_checkpoint(spark, tmp_path):
@@ -46,7 +26,7 @@ def test_stateful_query_resumes_from_checkpoint(spark, tmp_path):
     # if the low in between was seen exactly once
     rows1 = [(1, 1, 200.0, T0), (1, 2, 100.0, T0), (2, 3, 300.0, T0)]
     rows2 = [(1, 4, 250.0, T0), (2, 5, 100.0, T0), (2, 6, 400.0, T0)]
-    _write_chunk(spark, src, "f1", rows1)
+    write_events_chunk(spark, src, "f1", rows1)
 
     got: dict = {}
     emissions: list[tuple] = []  # every sunk row, duplicates included
@@ -55,7 +35,7 @@ def test_stateful_query_resumes_from_checkpoint(spark, tmp_path):
         # foreachBatch, not the memory sink: only fault-tolerant sinks
         # support recovering from a checkpoint
         stream = (
-            spark.readStream.schema(_SCHEMA)
+            spark.readStream.schema(events_chunk_schema())
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
@@ -78,11 +58,10 @@ def test_stateful_query_resumes_from_checkpoint(spark, tmp_path):
     q1.stop()  # "crash" between micro-batches
     assert got == {(1, 1): 1, (2, 3): 1}  # partial progress only
 
-    _write_chunk(spark, src, "f2", rows2)
+    write_events_chunk(spark, src, "f2", rows2)
     q2 = start()
-    q2.processAllAvailable()
     try:
-        pass
+        q2.processAllAvailable()
     finally:
         q2.stop()
     # resumed state: user 1's episode counter continues at 2 (the lag

@@ -9,23 +9,12 @@ ships inside Spark and is covered here.)
 from __future__ import annotations
 
 import datetime as dt
-import glob
 import os
-import shutil
 
-from pyspark.sql import types as T
+from conftest import events_chunk_schema, write_events_chunk
 
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.stateful import (
     streaming_rising_edges,
-)
-
-_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
 )
 
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
@@ -36,18 +25,9 @@ _ROCKSDB = (
 T0 = dt.datetime(2024, 1, 1)
 
 
-def _write_chunk(spark, src, name, rows):
-    tmp = f"{src}/_{name}"
-    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    os.rename(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
-    shutil.rmtree(tmp)
-
-
 def _run(spark, src, qname):
     stream = (
-        spark.readStream.schema(_SCHEMA)
+        spark.readStream.schema(events_chunk_schema())
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -72,11 +52,11 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
     # two chunks so per-key state genuinely crosses micro-batches
-    _write_chunk(
+    write_events_chunk(
         spark, src, "f1",
         [(1, 1, 200.0, T0), (1, 2, 100.0, T0), (2, 3, 500.0, T0)],
     )
-    _write_chunk(
+    write_events_chunk(
         spark, src, "f2",
         [(1, 4, 300.0, T0), (2, 5, 100.0, T0), (2, 6, 400.0, T0)],
     )

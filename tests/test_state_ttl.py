@@ -8,13 +8,12 @@ Spark 4 state data source against the query's own checkpoint.
 from __future__ import annotations
 
 import datetime as dt
-import glob
 import os
-import shutil
 import time
 
 import pytest
-from pyspark.sql import types as T
+
+from conftest import write_events_chunk
 
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.pipeline import (
     streaming_crowd_alerts,
@@ -23,26 +22,7 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.str
     streaming_rising_edges,
 )
 
-_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
-)
-
 T0 = dt.datetime(2024, 1, 1)
-
-
-def _write_chunk(spark, src: str, name: str, rows) -> None:
-    """One replay chunk = one parquet file = one micro-batch."""
-    tmp = f"{src}/_{name}"
-    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    os.rename(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
-    shutil.rmtree(tmp)
 
 
 def _state_keys(spark, ckpt: str) -> list[tuple]:
@@ -66,7 +46,7 @@ def test_crowd_state_evicted_after_watermark(spark, dirs):
     os.makedirs(src)
     # frame batch at T0; event_ids 1..8 give 5 confidence-passing
     # detections across 5 distinct frames (event_id % 50)
-    _write_chunk(spark, src, "f1", [(1, e, 0.0, T0) for e in range(1, 9)])
+    write_events_chunk(spark, src, "f1", [(1, e, 0.0, T0) for e in range(1, 9)])
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
@@ -92,7 +72,7 @@ def test_crowd_state_evicted_after_watermark(spark, dirs):
 
         # a far-future event (999 passes the confidence filter) drags
         # the watermark past every T0 frame's ts + TTL
-        _write_chunk(
+        write_events_chunk(
             spark, src, "f2", [(2, 999, 0.0, T0 + dt.timedelta(days=60))]
         )
         q.processAllAvailable()
@@ -110,7 +90,7 @@ def test_crowd_state_evicted_after_watermark(spark, dirs):
 def test_rising_edges_state_evicted_when_idle(spark, dirs):
     src, ckpt = dirs
     os.makedirs(src)
-    _write_chunk(
+    write_events_chunk(
         spark, src, "f1", [(1, 1, 200.0, T0), (1, 2, 100.0, T0)]
     )
     stream = (
@@ -134,7 +114,7 @@ def test_rising_edges_state_evicted_when_idle(spark, dirs):
 
         # camera 2 sixty days later: the watermark leaves camera 1's
         # newest event + TTL far behind → camera 1 is idle, evict
-        _write_chunk(
+        write_events_chunk(
             spark, src, "f2", [(2, 3, 300.0, T0 + dt.timedelta(days=60))]
         )
         q.processAllAvailable()
@@ -149,5 +129,62 @@ def test_rising_edges_state_evicted_when_idle(spark, dirs):
             "select * from ttl_edges where user_id = 2"
         ).collect()
         assert [(r.event_id, r.episode) for r in rows] == [(3, 1)]
+    finally:
+        q.stop()
+
+
+def test_late_arrival_does_not_move_deadline_backward(spark, dirs):
+    """Regression (r4 self-review): the eviction deadline derives from
+    the key's newest-EVER event, persisted in state — a late
+    in-watermark arrival for the frame must not pull the deadline
+    earlier and cause premature eviction."""
+    src, ckpt = dirs
+    os.makedirs(src)
+    H = dt.timedelta(hours=1)
+    # events 4 and 54 share frame key 4 (both pass the confidence gate)
+    write_events_chunk(spark, src, "f1", [(1, 4, 0.0, T0 + 10 * H)])
+    got: dict = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[(r.camera_id, r.frame_id)] = r.n_persons
+
+    q = streaming_crowd_alerts(
+        stream := (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        ),
+        sink,
+        watermark="1 hour",
+        frame_ttl_ms=3_600_000,
+        checkpoint_dir=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        # late (but in-watermark) second box for the SAME frame: older
+        # ts than the stored max — deadline must stay T0+10h + TTL
+        write_events_chunk(
+            spark, src, "f2", [(1, 54, 0.0, T0 + 9 * H + dt.timedelta(minutes=30))]
+        )
+        q.processAllAvailable()
+        assert got[(1, 4)] == 2  # both boxes merged into the frame
+        # watermark to T0+10h45m: past the REGRESSED deadline
+        # (9h30m + 1h) but before the correct one (10h + 1h)
+        write_events_chunk(
+            spark, src, "f3", [(2, 5, 0.0, T0 + 11 * H + dt.timedelta(minutes=45))]
+        )
+        q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+        assert (1, 4) in _state_keys(spark, ckpt)  # NOT evicted early
+        # and the frame finally evicts once the true deadline passes
+        write_events_chunk(
+            spark, src, "f4", [(2, 6, 0.0, T0 + 13 * H)]
+        )
+        q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+        assert (1, 4) not in _state_keys(spark, ckpt)
     finally:
         q.stop()

@@ -85,8 +85,8 @@ def main() -> int:
     # multiply (same-user same-ts duplicates would collapse in
     # session/dedup logic and undercount the work)
     base_events = tables.load_table(spark, "events", SF)
-    max_user = base_events.agg(F.max("user_id")).first()[0] + 1
-    max_event = base_events.agg(F.max("event_id")).first()[0] + 1
+    _mu, _me = base_events.agg(F.max("user_id"), F.max("event_id")).first()
+    max_user, max_event = _mu + 1, _me + 1
 
     def amplified_events(n: int):
         reps = spark.range(n).select(F.col("id").alias("rep"))
