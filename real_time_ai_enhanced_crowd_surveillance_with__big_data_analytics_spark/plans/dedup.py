@@ -803,9 +803,71 @@ FROM inc i LEFT JOIN base b USING (fp)
 """
 
 
+def neardup_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the near-dup graph: how often near-duplicate
+    pairs close into triangles — high closure means dup GROUPS (template
+    families, mirrors), low closure means chains (incremental edits),
+    which picks the right canonicalization strategy. The classic
+    oriented-edge join: edges are already ia < ib, so each triangle
+    a<b<c is counted exactly once by joining (a,b)⋈(b,c)⋈(a,c) — no
+    permutation double-counting, work bounded by Σ deg² of the (small)
+    edge graph, never the corpus."""
+    docs = load_table(spark, "documents", sf)
+    edges = _neardup_edges(docs).localCheckpoint()
+    ab = edges.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    bc = edges.select(F.col("ia").alias("b"), F.col("ib").alias("c"))
+    ac = edges.select(F.col("ia").alias("a"), F.col("ib").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    nodes = (
+        ab.select(F.col("a").alias("n"))
+        .union(ab.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+        .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
+    )
+
+
+NEARDUP_TRIANGLES_SQL_TEMPLATE = """
+WITH {postings},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT s.ia, s.ib
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+  WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+        >= {threshold}
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges ab
+  JOIN edges bc ON ab.ib = bc.ia
+  JOIN edges ac ON ac.ia = ab.ia AND ac.ib = bc.ib
+), stats AS (
+  SELECT (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT count(*) FROM (
+            SELECT ia AS n FROM edges UNION SELECT ib FROM edges)) AS n_nodes
+)
+SELECT t.n_triangles, s.n_edges, s.n_nodes FROM tri t CROSS JOIN stats s
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "neardup_triangles": (
+        neardup_triangles,
+        NEARDUP_TRIANGLES_SQL_TEMPLATE.format(
+            postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
+        ),
+    ),
     "dedup_ngram_jaccard": (
         dedup_ngram_jaccard,
         DEDUP_NGRAM_JACCARD_SQL.format(postings=_DUCK_POSTINGS),

@@ -51,7 +51,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # approx_aggregates, stratified_sample, value_outliers, plus the
 # round-4 additions funnel_conversion / retention_cohorts /
 # user_event_paths / vocab_coverage / length_bucket_batches /
-# corpus_build_pipeline (all
+# corpus_build_pipeline / markov_transitions / bigram_lift /
+# neardup_triangles (all
 # locally oracle-green, positions 51+ this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())

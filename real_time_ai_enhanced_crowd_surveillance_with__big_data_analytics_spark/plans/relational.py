@@ -704,6 +704,51 @@ GROUP BY user_id
 """
 
 
+def markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-type transition matrix: P(next | prev) estimated
+    over consecutive event pairs in (ts, event_id) order — the
+    first-order behavioral model behind next-action prediction and
+    anomaly scoring. One user-keyed window builds the pairs; the
+    probability normalization is a window over the 25-row transition
+    frame, not the corpus."""
+    events = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("prev")
+        )
+        .withColumn("next", F.lead("prev").over(w))
+        .filter(F.col("next").isNotNull())
+    )
+    counts = pairs.groupBy("prev", "next").agg(F.count("*").alias("n"))
+    total_w = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(total_w), 6
+        ).alias("p"),
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT user_id, event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events
+), counts AS (
+  SELECT prev, next, count(*) AS n
+  FROM pairs WHERE next IS NOT NULL
+  GROUP BY prev, next
+)
+SELECT prev, next, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6) AS p
+FROM counts
+"""
+
+
 SESSION_GAP_MIN = 60
 
 
@@ -1388,6 +1433,7 @@ RELATIONAL_QUERIES = {
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
     "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
+    "markov_transitions": (markov_transitions, MARKOV_TRANSITIONS_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),

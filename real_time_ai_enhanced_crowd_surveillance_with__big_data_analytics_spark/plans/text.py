@@ -462,8 +462,118 @@ SELECT * FROM (
 """
 
 
+# --- collocation mining (bigram lift) ----------------------------------------
+
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP = 20
+
+
+def bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Top collocations by lift — PMI's ratio form, deliberately
+    WITHOUT the log so the score needs no cross-engine libm parity:
+    lift(a,b) = P(ab) / (P(a)·P(b)), every factor cast to double
+    BEFORE multiplication (an integer product would hit DuckDB's
+    HUGEINT promotion where Spark wraps int64 — the exact class of
+    type-divergence the oracle harness exists to catch). Corpus totals
+    ride as lazy 1-row broadcasts; candidate bigrams below
+    BIGRAM_MIN_COUNT are dropped before ranking for determinism and
+    noise control."""
+    docs = load_table(spark, "documents", sf)
+    from pyspark.sql import Window
+
+    toks = tokens(F.col("text"))
+    pair_structs = F.expr(
+        "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
+        "i -> struct(split(trim(text), ' ')[i - 1] AS a, "
+        "split(trim(text), ' ')[i] AS b))"
+    )
+    bigrams = (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BIGRAM_MIN_COUNT)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    totals = uni.agg(
+        F.sum("n_tok").cast("double").alias("_n"),
+    ).crossJoin(
+        docs.select(
+            (F.size(toks) - 1).alias("nb")
+        ).agg(F.sum("nb").cast("double").alias("_b"))
+    )
+    na = uni.select(F.col("tok").alias("a"), F.col("n_tok").alias("n_a"))
+    nb = uni.select(F.col("tok").alias("b"), F.col("n_tok").alias("n_b"))
+    w = Window.orderBy(F.col("lift").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        bigrams.join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("_n")
+                    * F.col("_n")
+                )
+                / (
+                    F.col("_b")
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_TOP)
+    )
+
+
+BIGRAM_LIFT_SQL = f"""
+WITH toks AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+), bigrams AS (
+  SELECT p.a, p.b, count(*) AS n_ab
+  FROM (
+    SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z FROM toks
+  ), LATERAL (SELECT z[1] AS a, z[2] AS b) p
+  GROUP BY p.a, p.b
+  HAVING count(*) >= {BIGRAM_MIN_COUNT}
+), uni AS (
+  SELECT tok, count(*) AS n_tok
+  FROM (SELECT unnest(t) AS tok FROM toks)
+  GROUP BY tok
+), totals AS (
+  SELECT (SELECT CAST(sum(n_tok) AS DOUBLE) FROM uni) AS _n,
+         (SELECT CAST(sum(len(t) - 1) AS DOUBLE) FROM toks) AS _b
+)
+SELECT * FROM (
+  SELECT g.a, g.b, g.n_ab,
+         round(CAST(g.n_ab AS DOUBLE) * t._n * t._n
+               / (t._b * CAST(ua.n_tok AS DOUBLE) * CAST(ub.n_tok AS DOUBLE)),
+               6) AS lift,
+         row_number() OVER (ORDER BY
+           round(CAST(g.n_ab AS DOUBLE) * t._n * t._n
+                 / (t._b * CAST(ua.n_tok AS DOUBLE) * CAST(ub.n_tok AS DOUBLE)),
+                 6) DESC, g.a ASC, g.b ASC) AS rank
+  FROM bigrams g
+  JOIN uni ua ON ua.tok = g.a
+  JOIN uni ub ON ub.tok = g.b
+  CROSS JOIN totals t
+) WHERE rank <= {BIGRAM_TOP}
+"""
+
+
 TEXT_QUERIES = {
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
+    "bigram_lift": (bigram_lift, BIGRAM_LIFT_SQL),
     "bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
