@@ -20,6 +20,7 @@ from .surveillance import SURVEILLANCE_QUERIES
 from .text import TEXT_QUERIES
 from .tpch_advanced import TPCH_ADVANCED_QUERIES
 from .tpch_extra import TPCH_EXTRA_QUERIES
+from .timeseries import TIMESERIES_QUERIES
 from .tpch_final import TPCH_FINAL_QUERIES
 from .training_data import TRAINING_DATA_QUERIES
 
@@ -32,6 +33,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     SIMILARITY_QUERIES,
     DEDUP_QUERIES,
     PIPELINE_QUALITY_QUERIES,
+    TIMESERIES_QUERIES,
     TEXT_QUERIES,
     SURVEILLANCE_QUERIES,
     MULTIMODAL_QUERIES,
@@ -52,7 +54,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # round-4 additions funnel_conversion / retention_cohorts /
 # user_event_paths / vocab_coverage / length_bucket_batches /
 # corpus_build_pipeline / markov_transitions / bigram_lift /
-# neardup_triangles (all
+# neardup_triangles / gap_fill_hourly / rolling_active_users /
+# time_weighted_avg / robust_outliers / kmeans_refine (all
 # locally oracle-green, positions 51+ this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())

@@ -738,6 +738,100 @@ LIMIT 10
 """
 
 
+# --- one Lloyd refinement step (k-means over the label quantizer) -----------
+
+def kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means seeded from the per-label
+    centroids: re-assign every vector to its nearest centroid by
+    cosine, then re-average per assigned cluster (long format, matching
+    ``label_centroids``).
+
+    The assignment is the same single mapInPandas broadcast-matmul pass
+    as ``nearest_centroid`` — the embedding rides through the Arrow
+    batch so the re-average needs NO join back to the corpus — and the
+    re-average is the posexplode → groupBy(label, dim) layout whose
+    shuffle key is high-cardinality and even. This is the body of the
+    distributed k-means loop (driver iterates, each step is one scan +
+    one shuffle); one step with a deterministic seed is the
+    SQL-expressible spec the oracle can check. Ties on the round-6
+    cosine break toward the smallest label exactly as in
+    ``nearest_centroid``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    labs, cmat = _centroid_matrix(emb)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    bc = spark.sparkContext.broadcast((labs, cmat, cnorm))
+
+    def assign(batches):
+        labs_b, cm, cn = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(a @ cm.T / (an[:, None] * cn[None, :]), 6)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "assigned_label": labs_b[best],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select("embedding").mapInPandas(
+        assign, schema="assigned_label int, embedding array<float>"
+    )
+    return (
+        assigned.select(
+            "assigned_label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .groupBy(
+            F.col("assigned_label").alias("label"),
+            (F.col("pos") + 1).alias("dim"),
+        )
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+KMEANS_REFINE_SQL = f"""
+WITH long AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos, avg(x) AS c FROM long GROUP BY label, pos
+), cvecs AS (
+  SELECT clabel, list(c ORDER BY pos) AS cvec FROM cent GROUP BY clabel
+), scored AS (
+  SELECT e.vec_id, c.clabel,
+         round(
+           list_dot_product({_DUCK_VEC.format(v='e.embedding')}, c.cvec) /
+           (sqrt(list_dot_product({_DUCK_VEC.format(v='e.embedding')},
+                                  {_DUCK_VEC.format(v='e.embedding')})) *
+            sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+  FROM embeddings e CROSS JOIN cvecs c
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, clabel ASC) AS rn
+  FROM scored
+), assign AS (
+  SELECT vec_id, clabel FROM ranked WHERE rn = 1
+), elong AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT a.clabel AS label, e.dim,
+       round(avg(e.x), 6) AS centroid, count(*) AS n_vectors
+FROM assign a JOIN elong e USING (vec_id)
+GROUP BY a.clabel, e.dim
+"""
+
+
 SIMILARITY_QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "knn_batch": (knn_batch, KNN_BATCH_SQL),
@@ -751,4 +845,5 @@ SIMILARITY_QUERIES = {
         EMBEDDING_DEDUP_CLUSTERS_SQL.format(lsh_pairs=NEARDUP_LSH_SQL),
     ),
     "ivf_knn": (ivf_knn, IVF_KNN_SQL),
+    "kmeans_refine": (kmeans_refine, KMEANS_REFINE_SQL),
 }

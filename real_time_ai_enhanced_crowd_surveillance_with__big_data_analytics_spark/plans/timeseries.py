@@ -1,0 +1,290 @@
+"""Time-series analytics plans: gap-fill/LOCF resampling, sliding
+active-user windows, time-weighted averages, and robust (MAD) outliers.
+
+The reference's surveillance loop is a per-frame time series (main.py's
+while-loop emits one observation per frame); these are the batch
+analytics an operator would run over that history — the "historical
+trend analysis" its README promises. Each query is a (spark_fn,
+oracle_sql) pair per the registry contract.
+
+Scale posture is noted per query; the common theme is that every spine
+(hour/day grid) is bounded by calendar span — independent of corpus
+row count — so the gap-fill joins stay cheap at 100 TB, and the only
+event-cardinality shuffles are standard partial-aggregated groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def _ts_str(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# --- gap-filled hourly resample with LOCF -----------------------------------
+
+def gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly per-type resample over a dense hour spine, missing buckets
+    gap-filled, with last-observation-carried-forward on the sum.
+
+    The spine is ``sequence(min_hour, max_hour)`` × distinct types —
+    its size is calendar-bounded (hours in range × ~5 types), NOT
+    event-bounded, so the cross join and left join are broadcast-sized
+    no matter the corpus. One event-cardinality shuffle (the hourly
+    groupBy, partial-aggregated map-side); the LOCF window partitions
+    by type over the tiny spine. At 100 TB the hourly aggregate is the
+    only cost and it's the minimum possible one scan + one shuffle.
+    """
+    events = load_table(spark, "events", sf)
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("bucket")
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    locf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    joined = spine.join(hourly, ["event_type", "bucket"], "left")
+    return joined.select(
+        "event_type",
+        _ts_str(F.col("bucket")).alias("bucket_hour"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(locf).alias("carried_sum"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+GAP_FILL_HOURLY_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type,
+       strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       coalesce(h.n_events, 0) AS n_events,
+       h.sum_value AS sum_value,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY t.event_type ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_sum,
+       h.n_events IS NULL AS is_gap
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN hourly h ON h.event_type = t.event_type AND h.bucket = s.bucket
+"""
+
+
+# --- sliding 7-day distinct actives (DAU / WAU) -----------------------------
+
+def rolling_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Per calendar day: distinct actives that day (DAU) and over the
+    trailing 7 days (WAU), on a dense day spine.
+
+    Sliding DISTINCT can't be windowed directly; the scalable form is
+    the contribution explode: each distinct (user, day) emits the ≤7
+    window-days it contributes to, then one countDistinct per day.
+    Spark plans countDistinct as two aggregates — the first keyed on
+    the high-cardinality (day, user) pair, partial-aggregated map-side
+    — so the low-cardinality day key never concentrates raw rows on one
+    reducer. The day spine is calendar-bounded; DAU rides the same
+    aggregate via a conditional distinct (contribution where the source
+    day equals the window day), so the whole query is one scan + the
+    distinct pipeline.
+    """
+    events = load_table(spark, "events", sf)
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    contrib = user_days.select(
+        "user_id",
+        "d",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    bounds = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    return (
+        spine.join(contrib, "day", "left")
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau_7d"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau_7d")
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN u.d = s.day THEN u.user_id END) AS dau,
+       count(DISTINCT u.user_id) AS wau_7d
+FROM spine s
+LEFT JOIN ud u ON u.d BETWEEN s.day - INTERVAL 6 DAY AND s.day
+GROUP BY s.day
+"""
+
+
+# --- time-weighted average per user -----------------------------------------
+
+def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user time-weighted mean of ``value`` — each reading weighted
+    by how long it stayed current (seconds until the next reading).
+
+    The weight is the exact integer microsecond gap from ``lead`` over
+    (ts, event_id) — the deterministic tiebreak keeps equal-timestamp
+    rows stable across engines. One window shuffle on user_id (high
+    cardinality, even) + one groupBy reusing the same partitioning, so
+    Catalyst plans a single exchange. Users with one event carry no
+    duration and are excluded (matching the oracle's HAVING).
+    """
+    events = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    timed = events.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    ).withColumn("dt_us", F.lead("tus").over(w) - F.col("tus"))
+    return (
+        timed.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                (F.max("tus") - F.min("tus")) / F.lit(1000000.0), 6
+            ).alias("span_s"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twa_value"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH timed AS (
+  SELECT user_id, value, epoch_us(ts) AS tus,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       round((max(tus) - min(tus)) / 1000000.0, 6) AS span_s,
+       round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value
+FROM timed
+GROUP BY user_id
+HAVING count(*) > 1
+"""
+
+
+# --- robust outliers (median / MAD modified z-score) ------------------------
+
+MAD_Z_THRESHOLD = 3.5
+
+
+def robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type robust outliers by modified z-score
+    ``0.6745·(x − median) / MAD`` (Iglewicz–Hoaglin), the
+    heavy-tail-safe twin of the z-score scan in ``value_outliers``.
+
+    Two exact medians (per-type value median, then median absolute
+    deviation) — each a 5-row broadcast joined back onto the scan, so
+    the events table is never shuffled, only scanned twice (at 100 TB
+    you'd swap ``percentile`` for ``approx_percentile`` and one scan;
+    the exact form is the oracle-checkable spec). The score is rounded
+    to 6 dp BEFORE thresholding on both engines so a 1-ulp interpolation
+    difference inside the median can't flip membership.
+    """
+    events = load_table(spark, "events", sf)
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "mod_z",
+            F.round(0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 6),
+        )
+        .filter(F.abs(F.col("mod_z")) > MAD_Z_THRESHOLD)
+        .select("event_id", "event_type", "value", "mod_z")
+    )
+
+
+ROBUST_OUTLIERS_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(0.6745 * (d.value - d.med) / m.mad, 6) AS mod_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > {MAD_Z_THRESHOLD}
+"""
+
+
+TIMESERIES_QUERIES = {
+    "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
+    "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
+    "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
+    "robust_outliers": (robust_outliers, ROBUST_OUTLIERS_SQL),
+}
