@@ -16,6 +16,7 @@ from .multimodal import MULTIMODAL_QUERIES
 from .pipeline_quality import PIPELINE_QUALITY_QUERIES
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
+from .stats import STATS_QUERIES
 from .surveillance import SURVEILLANCE_QUERIES
 from .text import TEXT_QUERIES
 from .tpch_advanced import TPCH_ADVANCED_QUERIES
@@ -34,6 +35,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     DEDUP_QUERIES,
     PIPELINE_QUALITY_QUERIES,
     TIMESERIES_QUERIES,
+    STATS_QUERIES,
     TEXT_QUERIES,
     SURVEILLANCE_QUERIES,
     MULTIMODAL_QUERIES,
@@ -55,8 +57,10 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # user_event_paths / vocab_coverage / length_bucket_batches /
 # corpus_build_pipeline / markov_transitions / bigram_lift /
 # neardup_triangles / gap_fill_hourly / rolling_active_users /
-# time_weighted_avg / robust_outliers / kmeans_refine (all
-# locally oracle-green, positions 51+ this round).
+# time_weighted_avg / robust_outliers / kmeans_refine /
+# alarm_episodes / value_histogram / winsorized_stats /
+# quantile_normalize (all locally oracle-green, positions 51+ this
+# round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",

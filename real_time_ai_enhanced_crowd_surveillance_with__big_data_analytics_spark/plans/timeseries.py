@@ -287,7 +287,69 @@ WHERE abs(round(0.6745 * (d.value - d.med) / m.mad, 6)) > {MAD_Z_THRESHOLD}
 """
 
 
+# --- alarm episodes (gaps-and-islands) --------------------------------------
+
+EPISODE_THRESHOLD = 150.0
+
+
+def alarm_episodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal runs of consecutive above-threshold events per user —
+    the batch census of the alarm EPISODES the reference's sink
+    deduplicates to "once per episode" (SURVEY S6; streaming twin is
+    ``pkg/streaming/stateful.py``'s rising-edge state).
+
+    Classic gaps-and-islands: two row_numbers over the same user-keyed
+    sort (their difference is constant within a run), then one groupBy
+    per island. Catalyst plans ONE exchange — both windows and the
+    final aggregate reuse the user_id hash partitioning; the sort is
+    per-partition. Deterministic tiebreak (ts, event_id) keeps island
+    ids stable across engines.
+    """
+    events = load_table(spark, "events", sf)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_alarm = Window.partitionBy("user_id", "is_alarm").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "is_alarm", F.col("value") > EPISODE_THRESHOLD
+    ).withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_alarm)
+    )
+    return (
+        flagged.filter("is_alarm")
+        .groupBy("user_id", "island")
+        .agg(
+            _ts_str(F.min("ts")).alias("episode_start"),
+            _ts_str(F.max("ts")).alias("episode_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.max("value"), 4).alias("peak_value"),
+        )
+        .select(
+            "user_id", "episode_start", "episode_end", "n_events", "peak_value"
+        )
+    )
+
+
+ALARM_EPISODES_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         value > {EPISODE_THRESHOLD} AS is_alarm,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, value > {EPISODE_THRESHOLD}
+                                ORDER BY ts, event_id) AS island
+  FROM events
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS episode_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS episode_end,
+       count(*) AS n_events,
+       round(max(value), 4) AS peak_value
+FROM flagged
+WHERE is_alarm
+GROUP BY user_id, island
+"""
+
+
 TIMESERIES_QUERIES = {
+    "alarm_episodes": (alarm_episodes, ALARM_EPISODES_SQL),
     "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
