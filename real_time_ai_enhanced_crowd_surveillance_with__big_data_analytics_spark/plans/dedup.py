@@ -859,8 +859,81 @@ SELECT t.n_triangles, s.n_edges, s.n_nodes FROM tri t CROSS JOIN stats s
 """
 
 
+def duplicate_span_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc fraction of token-trigram OCCURRENCES that also occur in
+    at least one other document — the bounded relational analog of the
+    exact-substring duplication diagnostic (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a doc
+    whose spans are mostly corpus-shared is boilerplate/template even
+    when no single pair crosses a Jaccard threshold.
+
+    Work is linear: one occurrence table (no pair joins), one distinct
+    (doc, sid) pass for document frequency, and a sid-keyed equi-join
+    of occurrences against the shared-sid set (high-cardinality hash
+    key, no Σdf² blowup because nothing pairs docs with docs).
+    """
+    docs = load_table(spark, "documents", sf)
+    occ = _shingle_postings(docs, distinct=False)
+    shared = (
+        occ.select("doc_id", "sid")
+        .distinct()
+        .groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("sid")
+    )
+    flagged = occ.join(shared, "sid", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup")
+    )
+    totals = occ.groupBy("doc_id").agg(F.count("*").alias("n_trigrams"))
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)) / F.col("n_trigrams"), 6
+            ).alias("dup_fraction"),
+        )
+        .withColumn("mostly_duplicated", F.col("dup_fraction") > 0.5)
+    )
+
+
+# occurrence-level postings: the shared CTE macro minus its DISTINCT
+# (every trigram occurrence counts toward the span fraction)
+_DUCK_POSTINGS_OCC = _DUCK_POSTINGS.replace(
+    "SELECT DISTINCT doc_id,", "SELECT doc_id,"
+)
+
+DUPLICATE_SPAN_FRACTION_SQL = """
+WITH {postings},
+shared AS (
+  SELECT sid FROM (SELECT DISTINCT doc_id, sid FROM postings)
+  GROUP BY sid HAVING count(*) >= 2
+), totals AS (
+  SELECT doc_id, count(*) AS n_trigrams FROM postings GROUP BY doc_id
+), dup AS (
+  SELECT p.doc_id, count(*) AS n_dup
+  FROM postings p JOIN shared s USING (sid)
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id, t.n_trigrams,
+       coalesce(d.n_dup, 0) AS n_dup,
+       round(coalesce(d.n_dup, 0) / CAST(t.n_trigrams AS DOUBLE), 6)
+         AS dup_fraction,
+       round(coalesce(d.n_dup, 0) / CAST(t.n_trigrams AS DOUBLE), 6) > 0.5
+         AS mostly_duplicated
+FROM totals t LEFT JOIN dup d USING (doc_id)
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "duplicate_span_fraction": (
+        duplicate_span_fraction,
+        DUPLICATE_SPAN_FRACTION_SQL.format(postings=_DUCK_POSTINGS_OCC),
+    ),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "neardup_triangles": (
         neardup_triangles,
