@@ -59,8 +59,9 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # neardup_triangles / gap_fill_hourly / rolling_active_users /
 # time_weighted_avg / robust_outliers / kmeans_refine /
 # alarm_episodes / value_histogram / winsorized_stats /
-# quantile_normalize / duplicate_span_fraction (all locally
-# oracle-green, positions 51+ this round).
+# quantile_normalize / duplicate_span_fraction / value_drift_psi /
+# source_overlap_matrix (all locally oracle-green, positions 51+
+# this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",

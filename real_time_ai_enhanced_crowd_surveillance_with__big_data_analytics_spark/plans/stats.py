@@ -161,7 +161,145 @@ FROM documents
 """
 
 
+# --- population-stability drift between month halves ------------------------
+
+PSI_EPS = 0.0005  # Laplace-style floor so empty bins don't blow up the log
+
+
+def value_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the per-type ``value`` distribution
+    between the first and second half of the observed window — the
+    standard drift monitor for a feature feeding a model (PSI > 0.2 is
+    the conventional "investigate" line).
+
+    Reuses the integer-exact histogram bins; the expected/actual bin
+    shares join on the bounded (type, bin) key, so everything after the
+    one scan-sized aggregate is dashboard-sized. The midpoint split is
+    derived from min/max inside the plan (no driver collect); bin
+    shares are floored at PSI_EPS on both engines so ln() stays finite
+    with identical arithmetic.
+    """
+    events = load_table(spark, "events", sf)
+    # the half-window split is integer epoch-seconds arithmetic on both
+    # engines — no timestamp reconstruction, no tz-dependent casts
+    ev = events.select(
+        "event_type", "value", F.unix_timestamp("ts").alias("tsec")
+    )
+    mid = ev.agg(
+        F.floor((F.min("tsec") + F.max("tsec")) / 2)
+        .cast("long")
+        .alias("mid_s")
+    )
+    bin_id = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / HIST_WIDTH)),
+    ).cast("int")
+    binned = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        bin_id.alias("bin"),
+        (F.col("tsec") < F.col("mid_s")).alias("is_base"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = Window.partitionBy("event_type")
+    shares = counts.select(
+        "event_type",
+        "bin",
+        F.greatest(
+            F.col("n_base") / F.sum("n_base").over(tot), F.lit(PSI_EPS)
+        ).alias("p_base"),
+        F.greatest(
+            F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(PSI_EPS)
+        ).alias("p_cur"),
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_cur") - F.col("p_base"))
+                    * F.log(F.col("p_cur") / F.col("p_base"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .withColumn("drifted", F.col("psi") > 0.2)
+    )
+
+
+VALUE_DRIFT_PSI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+  FROM events
+), mid AS (
+  SELECT CAST(floor((min(tsec) + max(tsec)) / 2.0) AS BIGINT) AS mid_s
+  FROM ev
+), binned AS (
+  SELECT event_type,
+         CAST(least({HIST_BINS - 1},
+                    greatest(0, floor(value / {HIST_WIDTH}))) AS INT) AS bin,
+         e.tsec < m.mid_s AS is_base
+  FROM ev e CROSS JOIN mid m
+), counts AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY event_type, bin
+), shares AS (
+  SELECT event_type, bin,
+         greatest(n_base / CAST(sum(n_base) OVER (PARTITION BY event_type)
+                                AS DOUBLE), {PSI_EPS}) AS p_base,
+         greatest(n_cur / CAST(sum(n_cur) OVER (PARTITION BY event_type)
+                               AS DOUBLE), {PSI_EPS}) AS p_cur
+  FROM counts
+)
+SELECT event_type,
+       round(sum((p_cur - p_base) * ln(p_cur / p_base)), 6) AS psi,
+       round(sum((p_cur - p_base) * ln(p_cur / p_base)), 6) > 0.2 AS drifted
+FROM shares
+GROUP BY event_type
+"""
+
+
+# --- cross-source exact-duplicate overlap matrix ----------------------------
+
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """How many exact-duplicate fingerprints each PAIR of sources
+    shares — the corpus-governance view that tells you which feeds
+    mirror each other before you set per-source quotas.
+
+    Distinct (fingerprint, source) pairs self-join on the fingerprint —
+    work is Σ (sources-per-fingerprint)², bounded by the source count
+    (not corpus size) per fingerprint; only digests move. Ordered
+    (src_a < src_b) so each pair appears once.
+    """
+    docs = load_table(spark, "documents", sf)
+    fps = docs.select(F.sha2("text", 256).alias("fp"), "source").distinct()
+    a = fps.select("fp", F.col("source").alias("src_a"))
+    b = fps.select("fp", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = """
+WITH fps AS (
+  SELECT DISTINCT sha256(text) AS fp, source FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 STATS_QUERIES = {
+    "value_drift_psi": (value_drift_psi, VALUE_DRIFT_PSI_SQL),
+    "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_MATRIX_SQL),
     "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
     "winsorized_stats": (winsorized_stats, WINSORIZED_STATS_SQL),
     "quantile_normalize": (quantile_normalize, QUANTILE_NORMALIZE_SQL),
