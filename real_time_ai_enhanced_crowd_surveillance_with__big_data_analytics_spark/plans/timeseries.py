@@ -305,7 +305,20 @@ def alarm_episodes(spark: SparkSession, sf: str) -> DataFrame:
     per-partition. Deterministic tiebreak (ts, event_id) keeps island
     ids stable across engines.
     """
-    events = load_table(spark, "events", sf)
+    return _episode_spans(load_table(spark, "events", sf)).select(
+        "user_id",
+        _ts_str(F.col("s")).alias("episode_start"),
+        _ts_str(F.col("e")).alias("episode_end"),
+        "n_events",
+        F.round("peak", 4).alias("peak_value"),
+    )
+
+
+def _episode_spans(events: DataFrame) -> DataFrame:
+    """Raw-timestamp episode spans (user_id, s, e, n_events, peak) —
+    shared by the census and the concurrency sweep so both operate on
+    microsecond-exact bounds (the census formats to seconds only in its
+    output layer)."""
     w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_alarm = Window.partitionBy("user_id", "is_alarm").orderBy("ts", "event_id")
     flagged = events.withColumn(
@@ -317,13 +330,10 @@ def alarm_episodes(spark: SparkSession, sf: str) -> DataFrame:
         flagged.filter("is_alarm")
         .groupBy("user_id", "island")
         .agg(
-            _ts_str(F.min("ts")).alias("episode_start"),
-            _ts_str(F.max("ts")).alias("episode_end"),
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
             F.count("*").alias("n_events"),
-            F.round(F.max("value"), 4).alias("peak_value"),
-        )
-        .select(
-            "user_id", "episode_start", "episode_end", "n_events", "peak_value"
+            F.max("value").alias("peak"),
         )
     )
 
@@ -348,8 +358,94 @@ GROUP BY user_id, island
 """
 
 
+# --- daily peak alarm concurrency (sweep line) ------------------------------
+
+def alarm_concurrency_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak number of SIMULTANEOUSLY-open alarm episodes per calendar
+    day — the control-room staffing metric over the episode census.
+
+    Sweep line, made partition-parallel: each episode explodes into the
+    days it covers (clipped to day bounds), then ±1 boundary points
+    sort WITHIN each day and a running sum takes the max. A naive
+    global sweep is one total-order sort — unshardable at 100 TB; the
+    day-partitioned form is embarrassingly parallel and exact, because
+    clipping preserves the open-interval count inside every day.
+    Touching intervals count as concurrent (+1 sorts before −1 at the
+    same instant); the within-tie order doesn't affect the prefix-sum
+    maximum, so the result is deterministic.
+    """
+    ep = _episode_spans(load_table(spark, "events", sf)).select("s", "e")
+    per_day = ep.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "s"),
+                F.date_trunc("day", "e"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    )
+    starts = per_day.select(
+        "day", F.greatest("s", F.col("day")).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = per_day.select(
+        "day",
+        F.least("e", F.col("day") + F.expr("interval 1 day")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        starts.union(ends)
+        .withColumn("c", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("c").alias("peak_concurrent"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
+        )
+    )
+
+
+ALARM_CONCURRENCY_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         value > {EPISODE_THRESHOLD} AS is_alarm,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, value > {EPISODE_THRESHOLD}
+                                ORDER BY ts, event_id) AS island
+  FROM events
+), ep AS (
+  SELECT min(ts) AS s, max(ts) AS e
+  FROM flagged WHERE is_alarm GROUP BY user_id, island
+), per_day AS (
+  SELECT s, e,
+         unnest(generate_series(date_trunc('day', s), date_trunc('day', e),
+                                INTERVAL 1 DAY)) AS day
+  FROM ep
+), pts AS (
+  SELECT day, greatest(s, day) AS t, 1 AS delta FROM per_day
+  UNION ALL
+  SELECT day, least(e, day + INTERVAL 1 DAY) AS t, -1 AS delta FROM per_day
+), swept AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM pts
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(max(c) AS BIGINT) AS peak_concurrent
+FROM swept
+GROUP BY day
+"""
+
+
 TIMESERIES_QUERIES = {
     "alarm_episodes": (alarm_episodes, ALARM_EPISODES_SQL),
+    "alarm_concurrency_daily": (alarm_concurrency_daily, ALARM_CONCURRENCY_SQL),
     "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
