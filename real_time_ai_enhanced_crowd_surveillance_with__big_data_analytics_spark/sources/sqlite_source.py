@@ -1,0 +1,159 @@
+"""SQLite batch source as a Spark 4 Python DataSource (SURVEY.md S4).
+
+The reference reads its user/auth relations from Django's SQLite file
+(reference settings.py:78-83, db.sqlite3); this makes that a real
+Spark SOURCE instead of an export step: ``spark.read.format("sqlite")
+.option("path", db).option("table", t)``.
+
+Scale posture: SQLite is a single-file store, so the useful
+parallelism is rowid-range partitioning — each task opens the file
+read-only and scans one rowid slice (SQLite allows unlimited
+concurrent readers), giving N independent scans instead of one choked
+reader. Supported predicates are pushed into the per-slice SQL (the
+planner calls ``pushFilters`` once; unsupported ones stay in Spark) —
+at 100 TB the analog is a JDBC-partitioned dimension ingest where
+pushdown prunes at the remote store.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TYPE_MAP = {
+    "INTEGER": LongType(),
+    "INT": LongType(),
+    "BIGINT": LongType(),
+    "REAL": DoubleType(),
+    "DOUBLE": DoubleType(),
+    "FLOAT": DoubleType(),
+    "BLOB": BinaryType(),
+}
+
+DEFAULT_PARTITIONS = 4
+
+
+def _sqlite_schema(path: str, table: str) -> StructType:
+    with sqlite3.connect(f"file:{path}?mode=ro", uri=True) as con:
+        cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+    if not cols:
+        raise ValueError(f"sqlite table {table!r} not found in {path}")
+    fields = []
+    for _cid, name, decl, _notnull, _default, _pk in cols:
+        decl = (decl or "").upper().split("(")[0].strip()
+        fields.append(StructField(name, _TYPE_MAP.get(decl, StringType()), True))
+    return StructType(fields)
+
+
+_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def filter_to_sql(f: Filter) -> tuple[str, list] | None:
+    """One pushed filter → (parameterized WHERE fragment, params), or
+    None when the source can't evaluate it (it stays in Spark)."""
+    op = _OPS.get(type(f))
+    if op is not None and len(f.attribute) == 1:
+        return f'"{f.attribute[0]}" {op} ?', [f.value]
+    if isinstance(f, IsNull) and len(f.attribute) == 1:
+        return f'"{f.attribute[0]}" IS NULL', []
+    if isinstance(f, IsNotNull) and len(f.attribute) == 1:
+        return f'"{f.attribute[0]}" IS NOT NULL', []
+    return None
+
+
+class _RowidSlice(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class SQLiteReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options["path"]
+        self.table = options["table"]
+        self.n_parts = int(options.get("numpartitions", DEFAULT_PARTITIONS))
+        self.columns = [f.name for f in schema.fields]
+        self.where: list[str] = []
+        self.params: list = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            frag = filter_to_sql(f)
+            if frag is None:
+                yield f  # unsupported — Spark keeps evaluating it
+            else:
+                self.where.append(frag[0])
+                self.params.extend(frag[1])
+
+    def partitions(self) -> Sequence[InputPartition]:
+        with sqlite3.connect(f"file:{self.path}?mode=ro", uri=True) as con:
+            row = con.execute(
+                f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
+            ).fetchone()
+        lo, hi = row if row and row[0] is not None else (0, -1)
+        if hi < lo:
+            return [_RowidSlice(0, -1)]
+        n = min(self.n_parts, hi - lo + 1)
+        step = (hi - lo + 1 + n - 1) // n
+        return [
+            _RowidSlice(lo + i * step, min(hi, lo + (i + 1) * step - 1))
+            for i in range(n)
+        ]
+
+    def read(self, partition: _RowidSlice) -> Iterator[tuple]:
+        cols = ", ".join(f'"{c}"' for c in self.columns)
+        clauses = ["rowid BETWEEN ? AND ?", *self.where]
+        sql = (
+            f'SELECT {cols} FROM "{self.table}" '
+            f"WHERE {' AND '.join(clauses)} ORDER BY rowid"
+        )
+        with sqlite3.connect(f"file:{self.path}?mode=ro", uri=True) as con:
+            yield from con.execute(
+                sql, [partition.lo, partition.hi, *self.params]
+            )
+
+
+class SQLiteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite"
+
+    def schema(self) -> StructType:
+        return _sqlite_schema(self.options["path"], self.options["table"])
+
+    def reader(self, schema: StructType) -> SQLiteReader:
+        return SQLiteReader(schema, dict(self.options))
+
+
+def register_sqlite_source(spark) -> None:
+    """Register the source and enable Python-source filter pushdown
+    (off by default in Spark 4)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SQLiteDataSource)
