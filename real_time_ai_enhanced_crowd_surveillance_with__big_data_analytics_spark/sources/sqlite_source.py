@@ -23,6 +23,7 @@ from collections.abc import Iterable, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -32,6 +33,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -140,6 +142,101 @@ class SQLiteReader(DataSourceReader):
             )
 
 
+_DDL_MAP = {
+    LongType(): "INTEGER",
+    DoubleType(): "REAL",
+    BinaryType(): "BLOB",
+}
+
+
+class _SpillMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class SQLiteWriter(DataSourceWriter):
+    """Two-phase SQLite sink: SQLite allows ONE writer per file, so
+    tasks never touch the target — each task spills its partition to a
+    private staging db and the driver's ``commit`` merges the staged
+    files into the target under a single transaction (``abort`` just
+    deletes them). Atomic from the reader's perspective: either every
+    partition lands or none. On a real cluster the staging dir must be
+    shared storage (or the auth-dim-sized frame collected first); the
+    pattern is the standard two-phase JDBC-dim export.
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import os
+        import tempfile
+
+        self.path = options["path"]
+        self.table = options["table"]
+        self.overwrite = overwrite
+        self.columns = [f.name for f in schema.fields]
+        self.ddl = ", ".join(
+            f'"{f.name}" {_DDL_MAP.get(f.dataType, "TEXT")}'
+            for f in schema.fields
+        )
+        self.stage_dir = options.get(
+            "stagedir", os.path.join(tempfile.gettempdir(), "sqlite_stage")
+        )
+
+    def _create_sql(self) -> str:
+        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({self.ddl})'
+
+    def write(self, iterator) -> _SpillMessage:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        part = TaskContext.get().partitionId()
+        spill = os.path.join(
+            self.stage_dir, f"part-{part}-{uuid.uuid4().hex}.sqlite3"
+        )
+        ph = ", ".join("?" for _ in self.columns)
+        n = 0
+        with sqlite3.connect(spill) as con:
+            con.execute(self._create_sql())
+            for row in iterator:
+                con.execute(
+                    f'INSERT INTO "{self.table}" VALUES ({ph})', tuple(row)
+                )
+                n += 1
+            con.commit()
+        return _SpillMessage(spill, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        with sqlite3.connect(self.path) as con:
+            con.execute("BEGIN")
+            if self.overwrite:
+                con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
+            con.execute(self._create_sql())
+            for m in messages:
+                if m is None:
+                    continue
+                con.execute("ATTACH DATABASE ? AS stage", (m.path,))
+                con.execute(
+                    f'INSERT INTO "{self.table}" '
+                    f'SELECT * FROM stage."{self.table}"'
+                )
+                con.commit()
+                con.execute("DETACH DATABASE stage")
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SQLiteDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -150,6 +247,9 @@ class SQLiteDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SQLiteReader:
         return SQLiteReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> SQLiteWriter:
+        return SQLiteWriter(schema, dict(self.options), overwrite)
 
 
 def register_sqlite_source(spark) -> None:

@@ -91,6 +91,38 @@ def test_filter_translation_unit():
     assert filter_to_sql(EqualTo(("a", "b"), 1)) is None
 
 
+def test_write_roundtrip_overwrite_and_append(registered, db, tmp_path):
+    out = str(tmp_path / "out.sqlite3")
+    df = _read(registered, db).repartition(3)
+
+    def write(mode):
+        (
+            df.write.format("sqlite")
+            .option("path", out)
+            .option("table", "users_mirror")
+            .option("stageDir", str(tmp_path / "stage"))
+            .mode(mode)
+            .save()
+        )
+
+    write("overwrite")
+    got = sqlite3.connect(out).execute(
+        "SELECT * FROM users_mirror ORDER BY id"
+    ).fetchall()
+    assert got == sorted(USERS)
+    write("append")
+    n = sqlite3.connect(out).execute(
+        "SELECT count(*) FROM users_mirror"
+    ).fetchone()[0]
+    assert n == 2 * len(USERS)
+    write("overwrite")  # overwrite resets, not appends
+    n = sqlite3.connect(out).execute(
+        "SELECT count(*) FROM users_mirror"
+    ).fetchone()[0]
+    assert n == len(USERS)
+    assert not list((tmp_path / "stage").glob("*.sqlite3")), "spills leaked"
+
+
 def test_pushed_filters_reach_source_sql(db):
     from pyspark.sql.types import StructType
 
