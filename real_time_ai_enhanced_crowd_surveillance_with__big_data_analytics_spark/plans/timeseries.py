@@ -443,7 +443,99 @@ GROUP BY day
 """
 
 
+# --- lag-1 autocorrelation of the hourly series -----------------------------
+
+def hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of each type's hourly event-count
+    series (gap hours count as 0) — the "is this feed periodic or
+    bursty" diagnostic over the resampled stream.
+
+    The correlation is computed from integer co-moments
+    (n·Σxy − Σx·Σy over exact BIGINT sums), so both engines do the one
+    floating division last — no accumulation-order drift. The series
+    per type is calendar-bounded, the only corpus-sized step is the
+    hourly aggregate.
+    """
+    events = load_table(spark, "events", sf)
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
+            "bucket"
+        )
+    ).crossJoin(events.select("event_type").distinct())
+    dense = spine.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    pairs = dense.withColumn("y", F.lag("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    )
+
+
+HOURLY_AUTOCORR_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT t.event_type, s.bucket, coalesce(h.n, 0) AS x
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.bucket = s.bucket
+), pairs AS (
+  SELECT event_type, x,
+         lag(x) OVER (PARTITION BY event_type ORDER BY bucket) AS y
+  FROM dense
+  QUALIFY y IS NOT NULL
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       round((n_pairs * sxy - sx * sy) /
+             sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                  * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+         AS autocorr_lag1
+FROM agg
+"""
+
+
 TIMESERIES_QUERIES = {
+    "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
     "alarm_episodes": (alarm_episodes, ALARM_EPISODES_SQL),
     "alarm_concurrency_daily": (alarm_concurrency_daily, ALARM_CONCURRENCY_SQL),
     "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
