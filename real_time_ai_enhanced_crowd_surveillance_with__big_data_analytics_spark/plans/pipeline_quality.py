@@ -284,7 +284,113 @@ SELECT 4, 'composite_quality', n3, n3 - n4, n4,
 """
 
 
+# --- declarative expectation suite (mini data-contract check) ---------------
+
+def expectation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-contract audit over the events feed — the
+    check suite a pipeline runs before promoting a batch (the
+    Great-Expectations shape, relationally):
+
+    - row-level expectations (not-null, range, domain membership)
+      evaluate as conditional sums in ONE scan/aggregate;
+    - ``unique(event_id)`` is a distinct-count delta riding the same
+      aggregate (two-phase distinct, skew-safe);
+    - the referential check (every user_id resolves to a customer)
+      is one anti-join against the broadcast-sized key dim.
+
+    Adding row-level expectations adds columns, not passes. Output is
+    one row per expectation with its violation count — a driver-sized
+    report no matter the corpus.
+    """
+    events = load_table(spark, "events", sf)
+    cust = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    agg = events.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("event_id").isNull().cast("long")).alias("v_id_null"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("v_ts_null"),
+        F.sum(
+            (
+                F.col("value").isNull()
+                | (F.col("value") < 0)
+                | (F.col("value") > 500)
+            ).cast("long")
+        ).alias("v_value_range"),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+            ).cast("long")
+        ).alias("v_type_domain"),
+        (F.count("event_id") - F.countDistinct("event_id")).alias("v_id_dup"),
+    )
+    orphans = (
+        events.select("user_id")
+        .join(F.broadcast(cust), "user_id", "left_anti")
+        .agg(F.count("*").alias("v_fk"))
+    )
+    rep = agg.crossJoin(orphans)
+    exp = [
+        ("event_id_not_null", "v_id_null"),
+        ("ts_not_null", "v_ts_null"),
+        ("value_in_0_500", "v_value_range"),
+        ("event_type_in_domain", "v_type_domain"),
+        ("event_id_unique", "v_id_dup"),
+        ("user_id_references_customer", "v_fk"),
+    ]
+    stack = ", ".join(f"'{name}', {col}" for name, col in exp)
+    return rep.selectExpr(
+        f"stack({len(exp)}, {stack}) AS (expectation, n_violations)",
+        "n_rows",
+    ).select(
+        "expectation",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+EXPECTATION_REPORT_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_id_null,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_ts_null,
+         sum(CASE WHEN value IS NULL OR value < 0 OR value > 500
+                  THEN 1 ELSE 0 END) AS v_value_range,
+         sum(CASE WHEN event_type NOT IN
+                    ('click', 'view', 'purchase', 'signup', 'error')
+                  THEN 1 ELSE 0 END) AS v_type_domain,
+         count(event_id) - count(DISTINCT event_id) AS v_id_dup
+  FROM events
+), fk AS (
+  SELECT count(*) AS v_fk
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+  WHERE c.c_custkey IS NULL
+), rep AS (
+  SELECT * FROM agg CROSS JOIN fk
+), stacked AS (
+  SELECT 'event_id_not_null' AS expectation,
+         CAST(v_id_null AS BIGINT) AS n_violations, n_rows FROM rep
+  UNION ALL SELECT 'ts_not_null', CAST(v_ts_null AS BIGINT), n_rows FROM rep
+  UNION ALL SELECT 'value_in_0_500', CAST(v_value_range AS BIGINT), n_rows
+    FROM rep
+  UNION ALL SELECT 'event_type_in_domain', CAST(v_type_domain AS BIGINT),
+    n_rows FROM rep
+  UNION ALL SELECT 'event_id_unique', CAST(v_id_dup AS BIGINT), n_rows
+    FROM rep
+  UNION ALL SELECT 'user_id_references_customer', CAST(v_fk AS BIGINT),
+    n_rows FROM rep
+)
+SELECT expectation, n_violations, CAST(n_rows AS BIGINT) AS n_rows,
+       n_violations = 0 AS passed
+FROM stacked
+"""
+
+
 PIPELINE_QUALITY_QUERIES = {
+    "expectation_report": (expectation_report, EXPECTATION_REPORT_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "policy_pattern_scan": (policy_pattern_scan, POLICY_PATTERN_SCAN_SQL),

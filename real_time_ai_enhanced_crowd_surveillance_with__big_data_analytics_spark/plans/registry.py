@@ -60,9 +60,9 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # time_weighted_avg / robust_outliers / kmeans_refine /
 # alarm_episodes / value_histogram / winsorized_stats /
 # quantile_normalize / duplicate_span_fraction / value_drift_psi /
-# source_overlap_matrix / alarm_concurrency_daily / hourly_autocorr
-# (all locally
-# oracle-green, positions 51+ this round).
+# source_overlap_matrix / alarm_concurrency_daily / hourly_autocorr /
+# expectation_report (all locally oracle-green, positions 51+ this
+# round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",
