@@ -478,6 +478,27 @@ GROUP BY event_type
 """
 
 
+def props_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Same aggregate as ``props_extract`` through Spark 4's VARIANT
+    type: ``parse_json`` shreds the payload once into the binary
+    variant encoding and ``try_variant_get`` does typed path access —
+    the schema-on-read path for payloads whose fields DON'T stabilize
+    (where ``from_json`` with a fixed schema can't be written). Shares
+    ``props_extract``'s oracle: two engine routes, one answer."""
+    events = load_table(spark, "events", sf)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 # --- sessionization (gap-based; classic event analytics) --------------------
 
 SESSION_WINDOW_GAP_MIN = 30
@@ -1428,6 +1449,7 @@ RELATIONAL_QUERIES = {
     "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
     "returned_revenue": (returned_revenue, RETURNED_REVENUE_SQL),
     "props_extract": (props_extract, PROPS_EXTRACT_SQL),
+    "props_variant_extract": (props_variant_extract, PROPS_EXTRACT_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "session_window_stats": (session_window_stats, SESSION_WINDOW_STATS_SQL),
     "funnel_conversion": (funnel_conversion, FUNNEL_CONVERSION_SQL),
