@@ -26,6 +26,54 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime filtering: with a selective predicate on the build side,
+    Spark injects a bloom filter into the probe-side scan so most probe
+    rows die before the join shuffle — the 100 TB lever for selective
+    fact⋈fact joins (AQE's complement to static partition pruning).
+    The assert is on the optimized plan (bloom injection), plus result
+    equality with the unfiltered run."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # below the size threshold Spark skips injection on tiny scans
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("l_orderkey", "l_quantity", "o_orderpriority")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+        got = joined.count()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(
+            load_table(spark, "orders", sf_dir).filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert got == want
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Pre-bucketing both sides on the join key co-locates matching
     rows: the sort-merge join reads bucket files directly — no Exchange
