@@ -61,7 +61,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # alarm_episodes / value_histogram / winsorized_stats /
 # quantile_normalize / duplicate_span_fraction / value_drift_psi /
 # source_overlap_matrix / alarm_concurrency_daily / hourly_autocorr /
-# expectation_report / props_variant_extract (all locally
+# expectation_report / props_variant_extract /
+# semantic_keep_canonical (all locally
 # oracle-green, positions 51+ this
 # round).
 _PRIORITY: list[str] = [

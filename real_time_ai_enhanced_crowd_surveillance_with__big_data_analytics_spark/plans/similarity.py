@@ -738,6 +738,67 @@ LIMIT 10
 """
 
 
+# --- SemDeDup: keep the best-quality doc per embedding cluster --------------
+
+def semantic_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep-step: within each
+    embedding-space near-dup cluster, keep exactly the highest-QUALITY
+    document (ties → smallest doc id) — semantic dedup decided by
+    pixel/text quality, not arrival order. vec_id ≡ doc_id links the
+    two tables (TESTDATA.md).
+
+    Composition: LSH cluster labels (band-bounded candidates → CC) ⋈
+    documents on the id — an equi-join on the high-cardinality id,
+    broadcast-sized in practice because only clustered docs survive
+    the join — then one window rank per cluster. Nothing quadratic
+    outside the LSH candidate generation.
+    """
+    from ..functions.text import quality_score
+
+    clusters = embedding_dedup_clusters(spark, sf)
+    docs = load_table(spark, "documents", sf).select(
+        F.col("doc_id"), "text"
+    )
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        docs, clusters.vec_id == docs.doc_id
+    ).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+SEMANTIC_KEEP_CANONICAL_SQL_TEMPLATE = """
+WITH comp_src AS ({clusters}),
+q AS (
+  SELECT doc_id,
+         round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
+               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
+                                             x -> x = 'the' OR x = 'a'))
+                             AS DOUBLE)
+                       / len(string_split(trim(text), ' '))), 6) AS quality
+  FROM documents
+)
+SELECT c.vec_id AS doc_id, c.cluster_id, c.cluster_size, q.quality,
+       row_number() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.vec_id ASC) = 1 AS keep
+FROM comp_src c JOIN q ON q.doc_id = c.vec_id
+"""
+
+
 # --- one Lloyd refinement step (k-means over the label quantizer) -----------
 
 def kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
@@ -846,4 +907,12 @@ SIMILARITY_QUERIES = {
     ),
     "ivf_knn": (ivf_knn, IVF_KNN_SQL),
     "kmeans_refine": (kmeans_refine, KMEANS_REFINE_SQL),
+    "semantic_keep_canonical": (
+        semantic_keep_canonical,
+        SEMANTIC_KEEP_CANONICAL_SQL_TEMPLATE.format(
+            clusters=EMBEDDING_DEDUP_CLUSTERS_SQL.format(
+                lsh_pairs=NEARDUP_LSH_SQL
+            )
+        ),
+    ),
 }
