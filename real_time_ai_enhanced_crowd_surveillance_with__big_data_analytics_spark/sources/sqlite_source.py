@@ -210,21 +210,44 @@ class SQLiteWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
 
-        with sqlite3.connect(self.path) as con:
-            con.execute("BEGIN")
-            if self.overwrite:
-                con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
-            con.execute(self._create_sql())
+        # two phases: (1) accumulate every spill into a staging table in
+        # autocommit mode (ATTACH is illegal inside a transaction), then
+        # (2) one atomic transaction publishes staging into the target —
+        # a reader sees the old table or the complete new data, never a
+        # partial merge
+        tmp = f"_incoming_{self.table}"
+        con = sqlite3.connect(self.path)
+        con.isolation_level = None  # explicit transaction control
+        try:
+            con.execute(f'DROP TABLE IF EXISTS "{tmp}"')
+            con.execute(f'CREATE TABLE "{tmp}" ({self.ddl})')
             for m in messages:
                 if m is None:
                     continue
                 con.execute("ATTACH DATABASE ? AS stage", (m.path,))
                 con.execute(
-                    f'INSERT INTO "{self.table}" '
-                    f'SELECT * FROM stage."{self.table}"'
+                    f'INSERT INTO "{tmp}" SELECT * FROM stage."{self.table}"'
                 )
-                con.commit()
                 con.execute("DETACH DATABASE stage")
+            con.execute("BEGIN IMMEDIATE")
+            if self.overwrite:
+                con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
+                con.execute(f'ALTER TABLE "{tmp}" RENAME TO "{self.table}"')
+            else:
+                con.execute(self._create_sql())
+                con.execute(
+                    f'INSERT INTO "{self.table}" SELECT * FROM "{tmp}"'
+                )
+                con.execute(f'DROP TABLE "{tmp}"')
+            con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except sqlite3.OperationalError:
+                pass  # failure before BEGIN — autocommit, nothing open
+            raise
+        finally:
+            con.close()
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
