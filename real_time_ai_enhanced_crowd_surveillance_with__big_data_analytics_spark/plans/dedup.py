@@ -928,8 +928,66 @@ FROM totals t LEFT JOIN dup d USING (doc_id)
 """
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage: supplier-name pairs at Levenshtein distance
+    EXACTLY 1, found via pigeonhole blocking — equal-length strings at
+    distance 1 differ by one substitution, which lands in one half, so
+    every true pair agrees exactly on the OTHER half. Candidates =
+    (equal first half) ∪ (equal second half); verify = levenshtein on
+    candidates only. Provably complete for this fixed-length key
+    domain (general edit distance k blocks on k+1 pieces), and the
+    block key is high-cardinality, so candidate work is Σ block² of
+    SMALL blocks — never the n² cross join.
+    """
+    sup = load_table(spark, "supplier", sf).select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    h = "CAST(floor(length(name) / 2) AS INT)"
+    blocked = sup.selectExpr(
+        "id", "name",
+        f"substring(name, 1, {h}) AS b1",
+        f"substring(name, {h} + 1) AS b2",
+    )
+    a = blocked.selectExpr("id AS id_a", "name AS name_a", "b1", "b2")
+    b = blocked.selectExpr("id AS id_b", "name AS name_b", "b1", "b2")
+    cand = (
+        a.join(b.drop("b2"), "b1")
+        .select("id_a", "name_a", "id_b", "name_b")
+        .union(
+            a.drop("b1").join(b.drop("b1"), "b2")
+            .select("id_a", "name_a", "id_b", "name_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("name_a", "name_b") == 1
+    ).select("id_a", "id_b", "name_a", "name_b")
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH blocked AS (
+  SELECT s_suppkey AS id, s_name AS name,
+         substring(s_name, 1, CAST(floor(length(s_name) / 2) AS INT)) AS b1,
+         substring(s_name, CAST(floor(length(s_name) / 2) AS INT) + 1) AS b2
+  FROM supplier
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+                  b.id AS id_b, b.name AS name_b
+  FROM blocked a JOIN blocked b ON a.b1 = b.b1 AND a.id < b.id
+  UNION
+  SELECT DISTINCT a.id, a.name, b.id, b.name
+  FROM blocked a JOIN blocked b ON a.b2 = b.b2 AND a.id < b.id
+)
+SELECT id_a, id_b, name_a, name_b
+FROM cand
+WHERE levenshtein(name_a, name_b) = 1
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     "duplicate_span_fraction": (
         duplicate_span_fraction,
         DUPLICATE_SPAN_FRACTION_SQL.format(postings=_DUCK_POSTINGS_OCC),
