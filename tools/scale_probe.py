@@ -128,6 +128,16 @@ def main() -> int:
                 results.setdefault(name, {})[n] = dt
                 print(f"  {name:30s} x{n:<3d} {dt:7.2f}s", flush=True)
                 spark.catalog.clearCache()
+                # localCheckpoint RDD blocks are NOT freed by
+                # clearCache — only by ContextCleaner once the Python
+                # DataFrame is GC'd. Force that now, or a checkpoint-
+                # heavy query poisons its successors' timings
+                # (measured: fuzzy_name_pairs 87 s after
+                # semantic_keep_canonical×8 vs 2.8 s alone).
+                import gc
+
+                gc.collect()
+                time.sleep(0.5)  # let ContextCleaner unpersist
         finally:
             tables.load_table = orig
             for mod in list(sys.modules.values()):
