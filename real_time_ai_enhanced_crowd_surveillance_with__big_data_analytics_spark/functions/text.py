@@ -57,6 +57,19 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+# DuckDB twin of quality_score below — ONE canonical fragment formatted
+# into every oracle that scores quality (quality_weighted_sample,
+# source_mixture_report, corpus_build_pipeline, semantic_keep_canonical)
+# so a knob change can't silently diverge a subset of oracles from the
+# Spark column. The {text} placeholder is the column/expression to score.
+DUCK_QUALITY = (
+    "round(least(len(string_split(trim({text}), ' ')) / 50.0, 1.0)"
+    " * (1.0 - CAST(len(list_filter(string_split(trim({text}), ' '),"
+    " x -> x = 'the' OR x = 'a')) AS DOUBLE)"
+    " / len(string_split(trim({text}), ' '))), 6)"
+)
+
+
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards mid-length docs and
     penalizes stopword-heavy text — the shape of standard pretraining

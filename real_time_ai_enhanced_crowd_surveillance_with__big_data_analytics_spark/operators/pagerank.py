@@ -36,6 +36,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # (node, deg) with deg NULL for dangling nodes; checkpointed once,
     # reused every round

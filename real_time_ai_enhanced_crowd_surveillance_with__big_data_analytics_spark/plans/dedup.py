@@ -905,6 +905,9 @@ def duplicate_span_fraction(spark: SparkSession, sf: str) -> DataFrame:
 _DUCK_POSTINGS_OCC = _DUCK_POSTINGS.replace(
     "SELECT DISTINCT doc_id,", "SELECT doc_id,"
 )
+# a reformat of _DUCK_POSTINGS must not silently turn this back into
+# the DISTINCT form — fail at import, not as a distant oracle mismatch
+assert _DUCK_POSTINGS_OCC != _DUCK_POSTINGS
 
 DUPLICATE_SPAN_FRACTION_SQL = """
 WITH {postings},

@@ -319,7 +319,10 @@ def expectation_report(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("v_value_range"),
         F.sum(
             (
-                ~F.col("event_type").isin(
+                # NULL must VIOLATE the domain check — a bare NOT IN is
+                # three-valued and silently passes NULL rows
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(
                     "click", "view", "purchase", "signup", "error"
                 )
             ).cast("long")
@@ -359,7 +362,7 @@ WITH agg AS (
          sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_ts_null,
          sum(CASE WHEN value IS NULL OR value < 0 OR value > 500
                   THEN 1 ELSE 0 END) AS v_value_range,
-         sum(CASE WHEN event_type NOT IN
+         sum(CASE WHEN event_type IS NULL OR event_type NOT IN
                     ('click', 'view', 'purchase', 'signup', 'error')
                   THEN 1 ELSE 0 END) AS v_type_domain,
          count(event_id) - count(DISTINCT event_id) AS v_id_dup

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.text import DUCK_QUALITY
+
+_DQ = DUCK_QUALITY.format(text="text")
 
 # DuckDB-side cosine expressed with the same sequential-fold arithmetic
 # as functions/arrays.py (list_dot_product over DOUBLE lists).
@@ -326,12 +329,8 @@ def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((labs, cmat, cnorm))
 
     def assign(batches):
-        labs_b, cm, cn = bc.value
         for pdf in batches:
-            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
-            an = np.linalg.norm(a, axis=1)
-            sims = np.round(a @ cm.T / (an[:, None] * cn[None, :]), 6)
-            best = sims.argmax(axis=1)
+            labs_b, best, sims = _cosine_assign(bc, pdf)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -345,6 +344,21 @@ def nearest_centroid(spark: SparkSession, sf: str) -> DataFrame:
         assign,
         schema="vec_id long, label int, assigned_label int, centroid_cosine double",
     )
+
+
+def _cosine_assign(bc, pdf):
+    """Shared assignment kernel for nearest_centroid / kmeans_refine:
+    round-6 cosine against the broadcast (labels, centroids, norms),
+    argmax taking the FIRST maximum so ties break toward the smallest
+    label — the rule both oracles' ``csim DESC, clabel ASC`` rank
+    encodes. Returns (labels_array, best_idx, sims)."""
+    import numpy as np
+
+    labs_b, cm, cn = bc.value
+    a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+    an = np.linalg.norm(a, axis=1)
+    sims = np.round(a @ cm.T / (an[:, None] * cn[None, :]), 6)
+    return labs_b, sims.argmax(axis=1), sims
 
 
 NEAREST_CENTROID_SQL = f"""
@@ -785,11 +799,7 @@ SEMANTIC_KEEP_CANONICAL_SQL_TEMPLATE = """
 WITH comp_src AS ({clusters}),
 q AS (
   SELECT doc_id,
-         round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
-               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
-                                             x -> x = 'the' OR x = 'a'))
-                             AS DOUBLE)
-                       / len(string_split(trim(text), ' '))), 6) AS quality
+         {_DQ} AS quality
   FROM documents
 )
 SELECT c.vec_id AS doc_id, c.cluster_id, c.cluster_size, q.quality,
@@ -818,21 +828,18 @@ def kmeans_refine(spark: SparkSession, sf: str) -> DataFrame:
     cosine break toward the smallest label exactly as in
     ``nearest_centroid``.
     """
-    import numpy as np
     import pandas as pd
 
     emb = load_table(spark, "embeddings", sf)
     labs, cmat = _centroid_matrix(emb)
+    import numpy as np
+
     cnorm = np.linalg.norm(cmat, axis=1)
     bc = spark.sparkContext.broadcast((labs, cmat, cnorm))
 
     def assign(batches):
-        labs_b, cm, cn = bc.value
         for pdf in batches:
-            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
-            an = np.linalg.norm(a, axis=1)
-            sims = np.round(a @ cm.T / (an[:, None] * cn[None, :]), 6)
-            best = sims.argmax(axis=1)
+            labs_b, best, _sims = _cosine_assign(bc, pdf)
             yield pd.DataFrame(
                 {
                     "assigned_label": labs_b[best],
@@ -912,7 +919,8 @@ SIMILARITY_QUERIES = {
         SEMANTIC_KEEP_CANONICAL_SQL_TEMPLATE.format(
             clusters=EMBEDDING_DEDUP_CLUSTERS_SQL.format(
                 lsh_pairs=NEARDUP_LSH_SQL
-            )
+            ),
+            _DQ=_DQ,
         ),
     ),
 }

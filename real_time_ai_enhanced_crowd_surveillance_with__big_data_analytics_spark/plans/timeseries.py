@@ -27,6 +27,32 @@ def _ts_str(col):
 
 # --- gap-filled hourly resample with LOCF -----------------------------------
 
+def _dense_hourly(events: DataFrame, *aggs) -> DataFrame:
+    """Per-(type, hour) aggregates joined onto the DENSE hour spine —
+    the shared calendar-resample core of ``gap_fill_hourly`` and
+    ``hourly_autocorr``. Returns one row per (event_type, bucket) for
+    EVERY hour in [min, max]; agg columns are NULL on gap hours. The
+    spine (hours-in-range × types) is calendar-bounded, never
+    event-bounded, so both join sides after the one hourly aggregate
+    are broadcast-sized regardless of corpus size."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(*aggs)
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("bucket")
+        )
+        .crossJoin(events.select("event_type").distinct())
+    )
+    return spine.join(hourly, ["event_type", "bucket"], "left")
+
+
 def gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Hourly per-type resample over a dense hour spine, missing buckets
     gap-filled, with last-observation-carried-forward on the sum.
@@ -40,29 +66,14 @@ def gap_fill_hourly(spark: SparkSession, sf: str) -> DataFrame:
     only cost and it's the minimum possible one scan + one shuffle.
     """
     events = load_table(spark, "events", sf)
-    hourly = (
-        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = (
-        bounds.select(
-            F.explode(
-                F.sequence("h0", "h1", F.expr("interval 1 hour"))
-            ).alias("bucket")
-        )
-        .crossJoin(events.select("event_type").distinct())
+    joined = _dense_hourly(
+        events,
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
     locf = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    joined = spine.join(hourly, ["event_type", "bucket"], "left")
     return joined.select(
         "event_type",
         _ts_str(F.col("bucket")).alias("bucket_hour"),
@@ -457,19 +468,7 @@ def hourly_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     hourly aggregate.
     """
     events = load_table(spark, "events", sf)
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.count("*").alias("n"))
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
-            "bucket"
-        )
-    ).crossJoin(events.select("event_type").distinct())
-    dense = spine.join(hourly, ["event_type", "bucket"], "left").select(
+    dense = _dense_hourly(events, F.count("*").alias("n")).select(
         "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("x")
     )
     w = Window.partitionBy("event_type").orderBy("bucket")

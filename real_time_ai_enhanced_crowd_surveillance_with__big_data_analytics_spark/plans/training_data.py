@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.text import DUCK_QUALITY
+
+_DQ = DUCK_QUALITY.format(text="text")
 
 SEQ_LEN = 256          # token budget per packed sequence
 QUOTA_PER_SOURCE = 50  # domain cap for quota sampling
@@ -349,10 +352,7 @@ def quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
 QUALITY_WEIGHTED_SAMPLE_SQL = f"""
 WITH scored AS (
   SELECT doc_id, source,
-         round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
-               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
-                                             x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                  / len(string_split(trim(text), ' '))), 6) AS quality,
+         {_DQ} AS quality,
          (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} % {KEEP_SCALE} AS coin
   FROM documents
 )
@@ -394,15 +394,12 @@ def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SOURCE_MIXTURE_REPORT_SQL = """
+SOURCE_MIXTURE_REPORT_SQL = f"""
 WITH agg AS (
   SELECT source, lang,
          count(*) AS n_docs,
          CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
-         round(avg(round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
-               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
-                                             x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                  / len(string_split(trim(text), ' '))), 6)), 6) AS mean_quality
+         round(avg({_DQ}), 6) AS mean_quality
   FROM documents
   GROUP BY source, lang
 )
@@ -613,10 +610,7 @@ def corpus_build_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 CORPUS_BUILD_PIPELINE_SQL = f"""
 WITH scored AS (
   SELECT doc_id, source,
-         round(least(len(string_split(trim(text), ' ')) / 50.0, 1.0)
-               * (1.0 - CAST(len(list_filter(string_split(trim(text), ' '),
-                                             x -> x = 'the' OR x = 'a')) AS DOUBLE)
-                  / len(string_split(trim(text), ' '))), 6) AS quality,
+         {_DQ} AS quality,
          sha256(text) AS fp,
          len(string_split(trim(text), ' ')) AS n_tok
   FROM documents

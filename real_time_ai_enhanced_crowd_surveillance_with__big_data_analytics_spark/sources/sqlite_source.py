@@ -57,9 +57,15 @@ _TYPE_MAP = {
 DEFAULT_PARTITIONS = 4
 
 
+def _qi(name: str) -> str:
+    """Quote a SQLite identifier — embedded double quotes double, so a
+    hostile table/column option can't splice SQL into the auth db."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def _sqlite_schema(path: str, table: str) -> StructType:
     with sqlite3.connect(f"file:{path}?mode=ro", uri=True) as con:
-        cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+        cols = con.execute(f"PRAGMA table_info({_qi(table)})").fetchall()
     if not cols:
         raise ValueError(f"sqlite table {table!r} not found in {path}")
     fields = []
@@ -83,11 +89,11 @@ def filter_to_sql(f: Filter) -> tuple[str, list] | None:
     None when the source can't evaluate it (it stays in Spark)."""
     op = _OPS.get(type(f))
     if op is not None and len(f.attribute) == 1:
-        return f'"{f.attribute[0]}" {op} ?', [f.value]
+        return f"{_qi(f.attribute[0])} {op} ?", [f.value]
     if isinstance(f, IsNull) and len(f.attribute) == 1:
-        return f'"{f.attribute[0]}" IS NULL', []
+        return f"{_qi(f.attribute[0])} IS NULL", []
     if isinstance(f, IsNotNull) and len(f.attribute) == 1:
-        return f'"{f.attribute[0]}" IS NOT NULL', []
+        return f"{_qi(f.attribute[0])} IS NOT NULL", []
     return None
 
 
@@ -117,7 +123,7 @@ class SQLiteReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         with sqlite3.connect(f"file:{self.path}?mode=ro", uri=True) as con:
             row = con.execute(
-                f'SELECT min(rowid), max(rowid) FROM "{self.table}"'
+                f"SELECT min(rowid), max(rowid) FROM {_qi(self.table)}"
             ).fetchone()
         lo, hi = row if row and row[0] is not None else (0, -1)
         if hi < lo:
@@ -130,10 +136,10 @@ class SQLiteReader(DataSourceReader):
         ]
 
     def read(self, partition: _RowidSlice) -> Iterator[tuple]:
-        cols = ", ".join(f'"{c}"' for c in self.columns)
+        cols = ", ".join(_qi(c) for c in self.columns)
         clauses = ["rowid BETWEEN ? AND ?", *self.where]
         sql = (
-            f'SELECT {cols} FROM "{self.table}" '
+            f"SELECT {cols} FROM {_qi(self.table)} "
             f"WHERE {' AND '.join(clauses)} ORDER BY rowid"
         )
         with sqlite3.connect(f"file:{self.path}?mode=ro", uri=True) as con:
@@ -174,7 +180,7 @@ class SQLiteWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.columns = [f.name for f in schema.fields]
         self.ddl = ", ".join(
-            f'"{f.name}" {_DDL_MAP.get(f.dataType, "TEXT")}'
+            f'{_qi(f.name)} {_DDL_MAP.get(f.dataType, "TEXT")}'
             for f in schema.fields
         )
         self.stage_dir = options.get(
@@ -182,7 +188,7 @@ class SQLiteWriter(DataSourceWriter):
         )
 
     def _create_sql(self) -> str:
-        return f'CREATE TABLE IF NOT EXISTS "{self.table}" ({self.ddl})'
+        return f"CREATE TABLE IF NOT EXISTS {_qi(self.table)} ({self.ddl})"
 
     def write(self, iterator) -> _SpillMessage:
         import os
@@ -201,7 +207,7 @@ class SQLiteWriter(DataSourceWriter):
             con.execute(self._create_sql())
             for row in iterator:
                 con.execute(
-                    f'INSERT INTO "{self.table}" VALUES ({ph})', tuple(row)
+                    f"INSERT INTO {_qi(self.table)} VALUES ({ph})", tuple(row)
                 )
                 n += 1
             con.commit()
@@ -219,26 +225,26 @@ class SQLiteWriter(DataSourceWriter):
         con = sqlite3.connect(self.path)
         con.isolation_level = None  # explicit transaction control
         try:
-            con.execute(f'DROP TABLE IF EXISTS "{tmp}"')
-            con.execute(f'CREATE TABLE "{tmp}" ({self.ddl})')
+            con.execute(f"DROP TABLE IF EXISTS {_qi(tmp)}")
+            con.execute(f"CREATE TABLE {_qi(tmp)} ({self.ddl})")
             for m in messages:
                 if m is None:
                     continue
                 con.execute("ATTACH DATABASE ? AS stage", (m.path,))
                 con.execute(
-                    f'INSERT INTO "{tmp}" SELECT * FROM stage."{self.table}"'
+                    f"INSERT INTO {_qi(tmp)} SELECT * FROM stage.{_qi(self.table)}"
                 )
                 con.execute("DETACH DATABASE stage")
             con.execute("BEGIN IMMEDIATE")
             if self.overwrite:
-                con.execute(f'DROP TABLE IF EXISTS "{self.table}"')
-                con.execute(f'ALTER TABLE "{tmp}" RENAME TO "{self.table}"')
+                con.execute(f"DROP TABLE IF EXISTS {_qi(self.table)}")
+                con.execute(f"ALTER TABLE {_qi(tmp)} RENAME TO {_qi(self.table)}")
             else:
                 con.execute(self._create_sql())
                 con.execute(
-                    f'INSERT INTO "{self.table}" SELECT * FROM "{tmp}"'
+                    f"INSERT INTO {_qi(self.table)} SELECT * FROM {_qi(tmp)}"
                 )
-                con.execute(f'DROP TABLE "{tmp}"')
+                con.execute(f"DROP TABLE {_qi(tmp)}")
             con.execute("COMMIT")
         except Exception:
             try:

@@ -141,9 +141,15 @@ def _episode_fn(threshold: float, ttl_ms: int):
                     # falling edge closes the episode — emit exactly once
                     closed.append((user_id, start_ms, end_ms, n_ev, peak))
                     in_run = False
-        state.update((in_run, start_ms, end_ms, n_ev, peak, max_ts_ms))
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(max_ts_ms, wm_ms + 1) + ttl_ms)
+        # a key that has never alarmed needs no cell: updating state for
+        # every camera would scale the store with TOTAL key cardinality
+        # instead of alarming-key cardinality (a 100x tax when 1% of
+        # cameras ever alarm). Only open runs and already-materialized
+        # cells are written; the TTL then bounds those.
+        if in_run or state.exists:
+            state.update((in_run, start_ms, end_ms, n_ev, peak, max_ts_ms))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_ms, wm_ms + 1) + ttl_ms)
         yield pd.DataFrame(
             closed,
             columns=[

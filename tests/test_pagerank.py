@@ -75,8 +75,8 @@ def test_neardup_graph_ranks(spark, sf_dir):
     sym = pairs.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).union(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    n_nodes = sym.select("src").distinct().count()
     got = pagerank(sym, iters=5).collect()
-    if got:  # tiny sf may have no near-dup pairs
+    assert len(got) == n_nodes
+    if got:  # tiny sf may have no near-dup pairs (empty graph → empty ranks)
         assert abs(sum(r.rank for r in got) - 1.0) < 1e-9
-        n_nodes = sym.select("src").distinct().count()
-        assert len(got) == n_nodes

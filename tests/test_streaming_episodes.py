@@ -93,6 +93,16 @@ def test_streaming_episodes_match_python_reference(spark, dirs):
              r.n_events, r.peak_value)
             for r in spark.sql("SELECT * FROM episodes_parity").collect()
         }
+        # only keys with an OPEN run (or a previously materialized
+        # cell) hold state: user 1's trailing run is open; user 2's run
+        # straddled chunks c2/c3 (cell materialized while open); user 3
+        # never alarmed and must NOT own a cell
+        keys = {
+            tuple(r.key)
+            for r in spark.read.format("statestore")
+            .option("path", ckpt).load().select("key").collect()
+        }
+        assert keys == {(1,), (2,)}
     finally:
         q.stop()
     assert got == _expected_closed(rows)
@@ -101,10 +111,9 @@ def test_streaming_episodes_match_python_reference(spark, dirs):
 def test_streaming_episodes_idle_state_evicted(spark, dirs):
     src, ckpt = dirs
     os.makedirs(src)
-    write_events_chunk(
-        spark, src, "c1",
-        [(1, 1, 200.0, T0), (1, 2, 10.0, T0 + dt.timedelta(minutes=1))],
-    )
+    # an OPEN run (no falling edge) — the case that must hold a cell
+    # until the idle TTL evicts it
+    write_events_chunk(spark, src, "c1", [(1, 1, 200.0, T0)])
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
