@@ -62,6 +62,15 @@ def main() -> None:
         # between queries keeps each measurement independent and stops
         # storage-memory pressure from skewing late queries' numbers
         spark.catalog.clearCache()
+        # localCheckpoint RDD blocks are NOT freed by clearCache — only
+        # by ContextCleaner after Python GC drops the DataFrame. Without
+        # this, a checkpoint-heavy query taxes its successors' block
+        # manager (measured: dedup_minhash_lsh 18.9 s after
+        # duplicate_span_fraction vs 1.9 s clean)
+        import gc
+
+        gc.collect()
+        time.sleep(0.2)
         return dt
 
     # one failing query must never zero the whole bench (a round with no
