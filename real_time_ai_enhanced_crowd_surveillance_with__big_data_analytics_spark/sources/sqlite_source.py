@@ -23,6 +23,7 @@ from collections.abc import Iterable, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -266,6 +267,78 @@ class SQLiteWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class SQLiteStreamWriter(SQLiteWriter, DataSourceStreamWriter):
+    """Streaming SQLite sink, exactly-once: every micro-batch appends
+    through the same stage-then-publish transaction, and the publish
+    also records (table, batch_id) in a ``_stream_commits`` ledger
+    INSIDE that transaction — a replayed batch (restart after a crash
+    between sink commit and checkpoint write) finds its ledger row and
+    skips, so rows are never duplicated. This is the idempotent-sink
+    half of Structured Streaming's exactly-once contract, done with
+    SQLite's own atomicity instead of a transactional table format."""
+
+    _LEDGER = "_stream_commits"
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import os
+
+        tmp = f"_incoming_{self.table}"
+        con = sqlite3.connect(self.path)
+        con.isolation_level = None
+        try:
+            con.execute(f"DROP TABLE IF EXISTS {_qi(tmp)}")
+            con.execute(f"CREATE TABLE {_qi(tmp)} ({self.ddl})")
+            for m in messages:
+                if m is None:
+                    continue
+                con.execute("ATTACH DATABASE ? AS stage", (m.path,))
+                con.execute(
+                    f"INSERT INTO {_qi(tmp)} SELECT * FROM stage.{_qi(self.table)}"
+                )
+                con.execute("DETACH DATABASE stage")
+            con.execute("BEGIN IMMEDIATE")
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {_qi(self._LEDGER)} "
+                "(tbl TEXT, batch_id INTEGER, n_rows INTEGER, "
+                "PRIMARY KEY (tbl, batch_id))"
+            )
+            seen = con.execute(
+                f"SELECT 1 FROM {_qi(self._LEDGER)} WHERE tbl = ? AND batch_id = ?",
+                (self.table, batchId),
+            ).fetchone()
+            if seen:
+                # replayed micro-batch: the ledger proves it already
+                # landed — drop the staged copy and change nothing
+                con.execute(f"DROP TABLE {_qi(tmp)}")
+                con.execute("COMMIT")
+            else:
+                con.execute(self._create_sql())
+                con.execute(
+                    f"INSERT INTO {_qi(self.table)} SELECT * FROM {_qi(tmp)}"
+                )
+                n = sum(m.n_rows for m in messages if m is not None)
+                con.execute(
+                    f"INSERT INTO {_qi(self._LEDGER)} VALUES (?, ?, ?)",
+                    (self.table, batchId, n),
+                )
+                con.execute(f"DROP TABLE {_qi(tmp)}")
+                con.execute("COMMIT")
+        except Exception:
+            try:
+                con.execute("ROLLBACK")
+            except sqlite3.OperationalError:
+                pass
+            raise
+        finally:
+            con.close()
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        SQLiteWriter.abort(self, messages)
+
+
 class SQLiteDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -279,6 +352,12 @@ class SQLiteDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> SQLiteWriter:
         return SQLiteWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(  # noqa: N802 — Spark API name
+        self, schema: StructType, overwrite: bool
+    ) -> SQLiteStreamWriter:
+        # streaming appends; "overwrite" has no meaning per micro-batch
+        return SQLiteStreamWriter(schema, dict(self.options), False)
 
 
 def register_sqlite_source(spark) -> None:

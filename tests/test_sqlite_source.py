@@ -123,6 +123,66 @@ def test_write_roundtrip_overwrite_and_append(registered, db, tmp_path):
     assert not list((tmp_path / "stage").glob("*.sqlite3")), "spills leaked"
 
 
+def test_stream_write_exactly_once(registered, tmp_path):
+    """writeStream into SQLite: rows land once; a replayed micro-batch
+    (same batchId re-committed, as after a crash between sink commit
+    and checkpoint write) is skipped via the _stream_commits ledger."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.framefeed import (
+        register_framefeed_source,
+    )
+
+    register_framefeed_source(registered)
+    out = str(tmp_path / "sink.sqlite3")
+    q = (
+        registered.readStream.format("framefeed")
+        .option("maxFrames", 40)
+        .option("framesPerBatch", 16)
+        .load()
+        .selectExpr("camera_id", "frame_id", "score")
+        .writeStream.format("sqlite")
+        .option("path", out)
+        .option("table", "frames")
+        .option("stageDir", str(tmp_path / "stage"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    con = sqlite3.connect(out)
+    ids = [r[0] for r in con.execute("SELECT frame_id FROM frames ORDER BY 1")]
+    assert ids == list(range(40))
+    ledger = con.execute(
+        "SELECT count(*), sum(n_rows) FROM _stream_commits"
+    ).fetchone()
+    assert ledger[1] == 40
+
+    # simulate the crash-replay: re-commit an already-ledgered batchId
+    from pyspark.sql.types import StructType
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.sqlite_source import (
+        SQLiteStreamWriter,
+        _SpillMessage,
+    )
+
+    schema = StructType.fromDDL("camera_id long, frame_id long, score double")
+    w = SQLiteStreamWriter(
+        schema,
+        {"path": out, "table": "frames", "stagedir": str(tmp_path / "stage2")},
+        False,
+    )
+    spill = str(tmp_path / "replay.sqlite3")
+    scon = sqlite3.connect(spill)
+    scon.execute(w._create_sql())
+    scon.execute('INSERT INTO "frames" VALUES (9, 999, 0.5)')
+    scon.commit()
+    scon.close()
+    w.commit([_SpillMessage(spill, 1)], batchId=0)  # batch 0 already landed
+    n = sqlite3.connect(out).execute("SELECT count(*) FROM frames").fetchone()
+    assert n[0] == 40, "replayed batch must be skipped, not re-applied"
+
+
 def test_pushed_filters_reach_source_sql(db):
     from pyspark.sql.types import StructType
 
