@@ -109,6 +109,7 @@ class SQLiteReader(DataSourceReader):
         self.table = options["table"]
         self.n_parts = int(options.get("numpartitions", DEFAULT_PARTITIONS))
         self.columns = [f.name for f in schema.fields]
+        self._schema_fields = list(schema.fields)
         self.where: list[str] = []
         self.params: list = []
 
@@ -136,7 +137,24 @@ class SQLiteReader(DataSourceReader):
             for i in range(n)
         ]
 
-    def read(self, partition: _RowidSlice) -> Iterator[tuple]:
+    ARROW_BATCH_ROWS = 8192
+
+    def read(self, partition: _RowidSlice):
+        """Yields Arrow RecordBatches (the DataSource API's fast path:
+        one columnar hand-off per 8k rows instead of per-row pickling),
+        with explicit Arrow types derived from the declared schema so
+        all-NULL slices can't be type-inferred into a mismatch."""
+        import pyarrow as pa
+
+        pa_types = {
+            "bigint": pa.int64(),
+            "double": pa.float64(),
+            "binary": pa.binary(),
+        }
+        arrow_schema = [
+            (f.name, pa_types.get(f.dataType.simpleString(), pa.string()))
+            for f in self._schema_fields
+        ]
         cols = ", ".join(_qi(c) for c in self.columns)
         clauses = ["rowid BETWEEN ? AND ?", *self.where]
         sql = (
@@ -144,9 +162,19 @@ class SQLiteReader(DataSourceReader):
             f"WHERE {' AND '.join(clauses)} ORDER BY rowid"
         )
         with sqlite3.connect(f"file:{self.path}?mode=ro", uri=True) as con:
-            yield from con.execute(
-                sql, [partition.lo, partition.hi, *self.params]
-            )
+            cur = con.execute(sql, [partition.lo, partition.hi, *self.params])
+            while True:
+                rows = cur.fetchmany(self.ARROW_BATCH_ROWS)
+                if not rows:
+                    break
+                columns = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(columns[i], type=t)
+                        for i, (_n, t) in enumerate(arrow_schema)
+                    ],
+                    names=[n for n, _t in arrow_schema],
+                )
 
 
 _DDL_MAP = {

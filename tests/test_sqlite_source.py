@@ -196,5 +196,10 @@ def test_pushed_filters_reach_source_sql(db):
     )
     assert rdr.where == ['"is_active" = ?'] and rdr.params == [1]
     assert len(residual) == 1  # the Not(...) stays with Spark
-    rows = [r for p in rdr.partitions() for r in rdr.read(p)]
-    assert sorted(r[0] for r in rows) == [1, 2, 4]  # active only
+    ids = [
+        i
+        for p in rdr.partitions()
+        for b in rdr.read(p)
+        for i in b.column(0).to_pylist()
+    ]
+    assert sorted(ids) == [1, 2, 4]  # active only
