@@ -62,7 +62,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # quantile_normalize / duplicate_span_fraction / value_drift_psi /
 # source_overlap_matrix / alarm_concurrency_daily / hourly_autocorr /
 # expectation_report / props_variant_extract /
-# semantic_keep_canonical / fuzzy_name_pairs (all locally
+# semantic_keep_canonical / fuzzy_name_pairs / seasonal_profile /
+# cooccurrence_lift (all locally
 # oracle-green, positions 51+ this
 # round).
 _PRIORITY: list[str] = [

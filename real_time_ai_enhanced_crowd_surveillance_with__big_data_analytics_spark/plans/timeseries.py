@@ -533,8 +533,114 @@ FROM agg
 """
 
 
+# --- hour-of-day seasonality profile ----------------------------------------
+
+def seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean events per hour-of-day per type — the diurnal shape of the
+    feed (complements ``hourly_autocorr``'s periodicity score with the
+    actual profile). Denominator = distinct calendar days observed, so
+    the mean is per-day-normalized and gap days count as zero. One
+    scan, two bounded aggregates (24×types and a 1-row day count)."""
+    events = load_table(spark, "events", sf)
+    days = events.agg(
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days")
+    )
+    by_hour = events.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.count("*").alias("n"))
+    return by_hour.crossJoin(F.broadcast(days)).select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("n") / F.col("n_days"), 6).alias("mean_per_day"),
+    )
+
+
+SEASONAL_PROFILE_SQL = """
+WITH days AS (
+  SELECT count(DISTINCT date_trunc('day', ts)) AS n_days FROM events
+), by_hour AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_of_day, n,
+       round(n / CAST(d.n_days AS DOUBLE), 6) AS mean_per_day
+FROM by_hour CROSS JOIN days d
+"""
+
+
+# --- within-user event-type co-occurrence lift ------------------------------
+
+def cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket lift over whole user histories: for each unordered
+    type pair, P(user does both) / (P(a)·P(b)) — the complement of
+    ``bigram_lift``'s SEQUENTIAL association. Distinct (user, type)
+    pairs self-join on user (per-user work is ≤ C(n_types, 2), bounded
+    by the tiny type alphabet, never by event count), probabilities are
+    exact count ratios rounded last."""
+    events = load_table(spark, "events", sf)
+    ut = events.select("user_id", "event_type").distinct()
+    nrow = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("n_both"))
+    )
+    singles = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("n_t")
+    )
+    return (
+        both.join(F.broadcast(singles.withColumnRenamed("t", "ta")), "ta")
+        .withColumnRenamed("n_t", "n_a")
+        .join(
+            F.broadcast(
+                singles.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b"))
+            ),
+            "tb",
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "ta",
+            "tb",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users").cast("double"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+COOCCURRENCE_LIFT_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT count(DISTINCT user_id) AS n_users FROM ut
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), singles AS (
+  SELECT event_type AS t, count(*) AS n_t FROM ut GROUP BY 1
+)
+SELECT pairs.ta, pairs.tb, pairs.n_both,
+       round((pairs.n_both * CAST(n.n_users AS DOUBLE))
+             / (sa.n_t * sb.n_t), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.t = pairs.ta
+JOIN singles sb ON sb.t = pairs.tb
+CROSS JOIN n
+"""
+
+
 TIMESERIES_QUERIES = {
     "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
+    "seasonal_profile": (seasonal_profile, SEASONAL_PROFILE_SQL),
+    "cooccurrence_lift": (cooccurrence_lift, COOCCURRENCE_LIFT_SQL),
     "alarm_episodes": (alarm_episodes, ALARM_EPISODES_SQL),
     "alarm_concurrency_daily": (alarm_concurrency_daily, ALARM_CONCURRENCY_SQL),
     "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
