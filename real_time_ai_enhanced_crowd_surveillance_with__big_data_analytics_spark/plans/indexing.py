@@ -1,0 +1,307 @@
+"""Corpus indexing & dataset-assembly plans over the documents table.
+
+The retrieval/tokenizer side of a training-data pipeline (north-star
+extensions per BASELINE.json; the reference's CLIP retrieval loop
+``main.py:70-88`` is the 1-frame special case of the same
+index-then-look-up shape):
+
+- ``doc_chunking``    — overlapping token-window chunks (RAG ingest)
+- ``inverted_index``  — capped per-token posting lists (search index)
+- ``bpe_merge_step``  — adjacent-pair merge statistics (one BPE
+                        tokenizer-training iteration)
+- ``dataset_split``   — deterministic train/val/test hash split audit
+
+Scale notes: chunking and the split are map-only (zero shuffle);
+the index and BPE step shuffle on token/pair keys whose cardinality
+is vocabulary-bounded (Zipf), not corpus-bounded, so map-side partial
+aggregation absorbs the 100 TB fan-in. Posting lists are capped
+BEFORE aggregation (rank filter, then collect) so no executor ever
+materializes a hot token's full document list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+from ..sources.tables import load_table
+from .training_data import HASH_P
+
+CHUNK_TOKENS = 32  # RAG window size
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+POSTINGS_CAP = 8  # max doc ids kept per token
+MERGE_TOP = 20  # BPE merges reported per step
+SPLIT_MULT = 40_503  # affine hash multiplier (shared with shard_assignment)
+SPLIT_ADD = 11
+
+
+# --- RAG chunking ------------------------------------------------------------
+
+def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Split every document into CHUNK_TOKENS-token windows advancing by
+    CHUNK_STRIDE (overlap = CHUNK − STRIDE), the standard RAG ingest
+    shape. chunk k covers tokens [k·S, min(k·S+C, n)); the last window
+    may be short but every token is covered exactly ⌈overlap-adjusted⌉
+    times. Pure per-row array math + posexplode — zero shuffle; at
+    100 TB this is an embarrassingly parallel scan whose output
+    partitioning inherits the input's."""
+    docs = load_table(spark, "documents", sf)
+    toks = tokens(F.col("text"))
+    n = F.size(F.col("toks"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(n - CHUNK_TOKENS, F.lit(0)) / float(CHUNK_STRIDE)
+    ).cast("long")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_id"),
+            (F.col("pos") * CHUNK_STRIDE).alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("long"),
+                F.size(F.col("toks")) - F.col("pos") * CHUNK_STRIDE,
+            ).alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("pos") * CHUNK_STRIDE + 1).cast("int"),
+                    CHUNK_TOKENS,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                     / {CHUNK_STRIDE}.0) AS BIGINT)))
+         AS chunk_id,
+       unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                     / {CHUNK_STRIDE}.0) AS BIGINT)))
+         * {CHUNK_STRIDE} AS start_tok,
+       least({CHUNK_TOKENS},
+             n - unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                               / {CHUNK_STRIDE}.0) AS BIGINT)))
+                 * {CHUNK_STRIDE}) AS n_chunk_tokens,
+       array_to_string(
+         list_slice(toks,
+           unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                         / {CHUNK_STRIDE}.0) AS BIGINT)))
+             * {CHUNK_STRIDE} + 1,
+           least(unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                               / {CHUNK_STRIDE}.0) AS BIGINT)))
+                   * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)),
+         ' ') AS chunk_text
+FROM d
+"""
+
+
+# --- inverted index ----------------------------------------------------------
+
+def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Token → (document frequency, collection frequency, capped posting
+    list). Postings keep the POSTINGS_CAP highest-tf docs (tf desc,
+    doc_id asc) — the rank filter runs BEFORE collect_list, so the
+    aggregated array is ≤cap elements even for stopword-grade tokens;
+    df/cf still aggregate over ALL rows. Shuffle keys are (token,
+    doc_id) then token — vocabulary-bounded, map-side combined."""
+    docs = load_table(spark, "documents", sf)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("tok").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rk") <= POSTINGS_CAP,
+                            F.struct(
+                                F.col("rk").alias("rk"),
+                                F.col("doc_id").alias("doc_id"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s.doc_id,
+            ).alias("postings"),
+        )
+        .select("tok", "df", "cf", "postings")
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH tf AS (
+  SELECT tok, doc_id, count(*) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+  )
+  GROUP BY tok, doc_id
+), ranked AS (
+  SELECT tok, doc_id, tf,
+         row_number() OVER (PARTITION BY tok
+                            ORDER BY tf DESC, doc_id ASC) AS rk
+  FROM tf
+)
+SELECT tok,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       list(doc_id ORDER BY rk ASC) FILTER (WHERE rk <= {POSTINGS_CAP})
+         AS postings
+FROM ranked
+GROUP BY tok
+"""
+
+
+# --- one BPE training iteration ----------------------------------------------
+
+def bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer training: corpus-weighted
+    adjacent-symbol-pair frequencies at the character stage, reporting
+    the MERGE_TOP pairs a trainer would merge next. Word frequencies
+    aggregate first (vocab-bounded shuffle), so the pair explode runs
+    over DISTINCT words — corpus size only enters through the counts.
+    The final top-k window is a single partition over pair-vocabulary
+    rows (bounded), after map-side partial aggregation."""
+    docs = load_table(spark, "documents", sf)
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = wf.select(
+        "wf",
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> concat(substr(w, i, 1), substr(w, i + 1, 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    freq = pairs.groupBy("pair").agg(F.sum("wf").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        freq.select(
+            F.row_number().over(w).alias("merge_rank"), "pair", "pair_count"
+        )
+        .filter(F.col("merge_rank") <= MERGE_TOP)
+    )
+
+
+BPE_MERGE_STEP_SQL = f"""
+WITH wf AS (
+  SELECT w, count(*) AS wf
+  FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+  )
+  GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair,
+         wf
+  FROM wf
+  WHERE length(w) >= 2
+), freq AS (
+  SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair
+)
+SELECT merge_rank, pair, pair_count FROM (
+  SELECT row_number() OVER (ORDER BY pair_count DESC, pair ASC)
+           AS merge_rank,
+         pair, pair_count
+  FROM freq
+) WHERE merge_rank <= {MERGE_TOP}
+"""
+
+
+# --- train/val/test split audit ----------------------------------------------
+
+def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by portable affine
+    hash (split membership is lineage — engine hash() would not
+    reproduce across engines or Spark versions), audited per
+    (split, source): docs, tokens, and each split's doc share within
+    its source. Assignment is map-only; the audit is one bounded-key
+    shuffle with map-side partials."""
+    docs = load_table(spark, "documents", sf)
+    bucket = ((F.col("doc_id") * SPLIT_MULT + SPLIT_ADD) % HASH_P) % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per = (
+        docs.select(
+            split.alias("split"), "source", token_count(F.col("text")).alias("n_tok")
+        )
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
+    )
+    src_total = Window.partitionBy("source")
+    return per.select(
+        "split",
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(src_total), 6
+        ).alias("doc_share"),
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE
+           WHEN ((doc_id * {SPLIT_MULT} + {SPLIT_ADD}) % {HASH_P}) % 100 < 90
+             THEN 'train'
+           WHEN ((doc_id * {SPLIT_MULT} + {SPLIT_ADD}) % {HASH_P}) % 100 < 95
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         source,
+         len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents
+), per AS (
+  SELECT split, source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tokens
+  FROM assigned GROUP BY split, source
+)
+SELECT split, source, n_docs, tokens,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY source), 6)
+         AS doc_share
+FROM per
+"""
+
+
+INDEXING_QUERIES = {
+    "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
+    "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
+    "bpe_merge_step": (bpe_merge_step, BPE_MERGE_STEP_SQL),
+    "dataset_split": (dataset_split, DATASET_SPLIT_SQL),
+}

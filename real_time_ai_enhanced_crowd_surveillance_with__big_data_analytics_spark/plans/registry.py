@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .dedup import DEDUP_QUERIES
+from .indexing import INDEXING_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
 from .pipeline_quality import PIPELINE_QUALITY_QUERIES
 from .relational import RELATIONAL_QUERIES
@@ -33,6 +34,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     TRAINING_DATA_QUERIES,
     SIMILARITY_QUERIES,
     DEDUP_QUERIES,
+    INDEXING_QUERIES,
     PIPELINE_QUALITY_QUERIES,
     TIMESERIES_QUERIES,
     STATS_QUERIES,
@@ -63,9 +65,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # source_overlap_matrix / alarm_concurrency_daily / hourly_autocorr /
 # expectation_report / props_variant_extract /
 # semantic_keep_canonical / fuzzy_name_pairs / seasonal_profile /
-# cooccurrence_lift (all locally
-# oracle-green, positions 51+ this
-# round).
+# cooccurrence_lift / doc_chunking / inverted_index / bpe_merge_step /
+# dataset_split (all locally oracle-green, positions 51+ this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",

@@ -1,0 +1,122 @@
+"""Invariant tests for the corpus-indexing plans (plans/indexing.py):
+chunk coverage/overlap arithmetic, posting-list cap + ordering, BPE
+pair counts vs a Python reference, split totality and determinism.
+The DuckDB oracle checks value parity; these check the semantics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.indexing import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    MERGE_TOP,
+    POSTINGS_CAP,
+    bpe_merge_step,
+    dataset_split,
+    doc_chunking,
+    inverted_index,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_doc_chunking_covers_every_token_exactly(spark, sf_dir):
+    chunks = doc_chunking(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: len(r["text"].strip().split(" "))
+        for r in load_table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(docs)
+    for doc_id, rows in per_doc.items():
+        n = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_id"])
+        # chunk k starts at k*stride; windows tile the whole doc
+        for k, r in enumerate(rows):
+            assert r["chunk_id"] == k
+            assert r["start_tok"] == k * CHUNK_STRIDE
+            assert r["n_chunk_tokens"] == min(
+                CHUNK_TOKENS, n - k * CHUNK_STRIDE
+            )
+            assert r["n_chunk_tokens"] >= 1
+            assert len(r["chunk_text"].split(" ")) == r["n_chunk_tokens"]
+        # the final window reaches the last token; one more would start
+        # at/after the end
+        last = rows[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] == n
+        assert (
+            len(rows) == 1
+            or rows[-2]["start_tok"] + CHUNK_TOKENS < n
+            or len(rows) == 1 + max(0, -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE))
+        )
+
+
+def test_inverted_index_cap_and_exact_counts(spark, sf_dir):
+    idx = {r["tok"]: r for r in inverted_index(spark, sf_dir).collect()}
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").collect()
+    tf: dict[str, Counter] = {}
+    for r in docs:
+        for t in r["text"].strip().split(" "):
+            tf.setdefault(t, Counter())[r["doc_id"]] += 1
+    assert set(idx) == set(tf)
+    for tok, counts in tf.items():
+        row = idx[tok]
+        assert row["df"] == len(counts)
+        assert row["cf"] == sum(counts.values())
+        want = [
+            d
+            for d, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :POSTINGS_CAP
+            ]
+        ]
+        assert list(row["postings"]) == want
+        assert len(row["postings"]) <= POSTINGS_CAP
+
+
+def test_bpe_merge_step_matches_python_reference(spark, sf_dir):
+    got = bpe_merge_step(spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir).select("text").collect()
+    pair_counts: Counter = Counter()
+    for r in docs:
+        for w in r["text"].strip().split(" "):
+            for i in range(len(w) - 1):
+                pair_counts[w[i : i + 2]] += 1
+    want = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:MERGE_TOP]
+    assert [(r["pair"], r["pair_count"]) for r in got] == want
+    assert [r["merge_rank"] for r in got] == list(range(1, len(want) + 1))
+
+
+def test_dataset_split_total_and_deterministic(spark, sf_dir):
+    out = dataset_split(spark, sf_dir)
+    rows = out.collect()
+    n_docs = load_table(spark, "documents", sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # deterministic: a second run produces the identical relation
+    again = {(r["split"], r["source"]): r for r in dataset_split(spark, sf_dir).collect()}
+    for r in rows:
+        b = again[(r["split"], r["source"])]
+        assert (r["n_docs"], r["tokens"], r["doc_share"]) == (
+            b["n_docs"],
+            b["tokens"],
+            b["doc_share"],
+        )
+    # shares sum to 1 within each source
+    per_src: dict[str, float] = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0.0) + r["doc_share"]
+    for s, tot in per_src.items():
+        assert abs(tot - 1.0) < 1e-4, (s, tot)
+
+
+def test_doc_chunking_is_shuffle_free(spark, sf_dir):
+    plan = doc_chunking(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
