@@ -297,7 +297,136 @@ GROUP BY a.source, b.source
 """
 
 
+SKEW_TOP = 10  # heaviest join keys reported
+
+
+def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for the events fact: the SKEW_TOP
+    heaviest user_id keys with their share of all rows and the
+    cumulative share — the number that decides whether a planned
+    user-keyed join/agg needs salting (operators/skew.py) or AQE skew
+    handling before it runs at 100 TB.
+
+    Key-cardinality shuffle (map-side combined), then the top slice
+    only enters the single-partition rank window — same partial-top-k
+    posture as vocab_coverage."""
+    events = load_table(spark, "events", sf)
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = per_key.agg(F.sum("n").cast("double").alias("_total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("_total"),
+                6,
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rank") <= SKEW_TOP)
+    )
+
+
+KEY_SKEW_REPORT_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM per_key)
+SELECT rank, user_id, n, share, cum_share FROM (
+  SELECT row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank,
+         user_id, n,
+         round(n / t.total, 6) AS share,
+         round(sum(n) OVER (ORDER BY n DESC, user_id ASC
+                            ROWS UNBOUNDED PRECEDING) / t.total, 6)
+           AS cum_share
+  FROM per_key CROSS JOIN t
+) WHERE rank <= {SKEW_TOP}
+"""
+
+
+EMB_DIM = 64  # driver embeddings table dimension (TESTDATA.md)
+
+
+def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns — the
+    preparatory statistic for PCA / whitening / ZCA of an embedding
+    store (cov_ij = E[x_i x_j] − μ_i μ_j).
+
+    Scale shape (what MLlib's RowMatrix does internally): one
+    mapInPandas pass computes per-Arrow-batch partials — Gram XᵀX via
+    BLAS, column sums, row count — and emits d(d+1)/2 rows per batch;
+    the reduce is a groupBy on the bounded (i, j) key (2 080 groups at
+    d=64). The corpus never shuffles; only d² floats per partition do.
+    Eigen-decomposition of the 64×64 result is driver-side by design.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    iu = np.triu_indices(EMB_DIM)
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            if x.size == 0:
+                continue
+            gram = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "sxy": gram[iu],
+                    "sx": s[iu[0]],
+                    "sy": s[iu[1]],
+                    "n": np.int64(len(x)),
+                }
+            )
+
+    acc = emb.select("embedding").mapInPandas(
+        partials, schema="i int, j int, sxy double, sx double, sy double, n long"
+    )
+    tot = acc.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("n").alias("n"),
+    )
+    return tot.select(
+        "i",
+        "j",
+        F.round(
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+            6,
+        ).alias("cov"),
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH flat AS (
+  SELECT vec_id,
+         unnest(range({EMB_DIM})) AS i,
+         unnest(list_transform(range({EMB_DIM}),
+                k -> CAST(embedding[k + 1] AS DOUBLE))) AS v
+  FROM embeddings
+)
+SELECT CAST(a.i AS INTEGER) AS i,
+       CAST(b.i AS INTEGER) AS j,
+       round(sum(a.v * b.v) / count(*)
+             - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+FROM flat a
+JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 STATS_QUERIES = {
+    "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
+    "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_SQL),
     "value_drift_psi": (value_drift_psi, VALUE_DRIFT_PSI_SQL),
     "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_MATRIX_SQL),
     "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
