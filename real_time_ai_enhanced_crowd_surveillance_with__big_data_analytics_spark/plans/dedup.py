@@ -344,6 +344,73 @@ toks AS (
 )"""
 
 
+# --- containment (asymmetric overlap) ----------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Document pairs where one side's trigram set is ≥80% contained in
+    the other: containment(A→B) = |A∩B|/|A|. The asymmetric complement
+    of Jaccard — a short doc quoted wholesale inside a long one scores
+    near 1.0 here while Jaccard dilutes toward |A|/|B| and misses it
+    (the boilerplate/quotation case exact-substring dedup targets).
+
+    Same inverted-index candidate generation as dedup_ngram_jaccard
+    (Σ df² bounded, nothing corpus-quadratic); only the final scoring
+    differs, so the scale posture is identical."""
+    docs = load_table(spark, "documents", sf)
+    tri = _shingle_postings(docs)
+    counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    a = tri.select(F.col("doc_id").alias("ia"), "sid")
+    b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
+    shared = (
+        a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
+    contain_a = F.round(F.col("shared") / F.col("na"), 6)
+    contain_b = F.round(F.col("shared") / F.col("nb"), 6)
+    return (
+        shared.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia",
+            "ib",
+            "shared",
+            contain_a.alias("contain_a"),
+            contain_b.alias("contain_b"),
+        )
+        .filter(
+            F.greatest(F.col("contain_a"), F.col("contain_b"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {{postings}},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia, ib, shared, contain_a, contain_b FROM (
+  SELECT s.ia, s.ib, s.shared,
+         round(CAST(s.shared AS DOUBLE) / na.n_tri, 6) AS contain_a,
+         round(CAST(s.shared AS DOUBLE) / nb.n_tri, 6) AS contain_b
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+)
+WHERE greatest(contain_a, contain_b) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16 perms) over hashed-trigram shingles, banded 4×4;
     pairs sharing a band key are candidates; exact shingle Jaccard
@@ -1005,6 +1072,10 @@ DEDUP_QUERIES = {
     "dedup_ngram_jaccard": (
         dedup_ngram_jaccard,
         DEDUP_NGRAM_JACCARD_SQL.format(postings=_DUCK_POSTINGS),
+    ),
+    "dedup_containment": (
+        dedup_containment,
+        DEDUP_CONTAINMENT_SQL.format(postings=_DUCK_POSTINGS),
     ),
     "dedup_ngram_jaccard_capped": (
         dedup_ngram_jaccard_capped,

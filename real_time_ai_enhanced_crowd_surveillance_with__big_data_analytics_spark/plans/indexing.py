@@ -299,7 +299,66 @@ FROM per
 """
 
 
+# --- chunk-level redundancy ---------------------------------------------------
+
+def chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level duplication audit per source: how much of a RAG
+    index built from doc_chunking would be redundant storage. Chunks
+    fingerprint with SHA-256 (digest-only shuffle — chunk text never
+    moves past the map side), distinct counts per source via one
+    two-key agg. The overlap window means adjacent chunks of identical
+    docs collide too, so dup_frac upper-bounds index savings."""
+    chunks = doc_chunking(spark, sf)
+    docs = load_table(spark, "documents", sf).select("doc_id", "source")
+    per = (
+        chunks.join(docs, "doc_id")
+        .select("source", F.sha2(F.col("chunk_text"), 256).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_chunks",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_chunks"), 6).alias(
+            "dup_frac"
+        ),
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+         len(string_split(trim(text), ' ')) AS n
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         sha256(array_to_string(
+           list_slice(toks,
+             unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                           / {CHUNK_STRIDE}.0) AS BIGINT)))
+               * {CHUNK_STRIDE} + 1,
+             least(unnest(range(0, 1 + CAST(ceil(greatest(n - {CHUNK_TOKENS}, 0)
+                                                 / {CHUNK_STRIDE}.0) AS BIGINT)))
+                     * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)),
+           ' ')) AS fp
+  FROM d
+), per AS (
+  SELECT s.source, count(*) AS n_chunks, count(DISTINCT c.fp) AS n_distinct
+  FROM chunks c JOIN documents s USING (doc_id)
+  GROUP BY s.source
+)
+SELECT source, n_chunks, n_distinct,
+       round(1.0 - n_distinct / CAST(n_chunks AS DOUBLE), 6) AS dup_frac
+FROM per
+"""
+
+
 INDEXING_QUERIES = {
+    "chunk_dedup": (chunk_dedup, CHUNK_DEDUP_SQL),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "bpe_merge_step": (bpe_merge_step, BPE_MERGE_STEP_SQL),
