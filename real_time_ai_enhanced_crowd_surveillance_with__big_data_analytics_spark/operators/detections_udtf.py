@@ -18,11 +18,25 @@ Used via LATERAL join so source columns pass through:
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 from .detections import CONFIDENCE_THRESHOLD
+
+_SIX_DP = Decimal("0.000001")
+
+
+def _round_half_up6(x: float) -> float:
+    """Match Spark's F.round exactly: Spark rounds HALF_UP on
+    ``BigDecimal.valueOf(double)`` — the SHORTEST-roundtrip decimal
+    string, not the exact binary expansion — and Python's ``repr``
+    produces that same shortest string. Built-in round() half-to-even
+    diverges on ties (0.1015625 → 0.101562 vs Spark's 0.101563), and
+    ``Decimal(x)`` (exact binary) diverges the other way on values
+    like 0.5156255 whose binary expansion falls just below the tie."""
+    return float(Decimal(repr(x)).quantize(_SIX_DP, rounding=ROUND_HALF_UP))
 
 
 @udtf(returnType="class_id int, confidence double, x int, y int, w int, h int")
@@ -42,7 +56,7 @@ class ParseDetectionsUDTF:
             return
         yield (
             class_id,
-            round(best, 6),
+            _round_half_up6(best),
             math.floor(cx - bw / 2),
             math.floor(cy - bh / 2),
             int(bw),

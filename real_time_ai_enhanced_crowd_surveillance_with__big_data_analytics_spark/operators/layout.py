@@ -46,6 +46,10 @@ def rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
             for f in pdf["file"]:
                 local = f[len("file:") :] if f.startswith("file:") else f
                 meta = pq.ParquetFile(local).metadata
+                # a schema-only part file (empty write) has zero row
+                # groups — nothing to audit, not an error
+                if meta.num_row_groups == 0:
+                    continue
                 names = {
                     meta.row_group(0).column(i).path_in_schema: i
                     for i in range(meta.num_columns)
@@ -53,11 +57,15 @@ def rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
                 ci = names[column]
                 for g in range(meta.num_row_groups):
                     st = meta.row_group(g).column(ci).statistics
+                    # writers may omit stats; surface the group with
+                    # NULL bounds — consumers must treat it unprunable,
+                    # never skip it
+                    has = st is not None and st.has_min_max
                     out["file"].append(f)
                     out["row_group"].append(g)
                     out["n_rows"].append(meta.row_group(g).num_rows)
-                    out["cmin"].append(float(st.min))
-                    out["cmax"].append(float(st.max))
+                    out["cmin"].append(float(st.min) if has else None)
+                    out["cmax"].append(float(st.max) if has else None)
             yield pd.DataFrame(out)
 
     return files.mapInPandas(
@@ -68,25 +76,32 @@ def rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
 
 def pruning_fraction(stats: DataFrame, lo: float, hi: float) -> dict:
     """Replay ``column BETWEEN lo AND hi`` against footer stats: a row
-    group is skippable iff its [cmin, cmax] misses [lo, hi]. Returns
-    {groups, skippable, frac_groups_skipped, frac_rows_skipped}."""
+    group is skippable iff its [cmin, cmax] misses [lo, hi]; groups
+    with NULL bounds (stats omitted by the writer) are unprunable by
+    definition, and the NULL-safe predicate below leaves them unskipped.
+    Returns {groups, skippable, frac_groups_skipped, frac_rows_skipped}
+    (zero fractions for an empty stats relation)."""
+    skip = ((F.col("cmax") < lo) | (F.col("cmin") > hi)) & F.col(
+        "cmin"
+    ).isNotNull()
     row = stats.agg(
         F.count(F.lit(1)).alias("groups"),
         F.sum("n_rows").alias("rows"),
-        F.sum(
-            F.when((F.col("cmax") < lo) | (F.col("cmin") > hi), 1).otherwise(0)
-        ).alias("skippable"),
-        F.sum(
-            F.when(
-                (F.col("cmax") < lo) | (F.col("cmin") > hi), F.col("n_rows")
-            ).otherwise(0)
-        ).alias("rows_skipped"),
+        F.sum(F.when(skip, 1).otherwise(0)).alias("skippable"),
+        F.sum(F.when(skip, F.col("n_rows")).otherwise(0)).alias("rows_skipped"),
     ).first()
+    if not row["groups"]:
+        return {
+            "groups": 0,
+            "skippable": 0,
+            "frac_groups_skipped": 0.0,
+            "frac_rows_skipped": 0.0,
+        }
     return {
         "groups": row["groups"],
         "skippable": row["skippable"],
         "frac_groups_skipped": row["skippable"] / row["groups"],
-        "frac_rows_skipped": row["rows_skipped"] / row["rows"],
+        "frac_rows_skipped": row["rows_skipped"] / row["rows"] if row["rows"] else 0.0,
     }
 
 
@@ -109,6 +124,8 @@ def compact_small_files(
         .agg(F.sum("length").alias("bytes"))
         .first()
     )
+    if listing["bytes"] is None:
+        raise ValueError(f"no parquet files under {src!r}")
     n_out = max(1, -(-int(listing["bytes"]) // target_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
     out = (

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, tokens
+from ..plans.training_data import HASH_P
 
 try:  # pragma: no cover - import guard mirrors similarity_mllib
     from pyspark.ml import Pipeline, PipelineModel
@@ -44,7 +45,6 @@ except ImportError:  # pragma: no cover
 NUM_FEATURES = 4096  # hashed feature width (power of 2: cheap modulo)
 LABEL_THRESHOLD = 0.5  # weak label: heuristic quality_score >= 0.5
 TRAIN_FRACTION = 90  # hash buckets < 90 train, rest held out
-HASH_P = 1_000_000_007
 HASH_MULT = 48_271
 
 
@@ -61,7 +61,8 @@ def _labeled(docs: DataFrame) -> DataFrame:
     """Weak labels + deterministic train/heldout split. The split hash
     is portable arithmetic on doc_id so membership is reproducible
     lineage, same convention as plans/indexing.py::dataset_split."""
-    bucket = ((F.col("doc_id") * HASH_MULT + 3) % HASH_P) % 100
+    # mod-first: mult-first overflows int64 for doc_id ≥ ~1.9e14
+    bucket = ((F.col("doc_id") % HASH_P) * HASH_MULT + 3) % HASH_P % 100
     return docs.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
@@ -91,6 +92,14 @@ def fit_quality_classifier(docs: DataFrame) -> QualityClassifier:
     pipe = Pipeline(stages=[tf, idf, lr])
     train = labeled.filter("is_train")
     test = labeled.filter(~F.col("is_train"))
+    n_test = test.count()
+    if n_test == 0:
+        labeled.unpersist()
+        raise ValueError(
+            "held-out split is empty (every doc_id hashed below "
+            f"TRAIN_FRACTION={TRAIN_FRACTION}); provide more rows or "
+            "lower TRAIN_FRACTION"
+        )
     model = pipe.fit(train)
     scored = model.transform(test)
     auc = BinaryClassificationEvaluator(

@@ -26,40 +26,37 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens
 from ..sources.tables import load_table
-from .training_data import HASH_P
+from .training_data import HASH_P, SHARD_MULT
 
 CHUNK_TOKENS = 32  # RAG window size
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 POSTINGS_CAP = 8  # max doc ids kept per token
 MERGE_TOP = 20  # BPE merges reported per step
-SPLIT_MULT = 40_503  # affine hash multiplier (shared with shard_assignment)
+SPLIT_MULT = SHARD_MULT  # affine hash multiplier shared with shard_assignment
 SPLIT_ADD = 11
 
 
 # --- RAG chunking ------------------------------------------------------------
 
-def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
-    """Split every document into CHUNK_TOKENS-token windows advancing by
-    CHUNK_STRIDE (overlap = CHUNK − STRIDE), the standard RAG ingest
-    shape. chunk k covers tokens [k·S, min(k·S+C, n)); the last window
-    may be short but every token is covered exactly ⌈overlap-adjusted⌉
-    times. Pure per-row array math + posexplode — zero shuffle; at
-    100 TB this is an embarrassingly parallel scan whose output
-    partitioning inherits the input's."""
-    docs = load_table(spark, "documents", sf)
+def _chunk_rows(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Chunk relation with optional pass-through columns (``keep``) so
+    consumers needing e.g. ``source`` stay map-only instead of
+    re-joining documents afterwards."""
     toks = tokens(F.col("text"))
     n = F.size(F.col("toks"))
     n_chunks = 1 + F.ceil(
         F.greatest(n - CHUNK_TOKENS, F.lit(0)) / float(CHUNK_STRIDE)
     ).cast("long")
     return (
-        docs.select("doc_id", toks.alias("toks"))
+        docs.select(*keep, "doc_id", toks.alias("toks"))
         .select(
+            *keep,
             "doc_id",
             "toks",
             F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)),
         )
         .select(
+            *keep,
             "doc_id",
             F.col("pos").alias("chunk_id"),
             (F.col("pos") * CHUNK_STRIDE).alias("start_tok"),
@@ -77,6 +74,17 @@ def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+def doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Split every document into CHUNK_TOKENS-token windows advancing by
+    CHUNK_STRIDE (overlap = CHUNK − STRIDE), the standard RAG ingest
+    shape. chunk k covers tokens [k·S, min(k·S+C, n)); the last window
+    may be short but every token is covered exactly ⌈overlap-adjusted⌉
+    times. Pure per-row array math + posexplode — zero shuffle; at
+    100 TB this is an embarrassingly parallel scan whose output
+    partitioning inherits the input's."""
+    return _chunk_rows(load_table(spark, "documents", sf))
 
 
 DOC_CHUNKING_SQL = f"""
@@ -250,7 +258,11 @@ def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     its source. Assignment is map-only; the audit is one bounded-key
     shuffle with map-side partials."""
     docs = load_table(spark, "documents", sf)
-    bucket = ((F.col("doc_id") * SPLIT_MULT + SPLIT_ADD) % HASH_P) % 100
+    # mod-first: mult-first wraps int64 (negative bucket → everything
+    # lands in 'train') past doc_id ≈ 2.3e14 — the repo hash convention
+    bucket = (
+        (F.col("doc_id") % HASH_P) * SPLIT_MULT + SPLIT_ADD
+    ) % HASH_P % 100
     split = (
         F.when(bucket < 90, F.lit("train"))
         .when(bucket < 95, F.lit("val"))
@@ -278,9 +290,11 @@ def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
 DATASET_SPLIT_SQL = f"""
 WITH assigned AS (
   SELECT CASE
-           WHEN ((doc_id * {SPLIT_MULT} + {SPLIT_ADD}) % {HASH_P}) % 100 < 90
+           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
+                 % {HASH_P}) % 100 < 90
              THEN 'train'
-           WHEN ((doc_id * {SPLIT_MULT} + {SPLIT_ADD}) % {HASH_P}) % 100 < 95
+           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
+                 % {HASH_P}) % 100 < 95
              THEN 'val'
            ELSE 'test'
          END AS split,
@@ -306,13 +320,15 @@ def chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     index built from doc_chunking would be redundant storage. Chunks
     fingerprint with SHA-256 (digest-only shuffle — chunk text never
     moves past the map side), distinct counts per source via one
-    two-key agg. The overlap window means adjacent chunks of identical
-    docs collide too, so dup_frac upper-bounds index savings."""
-    chunks = doc_chunking(spark, sf)
-    docs = load_table(spark, "documents", sf).select("doc_id", "source")
+    two-key agg; ``source`` rides the chunking map pass itself (no
+    corpus-sized re-join back to documents). The overlap window means
+    adjacent chunks of identical docs collide too, so dup_frac
+    upper-bounds index savings."""
+    chunks = _chunk_rows(
+        load_table(spark, "documents", sf), keep=("source",)
+    )
     per = (
-        chunks.join(docs, "doc_id")
-        .select("source", F.sha2(F.col("chunk_text"), 256).alias("fp"))
+        chunks.select("source", F.sha2(F.col("chunk_text"), 256).alias("fp"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

@@ -32,6 +32,7 @@ QUOTA_PER_SOURCE = 50  # domain cap for quota sampling
 N_SHARDS = 32
 HASH_P = 1_000_000_007
 PRIORITY_MULT = 2_654_435_761  # Knuth multiplicative hash constant
+SHARD_MULT = 40_503  # affine shard/split multiplier (also plans/indexing.py)
 
 
 def _n_tokens() -> F.Column:
@@ -161,7 +162,11 @@ def shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
     ``repartition(N, shard).write`` layout step; the audit aggregate is
     a map-side-combined single shuffle of N rows."""
     docs = load_table(spark, "documents", sf)
-    shard = ((F.col("doc_id") * 40_503 + 7) % HASH_P) % N_SHARDS
+    # mod-first: (doc_id % P) * MULT stays under int64 for any doc_id;
+    # mult-first overflows (and wraps negative) past doc_id ≈ 2.3e14
+    shard = (
+        (F.col("doc_id") % HASH_P) * SHARD_MULT + 7
+    ) % HASH_P % N_SHARDS
     per_shard = (
         docs.select(shard.alias("shard"), _n_tokens().alias("n_tok"))
         .groupBy("shard")
@@ -178,7 +183,7 @@ def shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
 
 SHARD_ASSIGNMENT_SQL = f"""
 WITH per_shard AS (
-  SELECT ((doc_id * 40503 + 7) % {HASH_P}) % {N_SHARDS} AS shard,
+  SELECT (((doc_id % {HASH_P}) * {SHARD_MULT} + 7) % {HASH_P}) % {N_SHARDS} AS shard,
          count(*) AS n_docs,
          CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens
   FROM documents

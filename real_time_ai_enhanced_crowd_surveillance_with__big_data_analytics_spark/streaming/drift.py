@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..plans.stats import HIST_BINS, HIST_WIDTH, PSI_EPS
+from .rollup import partition_upsert_writer
 
 
 def _bin_id() -> F.Column:
@@ -57,19 +58,9 @@ def streaming_bin_counts(
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
-    def upsert(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch.write.mode("overwrite")
-                .partitionBy("bucket_hour", "event_type", "bin")
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-
+    upsert = partition_upsert_writer(
+        out_dir, ("bucket_hour", "event_type", "bin")
+    )
     return (
         agg.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
@@ -108,17 +99,24 @@ def _psi_from_counts(cur: DataFrame, reference: DataFrame) -> DataFrame:
         "bin",
         (F.col("n") / F.sum("n").over(tot)).alias("p_cur_raw"),
     )
+    # the bin universe per window is the UNION of reference bins and
+    # observed bins: a full outer join against the windows × reference
+    # grid keeps novel bins (and wholly novel event types) in the sum
+    # with p_ref = eps — dropping them is exactly the understate-drift
+    # failure mode a monitor must not have
     windows = cur_shares.select("bucket_hour", "event_type").distinct()
-    grid = windows.join(F.broadcast(reference), "event_type")
-    joined = grid.join(
-        cur_shares, ["bucket_hour", "event_type", "bin"], "left"
+    ref_grid = windows.join(F.broadcast(reference), "event_type")
+    joined = ref_grid.join(
+        cur_shares, ["bucket_hour", "event_type", "bin"], "full_outer"
     ).select(
         "bucket_hour",
         "event_type",
         F.greatest(F.coalesce(F.col("p_cur_raw"), F.lit(0.0)), F.lit(PSI_EPS)).alias(
             "p_cur"
         ),
-        F.greatest(F.col("p_ref"), F.lit(PSI_EPS)).alias("p_ref"),
+        F.greatest(F.coalesce(F.col("p_ref"), F.lit(0.0)), F.lit(PSI_EPS)).alias(
+            "p_ref"
+        ),
     )
     return (
         joined.groupBy("bucket_hour", "event_type")

@@ -19,9 +19,38 @@ classic serving-table layout; readers prune by hour.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def partition_upsert_writer(
+    out_dir: str, partition_cols: Sequence[str]
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer implementing the idempotent-upsert recipe:
+    dynamic partition overwrite of exactly the partitions a micro-batch
+    emitted. Correct ONLY when the streaming aggregate's key equals
+    ``partition_cols`` — then a replayed batch rewrites the same
+    partitions with the same totals (exactly-once without a
+    transactional format). Shared by the hourly rollup and the drift
+    monitor's bin table."""
+
+    def upsert(batch: DataFrame, _bid: int) -> None:
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return upsert
 
 
 def streaming_hourly_rollup(
@@ -47,19 +76,7 @@ def streaming_hourly_rollup(
         )
     )
 
-    def upsert(batch: DataFrame, _bid: int) -> None:
-        spark = batch.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch.write.mode("overwrite")
-                .partitionBy("bucket_hour", "event_type")
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-
+    upsert = partition_upsert_writer(out_dir, ("bucket_hour", "event_type"))
     return (
         agg.writeStream.outputMode("update")
         .foreachBatch(upsert)

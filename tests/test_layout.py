@@ -86,6 +86,43 @@ def test_clustered_layout_prunes_better(spark, tmp_path):
     assert pruned_read == full
 
 
+def test_degenerate_inputs(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    # empty stats relation → zero fractions, no crash
+    empty = spark.createDataFrame(
+        [], "file string, row_group int, n_rows long, cmin double, cmax double"
+    )
+    assert pruning_fraction(empty, 0.0, 1.0) == {
+        "groups": 0,
+        "skippable": 0,
+        "frac_groups_skipped": 0.0,
+        "frac_rows_skipped": 0.0,
+    }
+    # NULL bounds (writer omitted stats) are never skippable
+    nostats = spark.createDataFrame(
+        [Row(file="f", row_group=0, n_rows=10, cmin=None, cmax=None)],
+        "file string, row_group int, n_rows long, cmin double, cmax double",
+    )
+    assert pruning_fraction(nostats, 0.0, 1.0)["skippable"] == 0
+    # a schema-only part file (empty write) doesn't break the audit
+    d = str(tmp_path / "with_empty")
+    spark.range(0).selectExpr("CAST(id AS DOUBLE) v").write.parquet(d)
+    spark.range(5).selectExpr("CAST(id AS DOUBLE) v").write.mode(
+        "append"
+    ).parquet(d)
+    stats = rowgroup_stats(spark, d, "v").collect()
+    assert sum(r["n_rows"] for r in stats) == 5
+    # compaction of a parquet-free dir raises a clear error
+    src = str(tmp_path / "nothing")
+    import os
+
+    os.makedirs(src)
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_small_files(spark, src, str(tmp_path / "dst"))
+
+
 def test_compaction_hits_target_and_preserves_rows(spark, tmp_path):
     src = str(tmp_path / "small")
     dst = str(tmp_path / "compact")

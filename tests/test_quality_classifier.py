@@ -55,6 +55,17 @@ def test_scoring_is_map_only(fitted):
     assert "Exchange" not in plan
 
 
+def test_empty_heldout_raises_cleanly(spark):
+    # doc_ids 1..6 all hash below TRAIN_FRACTION, so nothing is held
+    # out — the fit must fail loudly, not crash on a None metric
+    docs = spark.createDataFrame(
+        [(i, "some words here " * 30) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="held-out split is empty"):
+        fit_quality_classifier(docs)
+
+
 def test_scores_cover_corpus_and_agree_with_prediction(fitted):
     clf, docs = fitted
     rows = score_documents(clf, docs).collect()

@@ -111,12 +111,19 @@ def test_shifted_distribution_alerts(spark, dirs):
         [(1, i, float(5 + (i % 3) * 10), t(i)) for i in range(12)],
     )
     ref = reference_shares(_typed(spark, src)).cache()
-    # stream adds a drifted hour: mass moved to the top bins
+    # stream adds a drifted hour: mass moved to the top bins — these
+    # land in bin 24, which the reference never saw (the novel-bin
+    # case: its mass must enter the sum, not silently drop)
     write_events_chunk(
         spark,
         src,
         "drift",
         [(1, 100 + i, 480.0, t(120 + i)) for i in range(8)],
+    )
+    # and a wholly novel event type (user 2 → t0) absent from the
+    # reference: its windows must still appear, alerting
+    write_events_chunk(
+        spark, src, "newtype", [(2, 200 + i, 50.0, t(60 + i)) for i in range(4)]
     )
     _drain(spark, src, out, ckpt)
     rows = {
@@ -125,5 +132,10 @@ def test_shifted_distribution_alerts(spark, dirs):
     }
     drifted = rows[("2024-01-01-02", "t1")]
     assert drifted.alert and drifted.psi > 0.2
+    # novel-bin mass contributes ≈ (1-eps)·ln((1-eps)/eps) — far above
+    # what the reference-bin terms alone would report
+    assert drifted.psi > 5.0
     calm = rows[("2024-01-01-00", "t1")]
     assert not calm.alert
+    novel = rows[("2024-01-01-01", "t0")]
+    assert novel.alert and novel.psi > 5.0
