@@ -24,6 +24,8 @@ refit determinism, and a no-shuffle scoring-plan assert.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -35,7 +37,6 @@ from ..plans.training_data import HASH_P
 try:  # pragma: no cover - import guard mirrors similarity_mllib
     from pyspark.ml import Pipeline, PipelineModel
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import IDF, HashingTF
 
     HAS_MLLIB = True
@@ -73,6 +74,43 @@ def _labeled(docs: DataFrame) -> DataFrame:
     )
 
 
+def _rank_auc(scored: DataFrame) -> float:
+    """AUC as the Mann-Whitney rank statistic over P(label=1), entirely
+    in DataFrame ops: tie-averaged ranks via a window, then
+    AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻). Deliberately NOT
+    ``BinaryClassificationEvaluator``: that evaluator drops to RDD
+    closures, which Spark 4.1 fails to serialize ('Task not
+    serializable: ObservationManager') in any session that has ever
+    run a ``df.observe()`` — and the telemetry operator
+    (operators/telemetry.py) makes that a normal session state here.
+    The rank form is also one exchange instead of an RDD round-trip.
+
+    Degenerate held-out splits (single class) return NaN-free 0.5 —
+    no discrimination measurable."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    p = scored.select(
+        "label", vector_to_array("probability")[1].alias("p")
+    )
+    rn = F.row_number().over(Window.orderBy("p"))
+    ranked = p.select("label", "p", rn.alias("rn"))
+    tie_avg = ranked.select(
+        "label", F.avg("rn").over(Window.partitionBy("p")).alias("r")
+    )
+    row = tie_avg.agg(
+        F.sum(F.when(F.col("label") == 1.0, F.col("r"))).alias("rpos"),
+        F.sum((F.col("label") == 1.0).cast("long")).alias("npos"),
+        F.sum((F.col("label") == 0.0).cast("long")).alias("nneg"),
+    ).first()
+    npos, nneg = row["npos"] or 0, row["nneg"] or 0
+    if npos == 0 or nneg == 0:
+        return 0.5
+    return float(
+        (row["rpos"] - npos * (npos + 1) / 2.0) / (npos * nneg)
+    )
+
+
 def fit_quality_classifier(docs: DataFrame) -> QualityClassifier:
     """Fit HashingTF→IDF→LogisticRegression on the train split, report
     held-out AUC and accuracy. Deterministic: the optimizer sees the
@@ -101,10 +139,21 @@ def fit_quality_classifier(docs: DataFrame) -> QualityClassifier:
             "lower TRAIN_FRACTION"
         )
     model = pipe.fit(train)
+    # shed the LR training summary via a save/load roundtrip: the
+    # summary holds a predictions DataFrame → SparkSession, and any
+    # transform-closure serialization then drags in the session's
+    # ObservationManager — not serializable in Spark 4.1, so scoring
+    # crashes in any session that ever ran df.observe() (which
+    # operators/telemetry.py makes normal). The loaded model carries
+    # coefficients only.
+    tmp = tempfile.mkdtemp(prefix="qclf_")
+    try:
+        model.write().overwrite().save(tmp)
+        model = PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     scored = model.transform(test)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="rawPrediction"
-    ).evaluate(scored)
+    auc = _rank_auc(scored)
     acc_row = scored.agg(
         F.avg((F.col("prediction") == F.col("label")).cast("double")).alias("a"),
         F.count(F.lit(1)).alias("n"),

@@ -392,7 +392,135 @@ FROM stacked
 """
 
 
+# --- column profiler ---------------------------------------------------------
+
+def column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ/ydata-style column profile of the events fact in ONE scan:
+    per column — null count, exact distinct count, numeric min/max
+    (timestamps as epoch seconds, doubles rounded), lexicographic
+    min/max for strings. The single wide aggregate produces every
+    metric as a column; ``stack`` pivots the one result row into the
+    per-column relation driver-side of the shuffle.
+
+    Exact multi-column distinct counts expand the scan (one pass per
+    distinct column under Catalyst's Expand) — acceptable for a
+    profiling job; the 100 TB standing-dashboard path swaps
+    ``count_distinct`` for ``approx_count_distinct`` and loses the
+    oracle, nothing else."""
+    ev = load_table(spark, "events", sf).select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+            for c in ("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        ],
+        *[
+            F.count_distinct(F.col(c)).alias(f"dist_{c}")
+            for c in ("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        ],
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+        F.min("ts_s").alias("min_ts_s"),
+        F.max("ts_s").alias("max_ts_s"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.min("props").alias("min_props"),
+        F.max("props").alias("max_props"),
+    )
+    return agg.selectExpr(
+        """stack(6,
+             'event_id',   null_event_id,   dist_event_id,
+                CAST(min_event_id AS DOUBLE), CAST(max_event_id AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+             'ts_epoch_s', null_ts_s,       dist_ts_s,
+                CAST(min_ts_s AS DOUBLE), CAST(max_ts_s AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+             'user_id',    null_user_id,    dist_user_id,
+                CAST(min_user_id AS DOUBLE), CAST(max_user_id AS DOUBLE),
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+             'event_type', null_event_type, dist_event_type,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                min_event_type, max_event_type,
+             'value',      null_value,      dist_value,
+                min_value, max_value,
+                CAST(NULL AS STRING), CAST(NULL AS STRING),
+             'props',      null_props,      dist_props,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                min_props, max_props
+           ) AS (column, n_null, n_distinct, min_num, max_num, min_str, max_str)""",
+        "n_rows",
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+COLUMN_PROFILE_SQL = """
+WITH ev AS (
+  -- floor, not cast: epoch() returns fractional seconds and CAST
+  -- rounds, while Spark's unix_timestamp truncates to the second
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id,
+         event_type, value, props
+  FROM events
+), a AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+         CAST(sum(CASE WHEN ts_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts_s,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+         count(DISTINCT event_id) AS dist_event_id,
+         count(DISTINCT ts_s) AS dist_ts_s,
+         count(DISTINCT user_id) AS dist_user_id,
+         count(DISTINCT event_type) AS dist_event_type,
+         count(DISTINCT value) AS dist_value,
+         count(DISTINCT props) AS dist_props,
+         min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+         min(ts_s) AS min_ts_s, max(ts_s) AS max_ts_s,
+         min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+         round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+         min(event_type) AS min_event_type, max(event_type) AS max_event_type,
+         min(props) AS min_props, max(props) AS max_props
+  FROM ev
+)
+SELECT 'event_id' AS "column", n_rows, null_event_id AS n_null,
+       dist_event_id AS n_distinct, CAST(min_event_id AS DOUBLE) AS min_num,
+       CAST(max_event_id AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a
+UNION ALL
+SELECT 'ts_epoch_s', n_rows, null_ts_s, dist_ts_s,
+       CAST(min_ts_s AS DOUBLE), CAST(max_ts_s AS DOUBLE), NULL, NULL FROM a
+UNION ALL
+SELECT 'user_id', n_rows, null_user_id, dist_user_id,
+       CAST(min_user_id AS DOUBLE), CAST(max_user_id AS DOUBLE), NULL, NULL
+FROM a
+UNION ALL
+SELECT 'event_type', n_rows, null_event_type, dist_event_type,
+       NULL, NULL, min_event_type, max_event_type FROM a
+UNION ALL
+SELECT 'value', n_rows, null_value, dist_value,
+       min_value, max_value, NULL, NULL FROM a
+UNION ALL
+SELECT 'props', n_rows, null_props, dist_props,
+       NULL, NULL, min_props, max_props FROM a
+"""
+
+
 PIPELINE_QUALITY_QUERIES = {
+    "column_profile": (column_profile, COLUMN_PROFILE_SQL),
     "expectation_report": (expectation_report, EXPECTATION_REPORT_SQL),
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
