@@ -1,0 +1,86 @@
+"""Streaming kNN enrichment: attach each incoming embedding's top-k
+nearest corpus neighbours inside the stream — the live form of the
+reference's per-frame CLIP retrieval (main.py:70-88 scores every frame
+against the prompt matrix; here the 'prompt matrix' is a corpus index
+and the frames are an unbounded embedding stream).
+
+Shape: the index is a driver-built broadcast (id vector + L2-normalized
+matrix); scoring is a STATELESS mapInPandas projection — one BLAS
+matmul per Arrow batch, local top-k per row, no state store, no
+watermark, no shuffle. Stateless row-local transforms run identically
+under Structured Streaming micro-batches and batch (the parity the
+tests pin), and restart is trivially exactly-once because nothing is
+remembered between batches.
+
+At 100 TB-corpus scale the dense broadcast is the small-index case
+(≤ a few GB); past that the same seam takes an IVF index (centroid
+matrix + per-cell lists, plans/similarity.py::ivf_knn's layout) —
+the stream side does centroid argmax then probes cells, still
+stateless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose filters)
+
+TOP_K = 3
+
+
+def build_index(corpus: DataFrame) -> tuple:
+    """Collect (vec_id asc) and L2-normalize the corpus embedding
+    matrix. Driver-bounded by design: the dense-broadcast index case.
+    Returns the plain python tuple a closure can ship."""
+    import numpy as np
+
+    rows = corpus.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.asarray([r.vec_id for r in rows], dtype="int64")
+    mat = np.asarray([list(r.embedding) for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def enrich_topk(stream: DataFrame, index: tuple, k: int = TOP_K) -> DataFrame:
+    """(vec_id, neighbor_ids array<long>, neighbor_cosines
+    array<double>): cosine top-k against the broadcast index, excluding
+    self-matches by vec_id. Works identically on a batch or streaming
+    DataFrame — the operator is a stateless per-row projection."""
+    import numpy as np
+    import pandas as pd
+
+    ids, unit = index
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0.0] = 1.0
+            sims = np.round((q / qn[:, None]) @ unit.T, 6)
+            qids = pdf["vec_id"].to_numpy()
+            out_ids, out_cos = [], []
+            for i in range(len(q)):
+                row = sims[i]
+                mask = ids != qids[i]  # no self-neighbour
+                cand_ids = ids[mask]
+                cand = row[mask]
+                # deterministic: cosine desc, then vec_id asc
+                top = np.lexsort((cand_ids, -cand))[:k]
+                out_ids.append(cand_ids[top].tolist())
+                out_cos.append(cand[top].tolist())
+            yield pd.DataFrame(
+                {
+                    "vec_id": qids,
+                    "neighbor_ids": out_ids,
+                    "neighbor_cosines": out_cos,
+                }
+            )
+
+    return stream.select("vec_id", "embedding").mapInPandas(
+        score,
+        schema="vec_id long, neighbor_ids array<long>, "
+        "neighbor_cosines array<double>",
+    )
