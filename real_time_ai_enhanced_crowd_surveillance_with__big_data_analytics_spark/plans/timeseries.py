@@ -637,7 +637,93 @@ CROSS JOIN n
 """
 
 
+# --- SCD2 temporal-validity join ---------------------------------------------
+
+TIER_HEAVY = 20  # weekly event count ⇒ 'heavy'
+TIER_REGULAR = 5  # ⇒ 'regular'; below ⇒ 'light'
+
+
+def scd2_tier_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic warehouse SCD2 (type-2 slowly-changing dimension) shape:
+    derive weekly per-user activity-tier VERSIONS with [valid_from, valid_to)
+    intervals, then join every event to the version valid AT ITS
+    event time. A week-w tier takes effect at week w+1 (no
+    leakage — the attribute is only known after the week closes);
+    events before a user's first version report tier 'new'.
+
+    Scale shape: the dim build is one user-keyed aggregate + a lead
+    window on the SAME partitioning; the temporal join is an EQUI join
+    on user_id with the interval predicate as a residual filter —
+    versions-per-user is small, so the residual fan-out is bounded and
+    nothing degenerates into a range/BNL join. Output is the bounded
+    (week, tier) matrix."""
+    events = load_table(spark, "events", sf)
+    week = F.date_trunc("week", F.col("ts"))
+    weekly = (
+        events.select("user_id", week.alias("wk"))
+        .groupBy("user_id", "wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tier = (
+        F.when(F.col("cnt") >= TIER_HEAVY, F.lit("heavy"))
+        .when(F.col("cnt") >= TIER_REGULAR, F.lit("regular"))
+        .otherwise(F.lit("light"))
+    )
+    nxt = F.col("wk") + F.expr("INTERVAL 7 DAY")
+    w = Window.partitionBy("user_id").orderBy("wk")
+    dim = weekly.select(
+        "user_id",
+        nxt.alias("valid_from"),
+        F.lead(nxt, 1).over(w).alias("valid_to"),
+        tier.alias("tier"),
+    )
+    joined = events.join(
+        dim,
+        (events.user_id == dim.user_id)
+        & (events.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (events.ts < dim.valid_to)),
+        "left",
+    )
+    return (
+        joined.select(
+            F.date_format(F.date_trunc("week", events.ts), "yyyy-MM-dd").alias(
+                "week"
+            ),
+            F.coalesce(dim.tier, F.lit("new")).alias("tier"),
+        )
+        .groupBy("week", "tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SCD2_TIER_JOIN_SQL = f"""
+WITH weekly AS (
+  SELECT user_id, date_trunc('week', ts) AS wk, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), dim AS (
+  SELECT user_id,
+         wk + INTERVAL 7 DAY AS valid_from,
+         lead(wk + INTERVAL 7 DAY) OVER (PARTITION BY user_id ORDER BY wk)
+           AS valid_to,
+         CASE WHEN cnt >= {TIER_HEAVY} THEN 'heavy'
+              WHEN cnt >= {TIER_REGULAR} THEN 'regular'
+              ELSE 'light' END AS tier
+  FROM weekly
+)
+SELECT strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS week,
+       coalesce(d.tier, 'new') AS tier,
+       count(*) AS n_events
+FROM events e
+LEFT JOIN dim d
+  ON e.user_id = d.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY 1, 2
+"""
+
+
 TIMESERIES_QUERIES = {
+    "scd2_tier_join": (scd2_tier_join, SCD2_TIER_JOIN_SQL),
     "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
     "seasonal_profile": (seasonal_profile, SEASONAL_PROFILE_SQL),
     "cooccurrence_lift": (cooccurrence_lift, COOCCURRENCE_LIFT_SQL),
