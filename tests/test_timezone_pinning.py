@@ -26,6 +26,9 @@ def test_timestamp_queries_ignore_session_timezone(spark, sf_dir):
         "session_window_stats",
         "retention_cohorts",
         "funnel_conversion",
+        # week-truncated SCD2 intervals + epoch-second profiling
+        "scd2_tier_join",
+        "column_profile",
     ]
     try:
         utc = {n: _rows(spark, n, sf_dir) for n in targets}
