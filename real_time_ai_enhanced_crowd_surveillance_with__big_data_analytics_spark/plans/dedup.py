@@ -18,7 +18,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -411,6 +411,33 @@ WHERE greatest(contain_a, contain_b) >= {CONTAINMENT_THRESHOLD}
 """
 
 
+def _mh_bands(postings: DataFrame) -> DataFrame:
+    """(doc_id, n_tri, band, band_key): 16 min-hash perms aggregated in
+    ONE groupBy, band keys emitted via one posexplode — NOT a 4-way
+    unionAll, which would re-execute the signature aggregate once per
+    band. Shared by the full-corpus LSH and the incremental variant."""
+    mh_aggs = []
+    for j in range(N_PERMS):
+        a, b = _perm_params(j)
+        mh_aggs.append(F.min((F.col("sid") * a + b) % HASH_MOD).alias(f"mh{j}"))
+    sigs = postings.groupBy("doc_id").agg(*mh_aggs, F.count("*").alias("n_tri"))
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{band * MH_BAND_SIZE + r}")
+                    for r in range(MH_BAND_SIZE)
+                ],
+            )
+            for band in range(N_PERMS // MH_BAND_SIZE)
+        ]
+    )
+    return sigs.select(
+        "doc_id", "n_tri", F.posexplode(band_keys).alias("band", "band_key")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16 perms) over hashed-trigram shingles, banded 4×4;
     pairs sharing a band key are candidates; exact shingle Jaccard
@@ -424,28 +451,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     # localCheckpointed (see _shingle_postings): 3 references below
     postings = _shingle_postings(docs)
-    mh_aggs = []
-    for j in range(N_PERMS):
-        a, b = _perm_params(j)
-        mh_aggs.append(F.min((F.col("sid") * a + b) % HASH_MOD).alias(f"mh{j}"))
-    sigs = postings.groupBy("doc_id").agg(*mh_aggs, F.count("*").alias("n_tri"))
-    # one posexplode over the band-key array — NOT a 4-way unionAll,
-    # which would re-execute the signature aggregate once per band
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"mh{band * MH_BAND_SIZE + r}")
-                    for r in range(MH_BAND_SIZE)
-                ],
-            )
-            for band in range(N_PERMS // MH_BAND_SIZE)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", "n_tri", F.posexplode(band_keys).alias("band", "band_key")
-    )
+    bands = _mh_bands(postings)
     a = bands.select(
         F.col("doc_id").alias("ia"),
         F.col("n_tri").alias("na"),
@@ -525,6 +531,135 @@ SELECT ia, ib,
 FROM shared
 WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6)
       >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- incremental near-dup (new batch vs corpus LSH index) --------------------
+
+def dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The production daily-increment NEAR-dup shape, completing
+    ``dedup_incremental``'s exact-match story: today's batch
+    (doc_id % 10 == 0) is checked against the existing corpus's
+    MinHash band index; every increment doc reports whether it
+    near-duplicates the corpus and its best match.
+
+    Only band keys and candidate postings move: at 100 TB the corpus
+    band index persists as band-key-bucketed parquet, the increment's
+    bands are tiny, and the band equi-join broadcasts the increment
+    side; exact-Jaccard verification touches candidate pairs only.
+    Deterministic best-match tiebreak (jaccard desc, base doc_id asc).
+    """
+    docs = load_table(spark, "documents", sf)
+    postings = _shingle_postings(docs)
+    is_inc = F.col("doc_id") % 10 == 0
+    bands = _mh_bands(postings)
+    inc_b = bands.filter(is_inc).select(
+        F.col("doc_id").alias("inc_id"),
+        F.col("n_tri").alias("n_inc"),
+        "band",
+        "band_key",
+    )
+    base_b = bands.filter(~is_inc).select(
+        F.col("doc_id").alias("base_id"),
+        F.col("n_tri").alias("n_base"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("key_b"),
+    )
+    cands = (
+        inc_b.join(
+            base_b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_key") == F.col("key_b")),
+        )
+        .select("inc_id", "base_id", "n_inc", "n_base")
+        .distinct()
+    )
+    pi = postings.select(F.col("doc_id").alias("inc_id"), "sid")
+    pb = postings.select(F.col("doc_id").alias("bb"), F.col("sid").alias("sidb"))
+    scored = (
+        cands.join(pi, "inc_id")
+        .join(pb, (F.col("base_id") == F.col("bb")) & (F.col("sid") == F.col("sidb")))
+        .groupBy("inc_id", "base_id", "n_inc", "n_base")
+        .agg(F.count("*").alias("shared"))
+        .select(
+            "inc_id",
+            "base_id",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_inc") + F.col("n_base") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("inc_id").orderBy(
+        F.col("jaccard").desc(), F.col("base_id").asc()
+    )
+    best = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("inc_id", "base_id", "jaccard")
+    )
+    inc_docs = docs.filter(is_inc).select(F.col("doc_id").alias("inc_id"))
+    return inc_docs.join(best, "inc_id", "left").select(
+        F.col("inc_id").alias("doc_id"),
+        F.col("jaccard").isNotNull().alias("is_near_duplicate"),
+        F.col("base_id").alias("match_id"),
+        F.col("jaccard").alias("best_jaccard"),
+    )
+
+
+def _duck_incremental_lsh_sql() -> str:
+    mh_exprs = []
+    for j in range(N_PERMS):
+        a, b = _perm_params(j)
+        mh_exprs.append(f"min((sid * {a} + {b}) % {HASH_MOD}) AS mh{j}")
+    band_selects = []
+    for band in range(N_PERMS // MH_BAND_SIZE):
+        cols = " || ':' || ".join(
+            f"CAST(mh{band * MH_BAND_SIZE + r} AS VARCHAR)" for r in range(MH_BAND_SIZE)
+        )
+        band_selects.append(
+            f"SELECT doc_id, n_tri, {band} AS band, {cols} AS band_key FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_DUCK_POSTINGS},
+sigs AS (
+  SELECT doc_id, {', '.join(mh_exprs)}, count(*) AS n_tri
+  FROM postings GROUP BY doc_id
+), bands AS (
+  {bands_union}
+), cands AS (
+  SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id,
+         i.n_tri AS n_inc, b.n_tri AS n_base
+  FROM bands i JOIN bands b
+    ON i.band = b.band AND i.band_key = b.band_key
+  WHERE i.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+), scored AS (
+  SELECT c.inc_id, c.base_id,
+         round(CAST(count(*) AS DOUBLE)
+               / (c.n_inc + c.n_base - count(*)), 6) AS jaccard
+  FROM cands c
+  JOIN postings pi ON pi.doc_id = c.inc_id
+  JOIN postings pb ON pb.doc_id = c.base_id AND pb.sid = pi.sid
+  GROUP BY c.inc_id, c.base_id, c.n_inc, c.n_base
+  HAVING round(CAST(count(*) AS DOUBLE)
+               / (c.n_inc + c.n_base - count(*)), 6) >= {JACCARD_THRESHOLD}
+), best AS (
+  SELECT inc_id, base_id, jaccard FROM (
+    SELECT inc_id, base_id, jaccard,
+           row_number() OVER (PARTITION BY inc_id
+                              ORDER BY jaccard DESC, base_id ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT d.doc_id,
+       b.jaccard IS NOT NULL AS is_near_duplicate,
+       b.base_id AS match_id,
+       b.jaccard AS best_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN best b ON b.inc_id = d.doc_id
 """
 
 
@@ -1082,6 +1217,7 @@ DEDUP_QUERIES = {
         DEDUP_NGRAM_CAPPED_SQL.format(postings=_DUCK_POSTINGS),
     ),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _duck_minhash_sql()),
+    "dedup_incremental_lsh": (dedup_incremental_lsh, _duck_incremental_lsh_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": (
         dedup_clusters,
