@@ -250,6 +250,32 @@ SELECT merge_rank, pair, pair_count FROM (
 
 # --- train/val/test split audit ----------------------------------------------
 
+def split_col(doc_id: str = "doc_id"):
+    """The canonical train/val/test assignment expression — mod-first
+    (mult-first wraps int64 past doc_id ≈ 2.3e14, the repo hash
+    convention), shared by the split audit and the leakage check so
+    membership can never drift between them."""
+    bucket = (
+        (F.col(doc_id) % HASH_P) * SPLIT_MULT + SPLIT_ADD
+    ) % HASH_P % 100
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_CASE_SQL = f"""CASE
+           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
+                 % {HASH_P}) % 100 < 90
+             THEN 'train'
+           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
+                 % {HASH_P}) % 100 < 95
+             THEN 'val'
+           ELSE 'test'
+         END"""
+
+
 def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by portable affine
     hash (split membership is lineage — engine hash() would not
@@ -258,16 +284,7 @@ def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     its source. Assignment is map-only; the audit is one bounded-key
     shuffle with map-side partials."""
     docs = load_table(spark, "documents", sf)
-    # mod-first: mult-first wraps int64 (negative bucket → everything
-    # lands in 'train') past doc_id ≈ 2.3e14 — the repo hash convention
-    bucket = (
-        (F.col("doc_id") % HASH_P) * SPLIT_MULT + SPLIT_ADD
-    ) % HASH_P % 100
-    split = (
-        F.when(bucket < 90, F.lit("train"))
-        .when(bucket < 95, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_col()
     per = (
         docs.select(
             split.alias("split"), "source", token_count(F.col("text")).alias("n_tok")
@@ -289,15 +306,7 @@ def dataset_split(spark: SparkSession, sf: str) -> DataFrame:
 
 DATASET_SPLIT_SQL = f"""
 WITH assigned AS (
-  SELECT CASE
-           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
-                 % {HASH_P}) % 100 < 90
-             THEN 'train'
-           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
-                 % {HASH_P}) % 100 < 95
-             THEN 'val'
-           ELSE 'test'
-         END AS split,
+  SELECT {_SPLIT_CASE_SQL} AS split,
          source,
          len(string_split(trim(text), ' ')) AS n_tok
   FROM documents
@@ -373,8 +382,94 @@ FROM per
 """
 
 
+# --- train/test near-dup leakage ---------------------------------------------
+
+def split_leakage_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-integrity check: near-duplicate document pairs (MinHash-LSH
+    candidates, exact-Jaccard verified — the same machinery as
+    dedup_minhash_lsh) that STRADDLE dataset_split boundaries. A test
+    doc whose near-twin sits in train leaks the benchmark; exact-hash
+    decontamination misses these by construction. Output is the
+    (split_a, split_b) pair matrix with a leak flag — the number an
+    eval card must report. All candidate/verify bounds are the LSH
+    plan's; the split join adds two bounded broadcasts of the pair
+    list."""
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _mh_bands,
+        _shingle_postings,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    postings = _shingle_postings(docs)
+    bands = _mh_bands(postings)
+    a = bands.select(
+        F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"), "band",
+        F.col("band_key").alias("ka"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"),
+        F.col("band").alias("bandb"), F.col("band_key").alias("kb"),
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("band") == F.col("bandb"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .select("ia", "ib", "na", "nb")
+        .distinct()
+    )
+    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
+    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
+    pairs = (
+        cands.join(pa, "ia")
+        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    sa = docs.select(F.col("doc_id").alias("ia"), split_col().alias("split_a"))
+    sb = docs.select(F.col("doc_id").alias("ib"), split_col().alias("split_b"))
+    return (
+        pairs.join(sa, "ia")
+        .join(sb, "ib")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import _duck_minhash_sql
+
+    lsh = _duck_minhash_sql()
+    return f"""
+WITH pairs AS ({lsh}),
+sa AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents),
+sb AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
+SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs,
+       sa.split <> sb.split AS is_leak
+FROM pairs p
+JOIN sa ON sa.doc_id = p.ia
+JOIN sb ON sb.doc_id = p.ib
+GROUP BY 1, 2
+"""
+
+
 INDEXING_QUERIES = {
     "chunk_dedup": (chunk_dedup, CHUNK_DEDUP_SQL),
+    "split_leakage_check": (split_leakage_check, _split_leakage_sql()),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "bpe_merge_step": (bpe_merge_step, BPE_MERGE_STEP_SQL),

@@ -571,7 +571,87 @@ SELECT * FROM (
 """
 
 
+# --- CCNet-style perplexity buckets ------------------------------------------
+
+def ccnet_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet head/middle/tail partition: per language, documents
+    ranked by LM cross-entropy (reusing lm_cross_entropy's corpus
+    unigram model) and cut into terciles — the bucket each doc lands
+    in decides whether it trains, gets resampled, or is dropped.
+    Output per (lang, bucket): docs, tokens, mean cross-entropy.
+
+    Cross-entropy is rounded BEFORE ntile on both engines and the
+    tiebreak is doc_id, so the bucket boundary cannot flip on a 1-ulp
+    libm difference. The ntile window partitions by lang over
+    doc-cardinality rows — the same user-keyed window posture as
+    quantile_normalize (per-source percent_rank)."""
+    docs = load_table(spark, "documents", sf)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = lm.agg(F.sum("tf").cast("double").alias("n_total"))
+    ce = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6
+            ).alias("ce"),
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = ce.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ce").asc(), F.col("doc_id").asc()
+    )
+    bucket = F.ntile(3).over(w)
+    name = (
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.select("lang", "n_tok", "ce", name.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.round(F.avg("ce"), 6).alias("mean_ce"),
+        )
+    )
+
+
+CCNET_PPL_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+), lm AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(tf) AS DOUBLE) AS n FROM lm
+), ce AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS ce
+  FROM toks JOIN lm USING (tok)
+  GROUP BY doc_id
+), scored AS (
+  SELECT d.lang, c.n_tok, c.ce,
+         CASE ntile(3) OVER (PARTITION BY d.lang
+                             ORDER BY c.ce ASC, c.doc_id ASC)
+           WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM ce c JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       round(avg(ce), 6) AS mean_ce
+FROM scored
+GROUP BY lang, bucket
+"""
+
+
 TEXT_QUERIES = {
+    "ccnet_ppl_buckets": (ccnet_ppl_buckets, CCNET_PPL_BUCKETS_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "bigram_lift": (bigram_lift, BIGRAM_LIFT_SQL),
     "bpe_token_stats": (bpe_token_stats, BPE_TOKEN_STATS_SQL),
