@@ -76,8 +76,10 @@ def _labeled(docs: DataFrame) -> DataFrame:
 
 def _rank_auc(scored: DataFrame) -> float:
     """AUC as the Mann-Whitney rank statistic over P(label=1), entirely
-    in DataFrame ops: tie-averaged ranks via a window, then
-    AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻). Deliberately NOT
+    in DataFrame ops: per-DISTINCT-score pos/neg counts (one shuffle),
+    tie-averaged ranks via a cumulative window over the collapsed
+    score table, then AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻).
+    Deliberately NOT
     ``BinaryClassificationEvaluator``: that evaluator drops to RDD
     closures, which Spark 4.1 fails to serialize ('Task not
     serializable: ObservationManager') in any session that has ever
@@ -90,18 +92,29 @@ def _rank_auc(scored: DataFrame) -> float:
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql import Window
 
-    p = scored.select(
-        "label", vector_to_array("probability")[1].alias("p")
+    # collapse to DISTINCT scores first: the per-score aggregate is a
+    # normal partial-aggregated shuffle, and only score-cardinality
+    # rows (bounded, roughly Zipf in practice) enter the unpartitioned
+    # cumulative window — ranking raw rows through a global window
+    # would funnel the whole held-out split onto one task
+    per_score = (
+        scored.select("label", vector_to_array("probability")[1].alias("p"))
+        .groupBy("p")
+        .agg(
+            F.sum((F.col("label") == 1.0).cast("long")).alias("pos"),
+            F.sum((F.col("label") == 0.0).cast("long")).alias("neg"),
+        )
     )
-    rn = F.row_number().over(Window.orderBy("p"))
-    ranked = p.select("label", "p", rn.alias("rn"))
-    tie_avg = ranked.select(
-        "label", F.avg("rn").over(Window.partitionBy("p")).alias("r")
-    )
-    row = tie_avg.agg(
-        F.sum(F.when(F.col("label") == 1.0, F.col("r"))).alias("rpos"),
-        F.sum((F.col("label") == 1.0).cast("long")).alias("npos"),
-        F.sum((F.col("label") == 0.0).cast("long")).alias("nneg"),
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    cnt = F.col("pos") + F.col("neg")
+    # average rank of the tie group at score p: rows_before + (cnt+1)/2
+    avg_rank = F.sum(cnt).over(w) - cnt + (cnt + 1) / 2.0
+    row = per_score.select(
+        (F.col("pos") * avg_rank).alias("rpos_part"), "pos", "neg"
+    ).agg(
+        F.sum("rpos_part").alias("rpos"),
+        F.sum("pos").alias("npos"),
+        F.sum("neg").alias("nneg"),
     ).first()
     npos, nneg = row["npos"] or 0, row["nneg"] or 0
     if npos == 0 or nneg == 0:

@@ -438,6 +438,54 @@ def _mh_bands(postings: DataFrame) -> DataFrame:
     )
 
 
+def _verify_jaccard(cands: DataFrame, postings: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification over candidate pairs (ia, ib, na,
+    nb) → (ia, ib, jaccard ≥ threshold). Shared by every LSH variant
+    so the shared-count join and round-6 arithmetic cannot drift."""
+    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
+    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
+    return (
+        cands.join(pa, "ia")
+        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
+        .groupBy("ia", "ib", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _duck_bands_cte() -> str:
+    """sigs/bands SQL CTEs (the twin of _mh_bands) — shared by the
+    full-corpus and incremental LSH oracle generators."""
+    mh_exprs = []
+    for j in range(N_PERMS):
+        a, b = _perm_params(j)
+        mh_exprs.append(f"min((sid * {a} + {b}) % {HASH_MOD}) AS mh{j}")
+    band_selects = []
+    for band in range(N_PERMS // MH_BAND_SIZE):
+        cols = " || ':' || ".join(
+            f"CAST(mh{band * MH_BAND_SIZE + r} AS VARCHAR)" for r in range(MH_BAND_SIZE)
+        )
+        band_selects.append(
+            f"SELECT doc_id, n_tri, {band} AS band, {cols} AS band_key FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""sigs AS (
+  SELECT doc_id, {', '.join(mh_exprs)}, count(*) AS n_tri
+  FROM postings GROUP BY doc_id
+), bands AS (
+  {bands_union}
+)"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16 perms) over hashed-trigram shingles, banded 4×4;
     pairs sharing a band key are candidates; exact shingle Jaccard
@@ -474,47 +522,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("ia", "ib", "na", "nb")
         .distinct()
     )
-    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
-    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
-    shared = (
-        cands.join(pa, "ia")
-        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("ia", "ib", "na", "nb")
-        .agg(F.count("*").alias("shared"))
-    )
-    return shared.select(
-        "ia",
-        "ib",
-        F.round(
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared")),
-            6,
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return _verify_jaccard(cands, postings)
 
 
 def _duck_minhash_sql() -> str:
-    mh_exprs = []
-    for j in range(N_PERMS):
-        a, b = _perm_params(j)
-        mh_exprs.append(f"min((sid * {a} + {b}) % {HASH_MOD}) AS mh{j}")
-    band_selects = []
-    for band in range(N_PERMS // MH_BAND_SIZE):
-        cols = " || ':' || ".join(
-            f"CAST(mh{band * MH_BAND_SIZE + r} AS VARCHAR)" for r in range(MH_BAND_SIZE)
-        )
-        band_selects.append(
-            f"SELECT doc_id, n_tri, {band} AS band, {cols} AS band_key FROM sigs"
-        )
-    bands_union = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_DUCK_POSTINGS},
-sigs AS (
-  SELECT doc_id, {', '.join(mh_exprs)}, count(*) AS n_tri
-  FROM postings GROUP BY doc_id
-), bands AS (
-  {bands_union}
-), cands AS (
+{_duck_bands_cte()}, cands AS (
   SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
          a.n_tri AS na, b.n_tri AS nb
   FROM bands a JOIN bands b
@@ -571,26 +585,16 @@ def dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("band") == F.col("band_b"))
             & (F.col("band_key") == F.col("key_b")),
         )
-        .select("inc_id", "base_id", "n_inc", "n_base")
+        .select(
+            F.col("inc_id").alias("ia"),
+            F.col("base_id").alias("ib"),
+            F.col("n_inc").alias("na"),
+            F.col("n_base").alias("nb"),
+        )
         .distinct()
     )
-    pi = postings.select(F.col("doc_id").alias("inc_id"), "sid")
-    pb = postings.select(F.col("doc_id").alias("bb"), F.col("sid").alias("sidb"))
-    scored = (
-        cands.join(pi, "inc_id")
-        .join(pb, (F.col("base_id") == F.col("bb")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("inc_id", "base_id", "n_inc", "n_base")
-        .agg(F.count("*").alias("shared"))
-        .select(
-            "inc_id",
-            "base_id",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("n_inc") + F.col("n_base") - F.col("shared")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    scored = _verify_jaccard(cands, postings).select(
+        F.col("ia").alias("inc_id"), F.col("ib").alias("base_id"), "jaccard"
     )
     w = Window.partitionBy("inc_id").orderBy(
         F.col("jaccard").desc(), F.col("base_id").asc()
@@ -610,27 +614,9 @@ def dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _duck_incremental_lsh_sql() -> str:
-    mh_exprs = []
-    for j in range(N_PERMS):
-        a, b = _perm_params(j)
-        mh_exprs.append(f"min((sid * {a} + {b}) % {HASH_MOD}) AS mh{j}")
-    band_selects = []
-    for band in range(N_PERMS // MH_BAND_SIZE):
-        cols = " || ':' || ".join(
-            f"CAST(mh{band * MH_BAND_SIZE + r} AS VARCHAR)" for r in range(MH_BAND_SIZE)
-        )
-        band_selects.append(
-            f"SELECT doc_id, n_tri, {band} AS band, {cols} AS band_key FROM sigs"
-        )
-    bands_union = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_DUCK_POSTINGS},
-sigs AS (
-  SELECT doc_id, {', '.join(mh_exprs)}, count(*) AS n_tri
-  FROM postings GROUP BY doc_id
-), bands AS (
-  {bands_union}
-), cands AS (
+{_duck_bands_cte()}, cands AS (
   SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id,
          i.n_tri AS n_inc, b.n_tri AS n_base
   FROM bands i JOIN bands b

@@ -385,65 +385,31 @@ FROM per
 # --- train/test near-dup leakage ---------------------------------------------
 
 def split_leakage_check(spark: SparkSession, sf: str) -> DataFrame:
-    """Eval-integrity check: near-duplicate document pairs (MinHash-LSH
-    candidates, exact-Jaccard verified — the same machinery as
-    dedup_minhash_lsh) that STRADDLE dataset_split boundaries. A test
-    doc whose near-twin sits in train leaks the benchmark; exact-hash
-    decontamination misses these by construction. Output is the
-    (split_a, split_b) pair matrix with a leak flag — the number an
-    eval card must report. All candidate/verify bounds are the LSH
-    plan's; the split join adds two bounded broadcasts of the pair
+    """Eval-integrity check: near-duplicate document pairs that
+    STRADDLE dataset_split boundaries. A test doc whose near-twin sits
+    in train leaks the benchmark; exact-hash decontamination misses
+    these by construction. Output: canonical (split_a ≤ split_b) pair
+    matrix with a leak flag — pairs are oriented by doc_id, which is
+    independent of split, so the cell must canonicalize on the SPLIT
+    values or train/test leaks would smear across two cells.
+
+    The Spark side calls dedup_minhash_lsh itself (and the oracle its
+    SQL twin), so a banding/threshold change there cannot desynchronize
+    this check; the split join adds two bounded maps over the pair
     list."""
-    from .dedup import (
-        JACCARD_THRESHOLD,
-        _mh_bands,
-        _shingle_postings,
-    )
+    from .dedup import dedup_minhash_lsh
 
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)
-    bands = _mh_bands(postings)
-    a = bands.select(
-        F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"), "band",
-        F.col("band_key").alias("ka"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"),
-        F.col("band").alias("bandb"), F.col("band_key").alias("kb"),
-    )
-    cands = (
-        a.join(
-            b,
-            (F.col("band") == F.col("bandb"))
-            & (F.col("ka") == F.col("kb"))
-            & (F.col("ia") < F.col("ib")),
-        )
-        .select("ia", "ib", "na", "nb")
-        .distinct()
-    )
-    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
-    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
-    pairs = (
-        cands.join(pa, "ia")
-        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("ia", "ib", "na", "nb")
-        .agg(F.count("*").alias("shared"))
-        .select(
-            "ia",
-            "ib",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-    sa = docs.select(F.col("doc_id").alias("ia"), split_col().alias("split_a"))
-    sb = docs.select(F.col("doc_id").alias("ib"), split_col().alias("split_b"))
+    pairs = dedup_minhash_lsh(spark, sf)
+    sa = docs.select(F.col("doc_id").alias("ia"), split_col().alias("sp_a"))
+    sb = docs.select(F.col("doc_id").alias("ib"), split_col().alias("sp_b"))
     return (
         pairs.join(sa, "ia")
         .join(sb, "ib")
+        .select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
@@ -458,8 +424,10 @@ def _split_leakage_sql() -> str:
 WITH pairs AS ({lsh}),
 sa AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents),
 sb AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
-SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs,
-       sa.split <> sb.split AS is_leak
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       count(*) AS n_pairs,
+       least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS is_leak
 FROM pairs p
 JOIN sa ON sa.doc_id = p.ia
 JOIN sb ON sb.doc_id = p.ib

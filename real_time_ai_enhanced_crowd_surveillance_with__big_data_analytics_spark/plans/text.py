@@ -308,6 +308,16 @@ def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     (constant-folding pattern, same as tfidf's n_docs).
     """
     docs = load_table(spark, "documents", sf)
+    return _doc_cross_entropy(docs).select(
+        "doc_id", "n_tok", F.col("ce").alias("cross_entropy")
+    )
+
+
+def _doc_cross_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, ce): per-document unigram-LM cross-entropy —
+    the shared scorer behind lm_cross_entropy and ccnet_ppl_buckets
+    (one implementation, so a smoothing/rounding change cannot
+    diverge between them)."""
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     lm = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     # corpus token total as a broadcast 1-row frame — fully lazy (no
@@ -322,24 +332,30 @@ def lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_tok"),
             F.round(
                 F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6
-            ).alias("cross_entropy"),
+            ).alias("ce"),
         )
     )
 
 
-LM_CROSS_ENTROPY_SQL = """
-WITH toks AS (
+# shared CTE chain for the unigram-LM scorer (SQL twin of
+# _doc_cross_entropy) — ends with ce(doc_id, n_tok, ce)
+_LM_CE_CTES = """toks AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
 ), lm AS (
   SELECT tok, count(*) AS tf FROM toks GROUP BY tok
 ), tot AS (
   SELECT CAST(sum(tf) AS DOUBLE) AS n FROM lm
-)
-SELECT doc_id,
-       count(*) AS n_tok,
-       round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS cross_entropy
-FROM toks JOIN lm USING (tok)
-GROUP BY doc_id
+), ce AS (
+  SELECT doc_id, count(*) AS n_tok,
+         round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS ce
+  FROM toks JOIN lm USING (tok)
+  GROUP BY doc_id
+)"""
+
+
+LM_CROSS_ENTROPY_SQL = f"""
+WITH {_LM_CE_CTES}
+SELECT doc_id, n_tok, ce AS cross_entropy FROM ce
 """
 
 
@@ -586,20 +602,7 @@ def ccnet_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     doc-cardinality rows — the same user-keyed window posture as
     quantile_normalize (per-source percent_rank)."""
     docs = load_table(spark, "documents", sf)
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    lm = toks.groupBy("tok").agg(F.count("*").alias("tf"))
-    total = lm.agg(F.sum("tf").cast("double").alias("n_total"))
-    ce = (
-        toks.join(F.broadcast(lm), "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tok"),
-            F.round(
-                F.avg(-F.log(F.col("tf") / F.col("n_total"))), 6
-            ).alias("ce"),
-        )
-    )
+    ce = _doc_cross_entropy(docs)
     from pyspark.sql import Window
 
     scored = ce.join(docs.select("doc_id", "lang"), "doc_id")
@@ -623,19 +626,8 @@ def ccnet_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-CCNET_PPL_BUCKETS_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
-), lm AS (
-  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
-), tot AS (
-  SELECT CAST(sum(tf) AS DOUBLE) AS n FROM lm
-), ce AS (
-  SELECT doc_id, count(*) AS n_tok,
-         round(avg(-ln(tf / (SELECT n FROM tot))), 6) AS ce
-  FROM toks JOIN lm USING (tok)
-  GROUP BY doc_id
-), scored AS (
+CCNET_PPL_BUCKETS_SQL = f"""
+WITH {_LM_CE_CTES}, scored AS (
   SELECT d.lang, c.n_tok, c.ce,
          CASE ntile(3) OVER (PARTITION BY d.lang
                              ORDER BY c.ce ASC, c.doc_id ASC)

@@ -671,25 +671,30 @@ def scd2_tier_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     nxt = F.col("wk") + F.expr("INTERVAL 7 DAY")
     w = Window.partitionBy("user_id").orderBy("wk")
+    # explicit alias on the dim key: the dim derives from the SAME
+    # events DataFrame, and `events.user_id == dim.user_id` would lean
+    # on the analyzer's self-join disambiguation (Spark warns
+    # 'trivially true equals predicate') — renaming makes the join key
+    # unambiguous by construction
     dim = weekly.select(
-        "user_id",
+        F.col("user_id").alias("dim_uid"),
         nxt.alias("valid_from"),
         F.lead(nxt, 1).over(w).alias("valid_to"),
         tier.alias("tier"),
     )
     joined = events.join(
         dim,
-        (events.user_id == dim.user_id)
-        & (events.ts >= dim.valid_from)
-        & (dim.valid_to.isNull() | (events.ts < dim.valid_to)),
+        (F.col("user_id") == F.col("dim_uid"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
         "left",
     )
     return (
         joined.select(
-            F.date_format(F.date_trunc("week", events.ts), "yyyy-MM-dd").alias(
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
                 "week"
             ),
-            F.coalesce(dim.tier, F.lit("new")).alias("tier"),
+            F.coalesce(F.col("tier"), F.lit("new")).alias("tier"),
         )
         .groupBy("week", "tier")
         .agg(F.count(F.lit(1)).alias("n_events"))

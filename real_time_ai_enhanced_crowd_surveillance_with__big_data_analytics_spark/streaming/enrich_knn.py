@@ -34,6 +34,8 @@ def build_index(corpus: DataFrame) -> tuple:
     import numpy as np
 
     rows = corpus.select("vec_id", "embedding").collect()
+    if not rows:
+        raise ValueError("cannot build a kNN index from an empty corpus")
     rows.sort(key=lambda r: r.vec_id)
     ids = np.asarray([r.vec_id for r in rows], dtype="int64")
     mat = np.asarray([list(r.embedding) for r in rows], dtype="float64")
@@ -51,6 +53,7 @@ def enrich_topk(stream: DataFrame, index: tuple, k: int = TOP_K) -> DataFrame:
     import pandas as pd
 
     ids, unit = index
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
 
     def score(batches):
         for pdf in batches:
@@ -61,16 +64,33 @@ def enrich_topk(stream: DataFrame, index: tuple, k: int = TOP_K) -> DataFrame:
             qn[qn == 0.0] = 1.0
             sims = np.round((q / qn[:, None]) @ unit.T, 6)
             qids = pdf["vec_id"].to_numpy()
+            # mask self-matches in-place (cosine ∈ [-1, 1], so -2 can
+            # never be selected), then take top-m via one vectorized
+            # argpartition for the whole batch — no per-row corpus-size
+            # allocations or full sorts on the hot path
+            for i, qid in enumerate(qids):
+                r = id_to_row.get(int(qid))
+                if r is not None:
+                    sims[i, r] = -2.0
+            m = min(len(ids), k + 64)
+            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
             out_ids, out_cos = [], []
             for i in range(len(q)):
-                row = sims[i]
-                mask = ids != qids[i]  # no self-neighbour
-                cand_ids = ids[mask]
-                cand = row[mask]
-                # deterministic: cosine desc, then vec_id asc
-                top = np.lexsort((cand_ids, -cand))[:k]
-                out_ids.append(cand_ids[top].tolist())
-                out_cos.append(cand[top].tolist())
+                cand_ids = ids[part[i]]
+                cand = sims[i][part[i]]
+                # exact deterministic order within the m candidates:
+                # cosine desc, then vec_id asc
+                order = np.lexsort((cand_ids, -cand))[:k]
+                kth = cand[order[-1]]
+                # ties on the k-th value could extend past the m-slice;
+                # fall back to the full sort for such (rare) rows
+                if (sims[i] >= kth).sum() > m:
+                    full = np.lexsort((ids, -sims[i]))[:k]
+                    out_ids.append(ids[full].tolist())
+                    out_cos.append(sims[i][full].tolist())
+                else:
+                    out_ids.append(cand_ids[order].tolist())
+                    out_cos.append(cand[order].tolist())
             yield pd.DataFrame(
                 {
                     "vec_id": qids,
