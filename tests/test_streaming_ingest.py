@@ -1,0 +1,106 @@
+"""Streaming corpus ingest (streaming/ingest.py): the appended table
+must equal the batch expectation (gate + first-per-fingerprint +
+corpus anti-join), survive a restart without duplicating accepted
+docs (file-sink manifest), and reject corpus-known fingerprints."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.ingest import (
+    batch_ingest_expectation,
+    build_corpus_index,
+    streaming_corpus_ingest,
+)
+
+T0 = dt.datetime(2024, 3, 1)
+
+SCHEMA = "doc_id long, ts timestamp, text string, source string"
+
+GOOD = "spark table join window filter aggregate shuffle partition " * 6
+DUP = "merge sort hash scan batch stream value column row key " * 6
+LOW = "a b"  # fails the length gate
+
+
+def _write_chunk(spark, src, name, rows):
+    tmp = f"{src}/_{name}"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+def _drain(spark, src, index_dir, out, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_corpus_ingest(spark, stream, index_dir, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_ingest_matches_batch_and_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t = lambda m: T0 + dt.timedelta(minutes=m)  # noqa: E731
+
+    # corpus already contains DUP's fingerprint
+    corpus = spark.createDataFrame(
+        [(900, t(-999), DUP, "old")], SCHEMA
+    )
+    build_corpus_index(corpus, index_dir)
+
+    _write_chunk(
+        spark,
+        src,
+        "c1",
+        [
+            (1, t(0), GOOD, "s1"),  # accepted
+            (2, t(1), LOW, "s1"),  # gated out
+            (3, t(2), DUP, "s2"),  # corpus-known → rejected
+        ],
+    )
+    _write_chunk(
+        spark,
+        src,
+        "c2",
+        [
+            (4, t(3), GOOD, "s2"),  # in-stream dup of doc 1 → rejected
+            (5, t(4), GOOD + "fresh tokens", "s3"),  # accepted
+        ],
+    )
+    _drain(spark, src, index_dir, out, ckpt)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 5}
+
+    want = batch_ingest_expectation(
+        spark.read.parquet(src), spark.read.parquet(index_dir)
+    )
+    wset = {
+        (r["doc_id"], r["fp"], round(r["quality"], 6))
+        for r in want.collect()
+    }
+    gset = {
+        (r["doc_id"], r["fp"], round(r["quality"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert gset == wset
+
+    # restart with one more chunk: manifest keeps prior files committed
+    # exactly once; the new accepted doc appends
+    _write_chunk(spark, src, "c3", [(6, t(5), GOOD + "more new words", "s1")])
+    _drain(spark, src, index_dir, out, ckpt)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 5, 6]
