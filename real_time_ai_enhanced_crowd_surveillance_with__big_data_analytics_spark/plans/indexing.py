@@ -435,7 +435,191 @@ GROUP BY 1, 2
 """
 
 
+# --- BM25 lexical retrieval --------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "join", "window")  # fixed probe query
+BM25_TOP = 10
+
+
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed probe query — the lexical half of
+    hybrid retrieval (idf·tf saturation with length normalization;
+    idf = ln((N−df+0.5)/(df+0.5)+1), k1/b at the standard 1.2/0.75).
+
+    Scale shape: term frequencies filter to the QUERY'S terms before
+    any shuffle (the scan feeds a |q|-term explode-filter, not a full
+    posting build); df and the average doclen are broadcast scalars;
+    the per-doc score sum shuffles only docs containing ≥1 query term.
+    Deterministic top-k (score desc round-6, doc_id asc)."""
+    docs = load_table(spark, "documents", sf)
+    q_terms = list(BM25_QUERY)
+    base = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("tok"),
+    )
+    n_total = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(token_count(F.col("text"))) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.filter(F.col("tok").isin(q_terms))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.select(F.row_number().over(w).alias("rank"), "doc_id", "bm25")
+        .filter(F.col("rank") <= BM25_TOP)
+    )
+
+
+def _bm25_sql(top: int = BM25_TOP, rank_col: str = "rank") -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS {rank_col},
+       doc_id, bm25
+FROM (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((t.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1}
+              * (1 - {BM25_B} + {BM25_B} * tf.dl / t.avgdl))
+         ), 6) AS bm25
+  FROM (
+    SELECT doc_id, dl, tok, count(*) AS tf FROM (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ) WHERE tok IN ({terms})
+    GROUP BY doc_id, dl, tok
+  ) tf
+  JOIN (
+    SELECT tok, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok IN ({terms})
+    ) GROUP BY tok
+  ) df USING (tok)
+  CROSS JOIN (
+    SELECT count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' '))) / count(*) AS avgdl
+    FROM documents
+  ) t
+  GROUP BY tf.doc_id
+)
+QUALIFY {rank_col} <= {top}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
+# --- hybrid retrieval (reciprocal rank fusion) -------------------------------
+
+RRF_K = 60
+
+
+def hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25 top-10) and vector
+    (cosine kNN top-10 for probe vector 0) result lists:
+    rrf = Σ_lists 1/(RRF_K + rank) — the standard hybrid-search merge
+    (embeddings.vec_id aligns with documents.doc_id in the driver
+    testdata; the fusion shape, not the id convention, is the point).
+    Both input lists call the existing queries, so either ranker's
+    semantics can never drift from its standalone form; fusing two
+    ≤10-row lists is driver-trivial by design — the heavy lifting
+    happened inside the rankers."""
+    from .similarity import knn_bruteforce
+
+    lex = bm25_topk(spark, sf).select(
+        "doc_id", (1.0 / (RRF_K + F.col("rank"))).alias("lex_part")
+    )
+    knn = knn_bruteforce(spark, sf)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    vec = knn.select(
+        F.col("vec_id").alias("doc_id"),
+        (1.0 / (RRF_K + F.row_number().over(w))).alias("vec_part"),
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce("lex_part", F.lit(0.0))
+                + F.coalesce("vec_part", F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("lex_part").isNotNull().alias("in_lexical"),
+            F.col("vec_part").isNotNull().alias("in_vector"),
+        )
+    )
+    wr = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.select(F.row_number().over(wr).alias("rank"), "doc_id", "rrf",
+                     "in_lexical", "in_vector")
+        .filter(F.col("rank") <= BM25_TOP)
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from .similarity import KNN_BRUTEFORCE_SQL
+
+    bm25 = _bm25_sql(rank_col="lex_rank")
+    return f"""
+WITH lex AS ({bm25}),
+knn AS ({KNN_BRUTEFORCE_SQL}),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS vec_rank
+  FROM knn
+), fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + l.lex_rank), 0)
+               + coalesce(1.0 / ({RRF_K} + v.vec_rank), 0), 6) AS rrf,
+         l.doc_id IS NOT NULL AS in_lexical,
+         v.doc_id IS NOT NULL AS in_vector
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+       doc_id, rrf, in_lexical, in_vector
+FROM fused
+QUALIFY rank <= {BM25_TOP}
+"""
+
+
 INDEXING_QUERIES = {
+    "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
+    "hybrid_rrf": (hybrid_rrf, _hybrid_rrf_sql()),
     "chunk_dedup": (chunk_dedup, CHUNK_DEDUP_SQL),
     "split_leakage_check": (split_leakage_check, _split_leakage_sql()),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
