@@ -453,6 +453,17 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     posting build); df and the average doclen are broadcast scalars;
     the per-doc score sum shuffles only docs containing ≥1 query term.
     Deterministic top-k (score desc round-6, doc_id asc)."""
+    scored = _bm25_scored(spark, sf)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.select(F.row_number().over(w).alias("rank"), "doc_id", "bm25")
+        .filter(F.col("rank") <= BM25_TOP)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, bm25) for every doc containing ≥1 query term — the
+    shared scorer behind bm25_topk, hybrid_rrf, and hard_negatives."""
     docs = load_table(spark, "documents", sf)
     q_terms = list(BM25_QUERY)
     base = docs.select(
@@ -494,11 +505,7 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("part"), 6).alias("bm25"))
     )
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.select(F.row_number().over(w).alias("rank"), "doc_id", "bm25")
-        .filter(F.col("rank") <= BM25_TOP)
-    )
+    return scored
 
 
 def _bm25_sql(top: int = BM25_TOP, rank_col: str = "rank") -> str:
@@ -617,9 +624,66 @@ QUALIFY rank <= {BM25_TOP}
 """
 
 
+# --- hard-negative mining (DPR-style) ----------------------------------------
+
+HARDNEG_POOL = 50  # lexical candidate pool per query
+HARDNEG_TOP = 10
+
+
+def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """DPR-style hard-negative mining for retriever training: documents
+    that score HIGH lexically (BM25 pool of 50) for the probe query but
+    are NOT semantic neighbours of the probe vector (absent from the
+    cosine top-10) — the lexically-confusable, semantically-wrong
+    examples contrastive training needs (in-batch random negatives are
+    too easy; Karpukhin et al.'s recipe mines exactly this set).
+
+    Plan: BM25 pool (same bounded shape as bm25_topk) anti-joined
+    against the kNN list (≤10 rows, broadcast); everything downstream
+    of the rankers is list-sized."""
+    from .similarity import knn_bruteforce
+
+    pool_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = _bm25_scored(spark, sf).select(
+        "doc_id", "bm25", F.row_number().over(pool_w).alias("lex_rank")
+    ).filter(F.col("lex_rank") <= HARDNEG_POOL)
+    vec = knn_bruteforce(spark, sf).select(F.col("vec_id").alias("doc_id"))
+    out_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        lex.join(F.broadcast(vec), "doc_id", "left_anti")
+        .select(
+            F.row_number().over(out_w).alias("neg_rank"), "doc_id", "bm25",
+            "lex_rank",
+        )
+        .filter(F.col("neg_rank") <= HARDNEG_TOP)
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH lex_all AS ({_bm25_sql(top=10 ** 9, rank_col="lex_rank")}),
+lex AS (SELECT * FROM lex_all WHERE lex_rank <= {HARDNEG_POOL}),
+knn AS ({{knn}}),
+neg AS (
+  SELECT l.doc_id, l.bm25, l.lex_rank
+  FROM lex l ANTI JOIN knn k ON k.vec_id = l.doc_id
+)
+SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS neg_rank,
+       doc_id, bm25, lex_rank
+FROM neg
+QUALIFY neg_rank <= {HARDNEG_TOP}
+"""
+
+
+def _hard_negatives_sql() -> str:
+    from .similarity import KNN_BRUTEFORCE_SQL
+
+    return HARD_NEGATIVES_SQL.format(knn=KNN_BRUTEFORCE_SQL)
+
+
 INDEXING_QUERIES = {
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf": (hybrid_rrf, _hybrid_rrf_sql()),
+    "hard_negatives": (hard_negatives, _hard_negatives_sql()),
     "chunk_dedup": (chunk_dedup, CHUNK_DEDUP_SQL),
     "split_leakage_check": (split_leakage_check, _split_leakage_sql()),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),
