@@ -23,26 +23,16 @@ from pyspark.sql import functions as F
 
 
 def _centroids(emb: DataFrame) -> tuple:
-    """label → mean vector, as numpy (labels asc, matrix row-aligned).
-    Label cells mirror plans/similarity.py::label_centroids."""
-    import numpy as np
+    """label → mean vector, as numpy (labels asc, matrix row-aligned) —
+    delegates to plans/similarity.py::_centroid_matrix so the persisted
+    index's cell arithmetic is THE SAME CODE as nearest_centroid /
+    ivf_knn's in-flight assignment (not a parallel copy that can
+    drift). Rejects an empty corpus with a clear error."""
+    if emb.limit(1).count() == 0:
+        raise ValueError("cannot build an IVF index from an empty corpus")
+    from ..plans.similarity import _centroid_matrix
 
-    # mean per dimension as d wide sum-aggregates — one shuffle on the
-    # bounded label key, no posexplode row inflation
-    d = emb.select(F.size("embedding").alias("d")).first()["d"]
-    sums = emb.select(
-        "label", *[F.col("embedding")[i].alias(f"x{i}") for i in range(d)]
-    ).groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"x{i}").alias(f"s{i}") for i in range(d)],
-    )
-    out = sums.collect()
-    out.sort(key=lambda r: r["label"])
-    labs = np.asarray([r["label"] for r in out], dtype="int64")
-    mat = np.asarray(
-        [[r[f"s{i}"] / r["n"] for i in range(d)] for r in out], dtype="float64"
-    )
-    return labs, mat
+    return _centroid_matrix(emb)
 
 
 def build_ivf_index(emb: DataFrame, index_dir: str) -> None:

@@ -453,12 +453,16 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     posting build); df and the average doclen are broadcast scalars;
     the per-doc score sum shuffles only docs containing ≥1 query term.
     Deterministic top-k (score desc round-6, doc_id asc)."""
-    scored = _bm25_scored(spark, sf)
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.select(F.row_number().over(w).alias("rank"), "doc_id", "bm25")
-        .filter(F.col("rank") <= BM25_TOP)
+    # distributed top-k cut FIRST (TakeOrderedAndProject — per-partition
+    # partial top-k, no global window over every matching doc), then
+    # ranks attached over the ≤BM25_TOP surviving rows
+    top = (
+        _bm25_scored(spark, sf)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
     )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.select(F.row_number().over(w).alias("rank"), "doc_id", "bm25")
 
 
 def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
@@ -643,10 +647,20 @@ def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     of the rankers is list-sized."""
     from .similarity import knn_bruteforce
 
+    # distributed top-k pool cut (TakeOrderedAndProject), ranks over
+    # the ≤HARDNEG_POOL survivors only; the probe's own document
+    # (vec/doc 0) is excluded — it is by definition the most
+    # semantically similar doc, the opposite of a negative
+    pool = (
+        _bm25_scored(spark, sf)
+        .filter(F.col("doc_id") != 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(HARDNEG_POOL)
+    )
     pool_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    lex = _bm25_scored(spark, sf).select(
+    lex = pool.select(
         "doc_id", "bm25", F.row_number().over(pool_w).alias("lex_rank")
-    ).filter(F.col("lex_rank") <= HARDNEG_POOL)
+    )
     vec = knn_bruteforce(spark, sf).select(F.col("vec_id").alias("doc_id"))
     out_w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
@@ -660,8 +674,13 @@ def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
 
 HARD_NEGATIVES_SQL = f"""
-WITH lex_all AS ({_bm25_sql(top=10 ** 9, rank_col="lex_rank")}),
-lex AS (SELECT * FROM lex_all WHERE lex_rank <= {HARDNEG_POOL}),
+WITH lex_all AS ({_bm25_sql(top=10 ** 9, rank_col="raw_rank")}),
+lex AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lex_all WHERE doc_id <> 0
+  QUALIFY lex_rank <= {HARDNEG_POOL}
+),
 knn AS ({{knn}}),
 neg AS (
   SELECT l.doc_id, l.bm25, l.lex_rank

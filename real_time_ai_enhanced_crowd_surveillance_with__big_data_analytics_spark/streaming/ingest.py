@@ -11,11 +11,25 @@ manifested ones) — no foreachBatch ledger needed on this path.
 
 State: in-stream dedup uses dropDuplicatesWithinWatermark keyed on
 the fingerprint, so the state store holds only the watermark horizon,
-not all history — history is exactly what the PERSISTED corpus index
-covers (the stream-static anti-join side, the same only-digests-move
-argument as plans/dedup.py::dedup_incremental). The static index is
-re-scanned per micro-batch; at 100 TB it lives fingerprint-bucketed
-so each batch's anti-join prunes to matching buckets.
+not all history — history is the PERSISTED corpus index (the
+stream-static anti-join side, the same only-digests-move argument as
+plans/dedup.py::dedup_incremental). The division of labour is the
+standard lambda tradeoff, stated precisely:
+
+- a duplicate arriving WITHIN the watermark of its first copy is
+  caught by the state store;
+- a duplicate arriving AFTER the first copy entered the index (via
+  ``compact_corpus_index``) is caught by the anti-join;
+- the gap — older than the watermark but newer than the last
+  compaction — is bounded by the compaction cadence.
+
+The index is adopted at STREAM START: Spark pins the static side's
+file listing when the query starts, so compaction writes a fresh
+index and the stream restarts to adopt it (blue/green). Compacting
+into a live query's index directory would delete files the running
+plan references — never do that. At 100 TB the index lives
+fingerprint-bucketed so each batch's anti-join prunes to matching
+buckets.
 """
 
 from __future__ import annotations
@@ -39,6 +53,31 @@ def build_corpus_index(docs: DataFrame, index_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(index_dir)
     )
+
+
+def compact_corpus_index(
+    spark: SparkSession, index_dir: str, accepted_dir: str
+) -> None:
+    """Fold the fingerprints of accepted (ingested) docs back into the
+    corpus index — the periodic compaction that closes the
+    beyond-watermark dedup gap. Must run between stream incarnations
+    (the running query pins the old index's file listing); the restart
+    adopts the compacted index."""
+    import shutil
+    import tempfile
+
+    old = spark.read.parquet(index_dir).select("fp")
+    new = spark.read.parquet(accepted_dir).select("fp")
+    # distributed union-distinct to a staging dir (Spark refuses to
+    # overwrite a path it is reading), then swap directories
+    staging = tempfile.mkdtemp(prefix="fpindex_")
+    try:
+        old.union(new).distinct().write.mode("overwrite").parquet(staging)
+        shutil.rmtree(index_dir)
+        shutil.move(staging, index_dir)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
 
 
 def streaming_corpus_ingest(
@@ -72,9 +111,14 @@ def streaming_corpus_ingest(
 
 
 def batch_ingest_expectation(docs: DataFrame, index: DataFrame) -> DataFrame:
-    """Batch twin — the parity spec: gate, first-arrival-per-fingerprint
-    (ties by earliest ts then doc_id, matching the replay order the
-    tests feed one file per trigger), corpus anti-join."""
+    """Batch twin — the parity spec for inputs whose duplicates fall
+    within one watermark horizon (the tests'): gate,
+    first-arrival-per-fingerprint (ties by earliest ts then doc_id,
+    matching the replay order the tests feed one file per trigger),
+    corpus anti-join. Beyond-watermark duplicates are the compaction
+    cycle's job (module docstring) — the stream matches this spec
+    exactly when every duplicate pair is either within-watermark or
+    separated by a compaction."""
     from pyspark.sql import Window
 
     gated = (

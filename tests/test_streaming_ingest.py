@@ -13,6 +13,7 @@ import shutil
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.ingest import (
     batch_ingest_expectation,
     build_corpus_index,
+    compact_corpus_index,
     streaming_corpus_ingest,
 )
 
@@ -104,3 +105,15 @@ def test_ingest_matches_batch_and_survives_restart(spark, tmp_path):
     _drain(spark, src, index_dir, out, ckpt)
     got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got2 == [1, 5, 6]
+
+    # compaction closes the beyond-watermark gap: fold accepted fps
+    # into the index between incarnations, then feed a duplicate of an
+    # accepted doc arriving far outside the watermark — the adopted
+    # index rejects it even though its state-store entry is long gone
+    compact_corpus_index(spark, index_dir, out)
+    _write_chunk(
+        spark, src, "c4", [(7, t(60 * 24 * 7), GOOD, "late-dup")]
+    )
+    _drain(spark, src, index_dir, out, ckpt)
+    got3 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got3 == [1, 5, 6]
