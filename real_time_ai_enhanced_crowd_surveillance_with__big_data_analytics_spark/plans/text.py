@@ -642,7 +642,53 @@ GROUP BY lang, bucket
 """
 
 
+# --- canonical text normalization --------------------------------------------
+
+def text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The normalization pass that PRECEDES dedup in a corpus pipeline
+    (two byte-different renderings of the same content must
+    fingerprint identically): lowercase, strip non-alphanumeric
+    punctuation to spaces, collapse whitespace runs, trim. Emits the
+    canonical text, its fingerprint, and whether normalization changed
+    anything — pure codegen (regexp_replace/lower), zero shuffle, and
+    the patterns are RE2-safe so the oracle runs them verbatim.
+    ASCII-scoped by design (the driver corpus is ASCII); Unicode
+    normalization (NFC/casefold) is a mapInPandas seam away and
+    deliberately not faked with engine-dependent collation."""
+    docs = load_table(spark, "documents", sf)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_fp"),
+        (norm != F.col("text")).alias("changed"),
+        (F.length(F.col("text")) - F.length(norm)).alias("bytes_removed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text,
+       sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g'))) AS norm_fp,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) <> text AS changed,
+       length(text)
+         - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS bytes_removed
+FROM documents
+"""
+
+
 TEXT_QUERIES = {
+    "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "ccnet_ppl_buckets": (ccnet_ppl_buckets, CCNET_PPL_BUCKETS_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "bigram_lift": (bigram_lift, BIGRAM_LIFT_SQL),

@@ -40,6 +40,42 @@ def test_chunk_boundaries_exact(spark, n):
     assert rows[-1]["start_tok"] + rows[-1]["n_chunk_tokens"] == n
 
 
+def test_text_normalize_idempotent_and_unifies_renderings(spark, tmp_path):
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.text import (
+        text_normalize,
+    )
+
+    a = "Spark  Tables, JOIN window!"
+    b = "spark tables join   window"
+    df = spark.createDataFrame(
+        [
+            (0, a, "en", "s", len(a)),
+            (1, b, "en", "s", len(b)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "norm")
+    import os
+
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in text_normalize(spark, sf).collect()}
+    # two byte-different renderings canonicalize to one fingerprint
+    assert rows[0]["norm_text"] == rows[1]["norm_text"] == "spark tables join window"
+    assert rows[0]["norm_fp"] == rows[1]["norm_fp"]
+    assert rows[0]["changed"] and rows[1]["changed"]
+    # idempotence: normalizing the normalized text is a no-op
+    df2 = spark.createDataFrame(
+        [(2, rows[0]["norm_text"], "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf2 = str(tmp_path / "norm2")
+    os.makedirs(sf2)
+    df2.coalesce(1).write.parquet(f"{sf2}/documents.parquet")
+    again = text_normalize(spark, sf2).collect()[0]
+    assert not again["changed"] and again["bytes_removed"] == 0
+
+
 def _mini_corpus(spark, tmp_path):
     short = " ".join(f"w{i}" for i in range(10))
     long_ = short + " " + " ".join(f"x{i}" for i in range(90))
