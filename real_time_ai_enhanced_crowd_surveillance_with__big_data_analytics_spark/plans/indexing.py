@@ -693,6 +693,73 @@ QUALIFY neg_rank <= {HARDNEG_TOP}
 """
 
 
+# --- search snippets (keyword in context) ------------------------------------
+
+SNIPPET_CTX = 3  # tokens of context each side of the first hit
+
+
+def search_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-in-context extraction for the BM25 result list: for each
+    hit, a ±SNIPPET_CTX-token window around the FIRST occurrence of
+    any query term (earliest position wins) — the snippet a search /
+    RAG result page shows. Pure array math on the ≤10 result docs:
+    the result list broadcasts into a semi-join, so only hit docs ever
+    compute snippets; everything else is pruned at the scan."""
+    hits = bm25_topk(spark, sf)
+    docs = load_table(spark, "documents", sf)
+    toks = tokens(F.col("text"))
+    first_pos = F.array_min(
+        F.filter(
+            F.array(
+                *[F.array_position(F.col("toks"), t) for t in BM25_QUERY]
+            ),
+            lambda p: p > 0,
+        )
+    )
+    start = F.greatest(F.lit(1).cast("long"), F.col("first_pos") - SNIPPET_CTX)
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "rank", "bm25", toks.alias("toks"))
+        .withColumn("first_pos", first_pos)
+        .select(
+            "rank",
+            "doc_id",
+            "bm25",
+            "first_pos",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    start.cast("int"),
+                    2 * SNIPPET_CTX + 1,
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
+SEARCH_SNIPPETS_SQL = f"""
+WITH hits AS ({BM25_TOPK_SQL}),
+ctx AS (
+  SELECT h.rank, h.doc_id, h.bm25,
+         string_split(trim(d.text), ' ') AS toks,
+         list_min(list_filter(
+           [{', '.join(f"list_position(string_split(trim(d.text), ' '), '{t}')" for t in BM25_QUERY)}],
+           p -> p > 0)) AS first_pos
+  FROM hits h JOIN documents d USING (doc_id)
+)
+SELECT rank, doc_id, bm25, first_pos,
+       array_to_string(
+         list_slice(toks,
+                    greatest(1, first_pos - {SNIPPET_CTX}),
+                    least(len(toks),
+                          greatest(1, first_pos - {SNIPPET_CTX})
+                          + {2 * SNIPPET_CTX})),
+         ' ') AS snippet
+FROM ctx
+"""
+
+
 def _hard_negatives_sql() -> str:
     from .similarity import KNN_BRUTEFORCE_SQL
 
@@ -703,6 +770,7 @@ INDEXING_QUERIES = {
     "bm25_topk": (bm25_topk, BM25_TOPK_SQL),
     "hybrid_rrf": (hybrid_rrf, _hybrid_rrf_sql()),
     "hard_negatives": (hard_negatives, _hard_negatives_sql()),
+    "search_snippets": (search_snippets, SEARCH_SNIPPETS_SQL),
     "chunk_dedup": (chunk_dedup, CHUNK_DEDUP_SQL),
     "split_leakage_check": (split_leakage_check, _split_leakage_sql()),
     "doc_chunking": (doc_chunking, DOC_CHUNKING_SQL),

@@ -69,8 +69,9 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # dataset_split / embedding_covariance / key_skew_report / chunk_dedup /
 # dedup_containment / column_profile / scd2_tier_join /
 # dedup_incremental_lsh / split_leakage_check / ccnet_ppl_buckets /
-# bm25_topk / hybrid_rrf / hard_negatives / text_normalize (all
-# locally oracle-green, positions 51+ this round).
+# bm25_topk / hybrid_rrf / hard_negatives / text_normalize /
+# search_snippets (all locally oracle-green, positions 51+ this
+# round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",
