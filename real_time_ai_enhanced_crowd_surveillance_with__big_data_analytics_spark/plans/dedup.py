@@ -873,6 +873,42 @@ FROM comp c
 """
 
 
+# --- duplicate-family size distribution --------------------------------------
+
+def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-card view of near-dup structure: the distribution of
+    duplicate-family sizes (how many clusters of 2, of 3, …) plus the
+    docs each size class removes under keep-one-per-cluster. Rides the
+    CC output — one bounded-key aggregate over cluster rows; the heavy
+    lifting (and its scale posture) is dedup_clusters'."""
+    clusters = dedup_clusters(spark, sf)
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.count_distinct("cluster_id")).alias(
+                "docs_removed"
+            ),
+        )
+    )
+
+
+def _dedup_cluster_sizes_sql() -> str:
+    inner = DEDUP_CLUSTERS_SQL_TEMPLATE.format(
+        postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
+    )
+    return f"""
+WITH base AS ({inner})
+SELECT cluster_size,
+       count(DISTINCT cluster_id) AS n_clusters,
+       count(*) AS n_docs,
+       count(*) - count(DISTINCT cluster_id) AS docs_removed
+FROM base
+GROUP BY cluster_size
+"""
+
+
 # --- canonical selection (the corpus-level dedup output) ---------------------
 
 def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
@@ -1205,6 +1241,7 @@ DEDUP_QUERIES = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, _duck_minhash_sql()),
     "dedup_incremental_lsh": (dedup_incremental_lsh, _duck_incremental_lsh_sql()),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_cluster_sizes": (dedup_cluster_sizes, _dedup_cluster_sizes_sql()),
     "dedup_clusters": (
         dedup_clusters,
         DEDUP_CLUSTERS_SQL_TEMPLATE.format(

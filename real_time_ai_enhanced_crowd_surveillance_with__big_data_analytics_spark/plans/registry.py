@@ -70,8 +70,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # dedup_containment / column_profile / scd2_tier_join /
 # dedup_incremental_lsh / split_leakage_check / ccnet_ppl_buckets /
 # bm25_topk / hybrid_rrf / hard_negatives / text_normalize /
-# search_snippets (all locally oracle-green, positions 51+ this
-# round).
+# search_snippets / dedup_cluster_sizes (all locally oracle-green,
+# positions 51+ this round).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",
