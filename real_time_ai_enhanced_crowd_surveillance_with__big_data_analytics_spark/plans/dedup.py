@@ -164,23 +164,14 @@ WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
 DF_CAP = 20
 
 
-def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs like :func:`dedup_ngram_jaccard`, but candidate
-    generation drops shingles whose document frequency exceeds
-    ``DF_CAP`` — the standard stopword-shingle cut that bounds the
-    postings-pair cost Σ df² at df ≤ cap (the exact variant's documented
-    100 TB fix). Jaccard is still computed on the FULL shingle sets, so
-    scores are exact; only recall is approximate (a pair sharing solely
-    ultra-common shingles is skipped — by construction those pairs sit
-    far below any useful threshold anyway).
-
-    Scale shape: the hot-shingle set is tiny by definition (few shingles
-    exceed the cap), so it broadcasts into a left-anti join — no extra
-    shuffle of the postings; candidate pairing then behaves like the
-    MinHash verify phase (touches candidates, never the corpus square).
-    """
-    docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)  # localCheckpointed: 4 references
+def _df_capped_shared(postings: DataFrame) -> DataFrame:
+    """(ia, ib, shared): EXACT shared-shingle counts for every document
+    pair that shares at least one rare (df ≤ DF_CAP) shingle — the
+    bounded candidate generator behind both capped near-dup scorers
+    (jaccard and containment). Candidates come from the rare-postings
+    self-join (Σ df² with df ≤ cap); the hot-shingle contribution to
+    ``shared`` is then restored from the small hot postings subset, so
+    scores are exact even though candidate recall is df-capped."""
     hot = (
         postings.groupBy("sid")
         .agg(F.count("*").alias("df"))
@@ -211,7 +202,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("ia", "ib")
         .agg(F.count("*").alias("sh_hot"))
     )
-    shared = (
+    return (
         shared_rare.join(shared_hot, ["ia", "ib"], "left")
         .select(
             "ia",
@@ -221,6 +212,26 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs like :func:`dedup_ngram_jaccard`, but candidate
+    generation drops shingles whose document frequency exceeds
+    ``DF_CAP`` — the standard stopword-shingle cut that bounds the
+    postings-pair cost Σ df² at df ≤ cap (the exact variant's documented
+    100 TB fix). Jaccard is still computed on the FULL shingle sets, so
+    scores are exact; only recall is approximate (a pair sharing solely
+    ultra-common shingles is skipped — by construction those pairs sit
+    far below any useful threshold anyway).
+
+    Scale shape: the hot-shingle set is tiny by definition (few shingles
+    exceed the cap), so it broadcasts into a left-anti join — no extra
+    shuffle of the postings; candidate pairing then behaves like the
+    MinHash verify phase (touches candidates, never the corpus square).
+    """
+    docs = load_table(spark, "documents", sf)
+    postings = _shingle_postings(docs)  # localCheckpointed: 4 references
+    shared = _df_capped_shared(postings)
     counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
     na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
     nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
@@ -356,9 +367,14 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     near 1.0 here while Jaccard dilutes toward |A|/|B| and misses it
     (the boilerplate/quotation case exact-substring dedup targets).
 
-    Same inverted-index candidate generation as dedup_ngram_jaccard
-    (Σ df² bounded, nothing corpus-quadratic); only the final scoring
-    differs, so the scale posture is identical."""
+    Same inverted-index candidate generation as dedup_ngram_jaccard;
+    only the final scoring differs. CAVEAT (scale): the uncapped Σ df²
+    cost is NOT bounded here — boilerplate shingles (exactly the
+    content containment targets) have df proportional to corpus size,
+    so this exact form degenerates quadratically on hot shingles. It
+    is the small-SF verification spec; the shipping path at scale is
+    :func:`dedup_containment_capped`, whose df cap bounds candidate
+    generation the same way dedup_ngram_jaccard_capped does."""
     docs = load_table(spark, "documents", sf)
     tri = _shingle_postings(docs)
     counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
@@ -397,6 +413,71 @@ counts AS (
 ), shared AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
   FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia, ib, shared, contain_a, contain_b FROM (
+  SELECT s.ia, s.ib, s.shared,
+         round(CAST(s.shared AS DOUBLE) / na.n_tri, 6) AS contain_a,
+         round(CAST(s.shared AS DOUBLE) / nb.n_tri, 6) AS contain_b
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+)
+WHERE greatest(contain_a, contain_b) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+def dedup_containment_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment pairs like :func:`dedup_containment`, but candidates
+    come from the df-capped rare-shingle join (``_df_capped_shared``,
+    shared with dedup_ngram_jaccard_capped) — the shipping path at
+    100 TB, where boilerplate shingles make the uncapped postings
+    self-join quadratic. Scores are EXACT (the hot-shingle overlap is
+    restored from the small hot subset before scoring); only recall is
+    df-capped: a pair sharing solely >DF_CAP-df shingles is skipped,
+    and that skip is part of this query's spec on both engines."""
+    docs = load_table(spark, "documents", sf)
+    tri = _shingle_postings(docs)
+    shared = _df_capped_shared(tri)
+    counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
+    contain_a = F.round(F.col("shared") / F.col("na"), 6)
+    contain_b = F.round(F.col("shared") / F.col("nb"), 6)
+    return (
+        shared.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            "ia",
+            "ib",
+            "shared",
+            contain_a.alias("contain_a"),
+            contain_b.alias("contain_b"),
+        )
+        .filter(
+            F.greatest(F.col("contain_a"), F.col("contain_b"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
+DEDUP_CONTAINMENT_CAPPED_SQL = f"""
+WITH {{postings}},
+hot AS (
+  SELECT sid FROM postings GROUP BY sid HAVING count(*) > {DF_CAP}
+), rare AS (
+  SELECT p.doc_id, p.sid FROM postings p
+  WHERE p.sid NOT IN (SELECT sid FROM hot)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM rare a JOIN rare b ON a.sid = b.sid AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT c.ia, c.ib, count(*) AS shared
+  FROM cands c
+  JOIN postings pa ON pa.doc_id = c.ia
+  JOIN postings pb ON pb.doc_id = c.ib AND pb.sid = pa.sid
   GROUP BY 1, 2
 )
 SELECT ia, ib, shared, contain_a, contain_b FROM (
@@ -1237,6 +1318,10 @@ DEDUP_QUERIES = {
     "dedup_ngram_jaccard_capped": (
         dedup_ngram_jaccard_capped,
         DEDUP_NGRAM_CAPPED_SQL.format(postings=_DUCK_POSTINGS),
+    ),
+    "dedup_containment_capped": (
+        dedup_containment_capped,
+        DEDUP_CONTAINMENT_CAPPED_SQL.format(postings=_DUCK_POSTINGS),
     ),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _duck_minhash_sql()),
     "dedup_incremental_lsh": (dedup_incremental_lsh, _duck_incremental_lsh_sql()),

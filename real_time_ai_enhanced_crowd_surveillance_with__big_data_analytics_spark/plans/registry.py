@@ -45,59 +45,49 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
-# Round-4 window: the last 2 never-driver-checked queries (knn_batch,
-# nearest_centroid — VERDICT r3 top-next), the 4 round-4 additions,
-# every query whose plan changed this round, the flagship canary, and
-# the long-green r1/r2 battery rotating back in for re-verification
-# under current code (ADVICE r3: don't leave the whole battery outside
-# the window). Deferred to the r5 queue (listed at the tail, positions
-# 51+): approx_aggregates + stratified_sample (rows-only no-oracle
-# checks — the least informative re-verifications) and value_outliers
-# (plan unchanged, warm-retimed this round). The r5 queue is therefore:
-# approx_aggregates, stratified_sample, value_outliers, plus the
-# round-4 additions funnel_conversion / retention_cohorts /
-# user_event_paths / vocab_coverage / length_bucket_batches /
-# corpus_build_pipeline / markov_transitions / bigram_lift /
-# neardup_triangles / gap_fill_hourly / rolling_active_users /
-# time_weighted_avg / robust_outliers / kmeans_refine /
-# alarm_episodes / value_histogram / winsorized_stats /
-# quantile_normalize / duplicate_span_fraction / value_drift_psi /
-# source_overlap_matrix / alarm_concurrency_daily / hourly_autocorr /
-# expectation_report / props_variant_extract /
-# semantic_keep_canonical / fuzzy_name_pairs / seasonal_profile /
-# cooccurrence_lift / doc_chunking / inverted_index / bpe_merge_step /
-# dataset_split / embedding_covariance / key_skew_report / chunk_dedup /
-# dedup_containment / column_profile / scd2_tier_join /
-# dedup_incremental_lsh / split_leakage_check / ccnet_ppl_buckets /
-# bm25_topk / hybrid_rrf / hard_negatives / text_normalize /
-# search_snippets / dedup_cluster_sizes (all locally oracle-green,
-# positions 51+ this round).
+# Round-5 window (VERDICT r4 top-next #1 — PURE VERIFICATION round):
+# every one of the 48 queries that has never had a driver verdict in
+# rounds 1-4 (computed mechanically: registry names minus the union of
+# CORRECTNESS_r01..r04 keys), plus the flagship canary and one
+# long-green returning canary — 48 + 1 + 1 = 50 exactly. After this
+# round every registry query has a driver verdict. Three of the 48
+# (bigram_lift, key_skew_report, vocab_coverage) had their plans fixed
+# this round (single-partition rank window → TakeOrderedAndProject
+# partial top-k; oracle hashes verified unchanged locally before
+# rotation). No new queries were added to the registry this round, so
+# the never-checked backlog drains to zero instead of growing.
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",
-    # never driver-checked: the last 2 of the registry (r3 rotation)
-    "knn_batch", "nearest_centroid",
-    # new in round 4
-    "session_window_stats", "dedup_incremental", "cap_per_source",
-    "zorder_key",
-    # plans changed in round 4 (fingerprint shuffle key, derived CC
-    # partitioning, tiled broadcast, pow()→product threshold)
-    "dedup_exact", "quality_weighted_sample", "embedding_neardup_exact",
-    "dedup_clusters", "dedup_keep_canonical", "embedding_dedup_clusters",
-    # r1/r2-green battery rotating back in (returning canary first)
-    "revenue_by_nation", "pricing_summary", "top_orders_per_customer",
-    "argmax_event", "customers_without_events", "customers_with_errors",
-    "event_trend_rollup", "shipping_priority", "returned_revenue",
-    "props_extract", "asof_last_event", "asof_next_event",
-    "value_percentiles", "distinct_stats", "value_rank_profile",
-    "running_revenue", "moving_revenue", "revenue_deciles",
-    "event_cube", "event_grouping_sets", "small_quantity_revenue",
-    "volume_shipping", "top_supplier", "high_balance_no_orders",
-    "promo_revenue", "large_volume_orders", "customer_order_distribution",
-    "order_priority_check", "min_cost_supplier", "important_stock",
-    "late_sole_supplier", "forecast_revenue", "market_share",
-    "product_profit", "supplier_part_counts", "disjunctive_revenue",
-    "dominant_shippers",
+    # returning canary (green r1 + r4; cheapest broadcast-join probe)
+    "revenue_by_nation",
+    # -- the 48 never-driver-checked queries ---------------------------
+    # round-3/4 relational + events additions
+    "props_variant_extract", "funnel_conversion", "retention_cohorts",
+    "user_event_paths", "markov_transitions",
+    # text / corpus analysis family
+    "corpus_build_pipeline", "length_bucket_batches", "text_normalize",
+    "ccnet_ppl_buckets", "vocab_coverage", "bigram_lift",
+    "cooccurrence_lift",
+    # similarity / clustering family
+    "kmeans_refine", "semantic_keep_canonical", "fuzzy_name_pairs",
+    "embedding_covariance",
+    # dedup family
+    "duplicate_span_fraction", "neardup_triangles", "dedup_containment",
+    "dedup_incremental_lsh", "dedup_cluster_sizes", "chunk_dedup",
+    # indexing / retrieval family
+    "bm25_topk", "hybrid_rrf", "hard_negatives", "search_snippets",
+    "split_leakage_check", "doc_chunking", "inverted_index",
+    "bpe_merge_step", "dataset_split",
+    # pipeline-quality / stats family
+    "column_profile", "expectation_report", "key_skew_report",
+    "value_drift_psi", "source_overlap_matrix", "value_histogram",
+    "winsorized_stats", "quantile_normalize", "robust_outliers",
+    # timeseries family
+    "scd2_tier_join", "hourly_autocorr", "seasonal_profile",
+    "gap_fill_hourly", "rolling_active_users", "time_weighted_avg",
+    # surveillance streaming-analog family
+    "alarm_episodes", "alarm_concurrency_daily",
 ]
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}

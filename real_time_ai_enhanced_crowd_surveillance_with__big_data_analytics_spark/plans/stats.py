@@ -307,15 +307,25 @@ def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     user-keyed join/agg needs salting (operators/skew.py) or AQE skew
     handling before it runs at 100 TB.
 
-    Key-cardinality shuffle (map-side combined), then the top slice
-    only enters the single-partition rank window — same partial-top-k
-    posture as vocab_coverage."""
+    Key-cardinality shuffle (map-side combined), then the top-SKEW_TOP
+    cut happens FIRST via ``orderBy().limit()`` — planned as
+    TakeOrderedAndProject, a distributed partial top-k (each partition
+    keeps its local top SKEW_TOP; the driver merges) — so the rank +
+    cumulative-share window runs over exactly SKEW_TOP rows, never the
+    full distinct-user_id frame. cum_share at rank r depends only on
+    the top-r rows (all inside the cut), and the total rides as a
+    broadcast 1-row aggregate computed over the FULL per-key table, so
+    the slice-then-rank plan is value-identical to ranking everything
+    (bm25_topk pattern, indexing.py)."""
     events = load_table(spark, "events", sf)
     per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     total = per_key.agg(F.sum("n").cast("double").alias("_total"))
+    top = per_key.orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    ).limit(SKEW_TOP)
     w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
     return (
-        per_key.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .select(
             F.row_number().over(w).alias("rank"),
             "user_id",
@@ -327,7 +337,6 @@ def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("cum_share"),
         )
-        .filter(F.col("rank") <= SKEW_TOP)
     )
 
 

@@ -426,11 +426,15 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     cumulative share of all corpus tokens — the tokenizer-vocabulary /
     coverage curve every LM data card publishes. One explode+groupBy
     shuffle builds the frequency table (vocab-cardinality, tiny vs the
-    corpus); the ordered cumulative window then runs over VOCAB of
-    rows, not documents. The deliberately-single-partition cum window
-    is over the top slice only — at 100 TB take the top-k per
-    partition first (partial top-k), which this plan's groupBy output
-    already satisfies via the final limit."""
+    corpus); the top-VOCAB_TOP cut then happens FIRST via
+    ``orderBy().limit()`` — Spark plans that as TakeOrderedAndProject,
+    a distributed partial top-k (each partition keeps its local top
+    VOCAB_TOP, the driver merges) — so the rank + cumulative-share
+    window only ever sees VOCAB_TOP rows, never the full token
+    vocabulary (100M+ tokens on a web corpus). cum_share at rank r
+    depends only on the top-r rows, all of which survive the cut, so
+    the slice-then-rank plan is value-identical to ranking the full
+    frequency table (same bm25_topk pattern, indexing.py)."""
     docs = load_table(spark, "documents", sf)
     from pyspark.sql import Window
 
@@ -440,11 +444,15 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     # lazy 1-row total (broadcast cross join) — no driver collect, the
-    # same shape lm_cross_entropy uses for its corpus total
+    # same shape lm_cross_entropy uses for its corpus total; computed
+    # over the FULL frequency table, before the top-k cut
     total = freq.agg(F.sum("freq").cast("double").alias("_total"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(
+        VOCAB_TOP
+    )
     w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
     return (
-        freq.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .select(
             F.row_number().over(w).alias("rank"),
             "tok",
@@ -457,7 +465,6 @@ def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("cum_share"),
         )
-        .filter(F.col("rank") <= VOCAB_TOP)
     )
 
 
@@ -493,39 +500,45 @@ def bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
     type-divergence the oracle harness exists to catch). Corpus totals
     ride as lazy 1-row broadcasts; candidate bigrams below
     BIGRAM_MIN_COUNT are dropped before ranking for determinism and
-    noise control."""
+    noise control.
+
+    Scale shape: the token array is split ONCE per document (projected
+    ``t`` column feeding both the pair builder and the length term),
+    and the top-BIGRAM_TOP cut happens via ``orderBy().limit()`` —
+    TakeOrderedAndProject, distributed partial top-k — BEFORE the rank
+    window, so no vocabulary²-shaped frame ever funnels through a
+    single partition (bm25_topk pattern, indexing.py)."""
     docs = load_table(spark, "documents", sf)
     from pyspark.sql import Window
 
-    toks = tokens(F.col("text"))
+    tokked = docs.select(tokens(F.col("text")).alias("t"))
     pair_structs = F.expr(
-        "transform(sequence(1, size(split(trim(text), ' ')) - 1), "
-        "i -> struct(split(trim(text), ' ')[i - 1] AS a, "
-        "split(trim(text), ' ')[i] AS b))"
+        "transform(sequence(1, size(t) - 1), "
+        "i -> struct(t[i - 1] AS a, t[i] AS b))"
     )
     bigrams = (
-        docs.select(F.explode(pair_structs).alias("p"))
+        tokked.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= BIGRAM_MIN_COUNT)
     )
     uni = (
-        docs.select(F.explode(toks).alias("tok"))
+        tokked.select(F.explode(F.col("t")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
     )
     totals = uni.agg(
         F.sum("n_tok").cast("double").alias("_n"),
     ).crossJoin(
-        docs.select(
-            (F.size(toks) - 1).alias("nb")
+        tokked.select(
+            (F.size(F.col("t")) - 1).alias("nb")
         ).agg(F.sum("nb").cast("double").alias("_b"))
     )
     na = uni.select(F.col("tok").alias("a"), F.col("n_tok").alias("n_a"))
     nb = uni.select(F.col("tok").alias("b"), F.col("n_tok").alias("n_b"))
     w = Window.orderBy(F.col("lift").desc(), F.col("a").asc(), F.col("b").asc())
-    return (
+    scored = (
         bigrams.join(na, "a")
         .join(nb, "b")
         .crossJoin(F.broadcast(totals))
@@ -547,9 +560,11 @@ def bigram_lift(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BIGRAM_TOP)
     )
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(BIGRAM_TOP)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 BIGRAM_LIFT_SQL = f"""

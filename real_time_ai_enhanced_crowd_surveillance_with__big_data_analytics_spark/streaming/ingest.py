@@ -62,22 +62,36 @@ def compact_corpus_index(
     corpus index — the periodic compaction that closes the
     beyond-watermark dedup gap. Must run between stream incarnations
     (the running query pins the old index's file listing); the restart
-    adopts the compacted index."""
+    adopts the compacted index.
+
+    Swap ordering is write-new / rename-old-aside / rename-new /
+    delete-old: the staging dir is a SIBLING of ``index_dir`` (same
+    filesystem, so both renames are atomic directory moves, never a
+    recursive cross-device copy), and the live index is renamed aside
+    rather than deleted first — at every instant either the old or the
+    new index exists under some name, so a crash at any point leaves a
+    recoverable index instead of none (a crash between the two renames
+    leaves ``<index>.old``, restored or re-compacted on the next run)."""
+    import os
     import shutil
     import tempfile
 
     old = spark.read.parquet(index_dir).select("fp")
     new = spark.read.parquet(accepted_dir).select("fp")
     # distributed union-distinct to a staging dir (Spark refuses to
-    # overwrite a path it is reading), then swap directories
-    staging = tempfile.mkdtemp(prefix="fpindex_")
+    # overwrite a path it is reading), then the two-rename swap
+    local_index = os.path.abspath(index_dir.removeprefix("file:"))
+    parent = os.path.dirname(local_index)
+    staging = tempfile.mkdtemp(prefix="fpindex_staging_", dir=parent)
+    retired = staging + ".old"
     try:
         old.union(new).distinct().write.mode("overwrite").parquet(staging)
-        shutil.rmtree(index_dir)
-        shutil.move(staging, index_dir)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
+    os.rename(local_index, retired)
+    os.rename(staging, local_index)
+    shutil.rmtree(retired)
 
 
 def streaming_corpus_ingest(
