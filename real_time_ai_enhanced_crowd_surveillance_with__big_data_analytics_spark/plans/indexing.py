@@ -26,13 +26,17 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens
 from ..sources.tables import load_table
-from .training_data import HASH_P, SHARD_MULT
+from .training_data import HASH_P
 
 CHUNK_TOKENS = 32  # RAG window size
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 POSTINGS_CAP = 8  # max doc ids kept per token
 MERGE_TOP = 20  # BPE merges reported per step
-SPLIT_MULT = SHARD_MULT  # affine hash multiplier shared with shard_assignment
+# Independent Lehmer/MINSTD multiplier — deliberately NOT SHARD_MULT:
+# sharing shard_assignment's multiplier made split bucket and shard
+# congruent mod gcd(32, 100) = 4, skewing per-shard train shares to
+# 88%/92% instead of 90% for any consumer stratifying by shard.
+SPLIT_MULT = 48_271
 SPLIT_ADD = 11
 
 
@@ -254,10 +258,19 @@ def split_col(doc_id: str = "doc_id"):
     """The canonical train/val/test assignment expression — mod-first
     (mult-first wraps int64 past doc_id ≈ 2.3e14, the repo hash
     convention), shared by the split audit and the leakage check so
-    membership can never drift between them."""
-    bucket = (
-        (F.col(doc_id) % HASH_P) * SPLIT_MULT + SPLIT_ADD
-    ) % HASH_P % 100
+    membership can never drift between them.
+
+    TWO affine rounds, not one: every single-round affine hash of
+    doc_id is congruent with shard_assignment's mod gcd(32, 100) = 4
+    whenever the multipliers/adds share a residue class mod 4 (and
+    partially correlated even when they don't, because the mod-HASH_P
+    wrap counts of the two hashes track each other in doc_id). The
+    second round makes the wrap count high-entropy in the first
+    round's output, measured per-shard train shares 0.899-0.901 vs
+    0.88/0.92 for the shared-multiplier version
+    (tests/test_indexing.py::test_split_decorrelated_from_shard)."""
+    r1 = ((F.col(doc_id) % HASH_P) * SPLIT_MULT + SPLIT_ADD) % HASH_P
+    bucket = (r1 * SPLIT_MULT + SPLIT_ADD) % HASH_P % 100
     return (
         F.when(bucket < 90, F.lit("train"))
         .when(bucket < 95, F.lit("val"))
@@ -265,13 +278,13 @@ def split_col(doc_id: str = "doc_id"):
     )
 
 
+_SPLIT_BUCKET_SQL = (
+    f"((((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD}) % {HASH_P})"
+    f" * {SPLIT_MULT} + {SPLIT_ADD}) % {HASH_P} % 100"
+)
 _SPLIT_CASE_SQL = f"""CASE
-           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
-                 % {HASH_P}) % 100 < 90
-             THEN 'train'
-           WHEN (((doc_id % {HASH_P}) * {SPLIT_MULT} + {SPLIT_ADD})
-                 % {HASH_P}) % 100 < 95
-             THEN 'val'
+           WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'train'
+           WHEN {_SPLIT_BUCKET_SQL} < 95 THEN 'val'
            ELSE 'test'
          END"""
 

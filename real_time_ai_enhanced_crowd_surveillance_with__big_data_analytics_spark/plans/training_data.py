@@ -172,12 +172,18 @@ def shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
     )
-    mean_tokens = F.avg("tokens").over(Window.partitionBy())
-    return per_shard.select(
+    # mean as a lazy 1-row broadcast, not a global window — an
+    # un-partitioned window would funnel the per-shard frame through a
+    # SinglePartition exchange (flagged by tools/explain_audit.py; the
+    # keyless aggregate is the bounded shape for global totals)
+    mean_tokens = per_shard.agg(
+        F.avg("tokens").alias("_mean_tokens")
+    )
+    return per_shard.crossJoin(F.broadcast(mean_tokens)).select(
         "shard",
         "n_docs",
         "tokens",
-        F.round(F.col("tokens") / mean_tokens, 6).alias("load_ratio"),
+        F.round(F.col("tokens") / F.col("_mean_tokens"), 6).alias("load_ratio"),
     )
 
 
@@ -375,9 +381,13 @@ def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per (source, lang) corpus composition: document count, token
     total, mean quality, and each cell's share of corpus tokens — the
     dataset-card summary published next to every training mixture.
-    One groupBy plus a windowed total (the second pass runs over the
-    already-aggregated frame, which is mixture-cardinality-sized, not
-    corpus-sized)."""
+    One groupBy plus a broadcast 1-row corpus total — NOT a global
+    window: at web scale ``source`` is domain-cardinality (millions),
+    so an un-partitioned window over the aggregated frame would still
+    funnel millions of rows through one SinglePartition exchange
+    (tools/explain_audit.py flags exactly that shape); the keyless
+    aggregate + broadcast crossJoin keeps the share computation
+    embarrassingly parallel."""
     from ..functions.text import quality_score, token_count
 
     docs = load_table(spark, "documents", sf)
@@ -386,15 +396,15 @@ def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(token_count(F.col("text"))).alias("n_tokens"),
         F.round(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
     )
-    total = Window.partitionBy()
-    return agg.select(
+    total = agg.agg(F.sum("n_tokens").cast("double").alias("_total_tokens"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "source",
         "lang",
         "n_docs",
         "n_tokens",
         "mean_quality",
         F.round(
-            F.col("n_tokens") / F.sum("n_tokens").over(total), 6
+            F.col("n_tokens") / F.col("_total_tokens"), 6
         ).alias("token_share"),
     )
 

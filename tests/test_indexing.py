@@ -117,6 +117,41 @@ def test_dataset_split_total_and_deterministic(spark, sf_dir):
         assert abs(tot - 1.0) < 1e-4, (s, tot)
 
 
+def test_split_decorrelated_from_shard(spark):
+    """Split membership must be independent of shard assignment: with a
+    shared affine multiplier the two were congruent mod gcd(32,100)=4,
+    pinning per-shard train shares at 88%/92% instead of ~90% (a latent
+    skew for any consumer stratifying by shard). Checked over a dense
+    doc_id range so the property is structural, not corpus-dependent."""
+    from pyspark.sql import functions as F
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.indexing import (
+        split_col,
+    )
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.training_data import (
+        HASH_P,
+        N_SHARDS,
+        SHARD_MULT,
+    )
+
+    ids = spark.range(100_000).withColumnRenamed("id", "doc_id")
+    shard = ((F.col("doc_id") % HASH_P) * SHARD_MULT + 7) % HASH_P % N_SHARDS
+    per_shard = (
+        ids.select(shard.alias("shard"), split_col().alias("split"))
+        .groupBy("shard")
+        .agg(
+            (
+                F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("train_share")
+        )
+        .collect()
+    )
+    assert len(per_shard) == N_SHARDS
+    for r in per_shard:
+        assert 0.885 < r["train_share"] < 0.915, (r["shard"], r["train_share"])
+
+
 def test_doc_chunking_is_shuffle_free(spark, sf_dir):
     plan = doc_chunking(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan

@@ -8,6 +8,27 @@ Flags:
 - row-at-a-time PythonUDF     BatchEvalPython outside Arrow
 - missing PushedFilters       a parquet scan with filters in the plan
                               but none pushed
+- global-window-unbounded     an un-partitioned Window whose input frame
+                              is not provably bounded: no
+                              TakeOrderedAndProject / limit /
+                              WindowGroupLimit / keyless (1-row)
+                              aggregate between the window and an
+                              Exchange SinglePartition. This is the
+                              single-task funnel that made bigram_lift /
+                              key_skew_report / vocab_coverage 100 TB
+                              scale-killers in round 4 — all three
+                              carried docstrings CLAIMING the top-slice
+                              property their plans lacked, so the check
+                              is mechanical, not prose. The fix pattern
+                              is bm25_topk's: orderBy().limit(k) FIRST
+                              (distributed partial top-k), then rank the
+                              <=k survivors.
+
+ALLOWED_GLOBAL_WINDOWS lists queries that keep a deliberate global
+window as their documented exact-oracle spec (e.g. global ntile
+anchors whose 100 TB path is approx_percentile, per their docstrings);
+they print as "tolerated" and do not fail the audit, so any NEW
+offender still turns the exit code red.
 
 Usage: python tools/explain_audit.py [query ...]
 """
@@ -29,30 +50,105 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
 
 SF = "/root/testdata/sf0.01"
 
+# Queries whose global window is the documented exact-verification spec
+# (docstring names the approx/distributed 100 TB alternative). Keep this
+# list justified — an entry without a docstring rationale is a bug.
+ALLOWED_GLOBAL_WINDOWS = {
+    "revenue_deciles",        # global ntile oracle anchor; approx_percentile at scale
+    "length_bucket_batches",  # global batch numbering anchor; per-shard at scale
+}
+
+# Nodes that bound the row count flowing upward out of their subtree.
+_LIMIT_NODES = (
+    "TakeOrderedAndProjectExec",
+    "WindowGroupLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+)
+_AGG_NODES = (
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+)
+
+
+def _name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.length())]
+
+
+def _frame_unbounded(node) -> bool:
+    """True if a SinglePartition exchange is reachable below ``node``
+    without passing a limit node or a keyless (1-row) aggregate."""
+    n = _name(node)
+    if n in _LIMIT_NODES:
+        return False
+    if n in _AGG_NODES and node.groupingExpressions().isEmpty():
+        return False  # global aggregate: 1 output row
+    if n == "ShuffleExchangeExec":
+        if node.outputPartitioning().toString() == "SinglePartition":
+            return True
+        # a hash/range repartition re-distributes; what matters is
+        # whether a single-partition funnel sits further down
+    return any(_frame_unbounded(c) for c in _children(node))
+
+
+def _global_window_unbounded(root) -> bool:
+    """Walk the physical plan; True if any un-partitioned WindowExec
+    (or WindowInPandasExec) sits over an unbounded frame."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        n = _name(node)
+        if n in ("WindowExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty() and any(
+                _frame_unbounded(c) for c in _children(node)
+            ):
+                return True
+        stack.extend(_children(node))
+    return False
+
 
 def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark("explain_audit")
+    # the window/exchange structure is static — audit the non-adaptive
+    # plan so Exchange nodes aren't hidden inside AQE query stages
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     flagged = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        df = fn(spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            fn(spark, SF).explain("formatted")
+            df.explain("formatted")
         plan = buf.getvalue()
         flags = []
+        tolerated = []
         if "CartesianProduct" in plan:
             flags.append("cartesian-product")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time-python-udf")
         if "PushedFilters: []" in plan and "Filter (" in plan:
             flags.append("scan-without-pushdown")
+        if _global_window_unbounded(df._jdf.queryExecution().executedPlan()):
+            if name in ALLOWED_GLOBAL_WINDOWS:
+                tolerated.append("global-window-unbounded")
+            else:
+                flags.append("global-window-unbounded")
         status = "FLAG " + ",".join(flags) if flags else "ok"
+        if tolerated:
+            status += " (tolerated: " + ",".join(tolerated) + ")"
         print(f"  {name:32s} {status}")
         flagged += bool(flags)
     print("CLEAN" if not flagged else f"{flagged} queries flagged")
-    return 0
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
