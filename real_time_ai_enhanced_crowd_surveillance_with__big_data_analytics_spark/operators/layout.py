@@ -39,12 +39,28 @@ def rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
     )
 
     def read_footers(batches):
+        from urllib.parse import unquote, urlparse
+
         import pyarrow.parquet as pq
 
         for pdf in batches:
             out = {"file": [], "row_group": [], "n_rows": [], "cmin": [], "cmax": []}
             for f in pdf["file"]:
-                local = f[len("file:") :] if f.startswith("file:") else f
+                # binaryFile emits URIs; pyarrow wants a local path.
+                # Parse properly (scheme + percent-decoding) instead of
+                # string-stripping 'file:' — and reject remote schemes
+                # loudly rather than handing pyarrow an s3:// string it
+                # will misread as a relative local path.
+                parsed = urlparse(f)
+                if parsed.scheme in ("", "file"):
+                    local = unquote(parsed.path) if parsed.scheme else f
+                else:
+                    raise ValueError(
+                        f"rowgroup_stats reads footers via local pyarrow; "
+                        f"unsupported scheme {parsed.scheme!r} in {f!r} "
+                        "(for object stores, mount or use a pyarrow "
+                        "filesystem-aware variant)"
+                    )
                 meta = pq.ParquetFile(local).metadata
                 # a schema-only part file (empty write) has zero row
                 # groups — nothing to audit, not an error
@@ -54,6 +70,11 @@ def rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
                     meta.row_group(0).column(i).path_in_schema: i
                     for i in range(meta.num_columns)
                 }
+                if column not in names:
+                    raise KeyError(
+                        f"column {column!r} not in parquet schema of "
+                        f"{f!r}; footer columns: {sorted(names)}"
+                    )
                 ci = names[column]
                 for g in range(meta.num_row_groups):
                     st = meta.row_group(g).column(ci).statistics

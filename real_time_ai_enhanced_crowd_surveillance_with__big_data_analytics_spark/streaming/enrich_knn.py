@@ -26,13 +26,39 @@ from pyspark.sql import functions as F  # noqa: F401  (callers compose filters)
 
 TOP_K = 3
 
+# Broadcast ceiling for the dense index: past this the collect (and the
+# per-executor copy every task closure ships) stops being "the small
+# side" and the operator must move to the persisted IVF layout. 512 MB
+# ≈ 1M × 64-dim float64 — comfortably under typical 1-4 GB executor
+# overhead headroom, and far under Spark's 8 GB hard broadcast limit.
+INDEX_BROADCAST_CEILING_BYTES = 512 * 1024 * 1024
+
 
 def build_index(corpus: DataFrame) -> tuple:
     """Collect (vec_id asc) and L2-normalize the corpus embedding
-    matrix. Driver-bounded by design: the dense-broadcast index case.
-    Returns the plain python tuple a closure can ship."""
+    matrix. Driver-bounded by design: the dense-broadcast index case,
+    guarded by INDEX_BROADCAST_CEILING_BYTES — rather than silently
+    OOM-ing the driver or swamping executors on an oversized corpus,
+    refuse loudly and point at the persisted IVF path
+    (operators/ivf_index.py), whose streaming probe is the same
+    stateless seam. The pre-collect estimate costs one count + one
+    first() (dimension probe), both O(metadata) next to the collect
+    itself. Returns the plain python tuple a closure can ship."""
     import numpy as np
 
+    n = corpus.count()
+    if n:
+        dim = len(corpus.select("embedding").first()[0])
+        est = n * dim * 8  # float64 matrix, the dominant term
+        if est > INDEX_BROADCAST_CEILING_BYTES:
+            raise ValueError(
+                f"dense kNN index would be ~{est / 1e6:.0f} MB "
+                f"({n} vectors x {dim} dims) — past the "
+                f"{INDEX_BROADCAST_CEILING_BYTES / 1e6:.0f} MB broadcast "
+                "ceiling. Build a persisted IVF index instead "
+                "(operators/ivf_index.py: build_ivf_index + ivf_probe) "
+                "and enrich against probed cells."
+            )
     rows = corpus.select("vec_id", "embedding").collect()
     if not rows:
         raise ValueError("cannot build a kNN index from an empty corpus")

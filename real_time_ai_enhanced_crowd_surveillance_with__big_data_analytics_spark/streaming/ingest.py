@@ -147,3 +147,20 @@ def batch_ingest_expectation(docs: DataFrame, index: DataFrame) -> DataFrame:
     return first.join(index, "fp", "left_anti").select(
         "doc_id", "ts", "text", "source", "quality", "fp"
     )
+
+
+def ingest_fp_expectation(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """The ORDER-ROBUST parity spec: the set of accepted fingerprints
+    (gate, distinct fp, corpus anti-join) with no claim about WHICH
+    representative row carried each. ``batch_ingest_expectation``'s
+    row-level spec additionally pins the kept row to min-(ts, doc_id),
+    which matches the stream only when arrival order follows event
+    time; dropDuplicatesWithinWatermark keeps the first ARRIVAL, so on
+    an out-of-order production stream row-level identity can differ
+    while this fingerprint-set invariant still holds exactly — it is
+    the right spec to assert against reordered replays."""
+    gated = docs.withColumn("quality", quality_score(F.col("text"))).filter(
+        F.col("quality") >= QUALITY_GATE
+    )
+    fps = gated.select(F.sha2(F.col("text"), 256).alias("fp")).distinct()
+    return fps.join(index, "fp", "left_anti")

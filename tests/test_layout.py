@@ -6,6 +6,8 @@ preserving rows exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.layout import (
@@ -142,3 +144,12 @@ def test_compaction_hits_target_and_preserves_rows(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dst).orderBy("id").collect()
     assert a == b
+
+
+def test_rowgroup_stats_missing_column_is_descriptive(spark, sf_dir):
+    import pyspark
+
+    with pytest.raises(pyspark.errors.PySparkException) as ei:
+        rowgroup_stats(spark, sf_dir, "no_such_column").collect()
+    assert "no_such_column" in str(ei.value)
+    assert "footer columns" in str(ei.value)

@@ -117,3 +117,45 @@ def test_ingest_matches_batch_and_survives_restart(spark, tmp_path):
     _drain(spark, src, index_dir, out, ckpt)
     got3 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got3 == [1, 5, 6]
+
+
+def test_out_of_order_arrival_fp_set_parity(spark, tmp_path):
+    """Arrival order contradicts event time: the row-level min-(ts,
+    doc_id) spec no longer describes the stream's kept representative,
+    but the fingerprint-set spec (ingest_fp_expectation) must hold
+    exactly — and the count of accepted rows must equal the count of
+    accepted fingerprints (one representative each)."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.ingest import (
+        ingest_fp_expectation,
+    )
+
+    src = str(tmp_path / "src")
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t = lambda m: T0 + dt.timedelta(minutes=m)  # noqa: E731
+
+    build_corpus_index(
+        spark.createDataFrame([(900, t(-999), DUP, "old")], SCHEMA), index_dir
+    )
+    # doc 11 arrives FIRST but has the LATER event time; doc 10 (earlier
+    # ts, same text) arrives second — the stream keeps 11, the row-level
+    # batch spec would keep 10
+    _write_chunk(spark, src, "c1", [(11, t(30), GOOD, "s1")])
+    _write_chunk(
+        spark, src, "c2",
+        [(10, t(0), GOOD, "s1"), (12, t(1), GOOD + "new stuff", "s2")],
+    )
+    _drain(spark, src, index_dir, out, ckpt)
+
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in got) == [11, 12]  # first arrival kept
+    want_fps = {
+        r["fp"]
+        for r in ingest_fp_expectation(
+            spark.read.parquet(src), spark.read.parquet(index_dir)
+        ).collect()
+    }
+    assert {r["fp"] for r in got} == want_fps
+    assert len(got) == len(want_fps)

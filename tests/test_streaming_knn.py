@@ -74,3 +74,16 @@ def test_stream_equals_batch(spark, tmp_path, corpus):
     streamed = _as_map(spark.sql("SELECT * FROM knn_stream").collect())
     batch = _as_map(enrich_topk(emb, index).collect())
     assert streamed == batch
+
+
+def test_build_index_refuses_oversized_corpus(spark, sf_dir, monkeypatch):
+    """Past the broadcast ceiling the dense index must fail loudly and
+    point at the persisted IVF path, not OOM the driver."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming import (
+        enrich_knn,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    monkeypatch.setattr(enrich_knn, "INDEX_BROADCAST_CEILING_BYTES", 1024)
+    with pytest.raises(ValueError, match="IVF"):
+        enrich_knn.build_index(emb)
