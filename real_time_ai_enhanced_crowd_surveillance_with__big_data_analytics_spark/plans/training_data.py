@@ -171,11 +171,15 @@ def shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
         docs.select(shard.alias("shard"), _n_tokens().alias("n_tok"))
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens"))
+        # materialize ONCE (N_SHARDS rows): both the mean branch and
+        # the output read this, and without it the crossJoin re-runs
+        # the corpus scan+shuffle per branch (no ReusedExchange across
+        # DataFrame branches). The mean then rides as a 1-row
+        # broadcast, not a global window — an un-partitioned window
+        # would funnel the frame through a SinglePartition exchange
+        # (the shape tools/explain_audit.py flags).
+        .localCheckpoint()
     )
-    # mean as a lazy 1-row broadcast, not a global window — an
-    # un-partitioned window would funnel the per-shard frame through a
-    # SinglePartition exchange (flagged by tools/explain_audit.py; the
-    # keyless aggregate is the bounded shape for global totals)
     mean_tokens = per_shard.agg(
         F.avg("tokens").alias("_mean_tokens")
     )
@@ -391,10 +395,18 @@ def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.text import quality_score, token_count
 
     docs = load_table(spark, "documents", sf)
-    agg = docs.groupBy("source", "lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col("text"))).alias("n_tokens"),
-        F.round(F.avg(quality_score(F.col("text"))), 6).alias("mean_quality"),
+    agg = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+            F.round(
+                F.avg(quality_score(F.col("text"))), 6
+            ).alias("mean_quality"),
+        )
+        # materialized once (mixture-cardinality rows) so the total
+        # branch and the output share one corpus scan+shuffle
+        .localCheckpoint()
     )
     total = agg.agg(F.sum("n_tokens").cast("double").alias("_total_tokens"))
     return agg.crossJoin(F.broadcast(total)).select(
