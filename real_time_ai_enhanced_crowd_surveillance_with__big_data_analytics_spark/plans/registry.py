@@ -54,8 +54,13 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # (bigram_lift, key_skew_report, vocab_coverage) had their plans fixed
 # this round (single-partition rank window → TakeOrderedAndProject
 # partial top-k; oracle hashes verified unchanged locally before
-# rotation). No new queries were added to the registry this round, so
-# the never-checked backlog drains to zero instead of growing.
+# rotation). One query was added this round (dedup_containment_capped,
+# the df-capped scale path ADVICE r4 asked for) — it sits at position
+# 51+ and is the ENTIRE r6 never-checked queue, together with any
+# plan-changed queries from this round (dataset_split /
+# split_leakage_check changed spec — new split hash — and are in this
+# window; shard_assignment / source_mixture_report changed plan shape
+# but not values and should rotate back in r6).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",
