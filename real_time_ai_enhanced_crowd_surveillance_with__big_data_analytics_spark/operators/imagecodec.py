@@ -1,0 +1,261 @@
+"""Pure-stdlib image codecs: PNG (zlib + numpy unfiltering) and BMP.
+
+The container deliberately ships no cv2/PIL, but byte→pixel decode
+does not actually require them for the formats a controlled pipeline
+emits: PNG is zlib (stdlib) + five scanline filters, BMP is a header
+and a pixel array. Implementing both here makes the multimodal decode
+step REAL for those formats — ``decode_image`` (operators/
+multimodal.py) sniffs magic bytes and routes here before falling back
+to its deterministic stub — while JPEG et al. remain behind the
+cv2/PIL gate (a from-scratch DCT decoder is out of scope, not out of
+principle).
+
+Decoders return uint8 BGR (cv2 convention, matching the reference's
+frames at main.py:143-149) so every downstream operator
+(preprocess_blob, bgr_to_hsv, fire_pixel_count) is decoder-agnostic.
+
+Scale note: these run inside Arrow-batched mapInPandas workers — one
+Python call per image, numpy-vectorized across pixels; the per-row
+unfilter loop is height-bounded (vectorized across width and
+channels), which is the standard shape for PNG's sequential filter
+dependency.
+
+PNG support: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+gray+alpha, RGBA), non-interlaced. ``encode_png`` writes color type
+2/0 with per-row filters — round-trip partner and test oracle.
+BMP support: BITMAPINFOHEADER, 24/32-bit uncompressed, bottom-up and
+top-down.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_format(buf: bytes) -> str | None:
+    """'png' | 'bmp' | None by magic bytes."""
+    if buf[:8] == PNG_MAGIC:
+        return "png"
+    if buf[:2] == BMP_MAGIC:
+        return "bmp"
+    return None
+
+
+# --- PNG ----------------------------------------------------------------------
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (int16 domain so the
+    |p − x| distances cannot wrap)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG → uint8 BGR. Raises ValueError on malformed buffers or the
+    (documented) unsupported corners: non-8-bit depth, interlacing."""
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG buffer")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = _CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel payload has wrong size")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    img = np.zeros((height, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        line = raw[y, 1:].copy()
+        up = img[y - 1] if y else zero_row
+        f = filters[y]
+        if f == 0:
+            img[y] = line
+        elif f == 1:  # Sub — sequential in x, vectorize over channels
+            cur = img[y]
+            cur[:ch] = line[:ch]
+            for x in range(ch, stride, ch):
+                cur[x : x + ch] = line[x : x + ch] + cur[x - ch : x]
+        elif f == 2:  # Up
+            img[y] = line + up
+        elif f == 3:  # Average
+            cur = img[y]
+            cur[:ch] = line[:ch] + (up[:ch] // 2)
+            for x in range(ch, stride, ch):
+                avg = (
+                    cur[x - ch : x].astype(np.uint16)
+                    + up[x : x + ch].astype(np.uint16)
+                ) // 2
+                cur[x : x + ch] = line[x : x + ch] + avg.astype(np.uint8)
+        elif f == 4:  # Paeth
+            cur = img[y]
+            cur[:ch] = line[:ch] + _paeth(
+                zero_row[:ch], up[:ch], zero_row[:ch]
+            ).astype(np.uint8)
+            for x in range(ch, stride, ch):
+                pred = _paeth(cur[x - ch : x], up[x : x + ch], up[x - ch : x])
+                cur[x : x + ch] = line[x : x + ch] + pred.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    px = img.reshape(height, width, ch)
+    if color_type == 3:
+        rgb = palette[px[:, :, 0]]
+    elif ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 2:  # gray + alpha → drop alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ch == 4:  # RGBA → drop alpha
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return rgb[:, :, ::-1].copy()  # RGB → BGR
+
+
+def encode_png(
+    bgr: np.ndarray, filters: np.ndarray | int = 0, gray: bool = False
+) -> bytes:
+    """uint8 BGR (h, w, 3) → PNG bytes, color type 2 (or 0 with
+    ``gray``, taking the blue channel). ``filters`` picks the per-row
+    filter (scalar or per-row array, 0-4) — exercising every filter
+    path makes this the round-trip oracle for :func:`decode_png`, and
+    a real writer for pipeline sinks."""
+    h, w = bgr.shape[:2]
+    if gray:
+        px = bgr[:, :, :1].copy()
+        ch, ctype_col = 1, 0
+    else:
+        px = bgr[:, :, ::-1].copy()  # BGR → RGB
+        ch, ctype_col = 3, 2
+    frow = np.full(h, filters, dtype=np.uint8) if np.isscalar(filters) else np.asarray(filters, dtype=np.uint8)
+    flat = px.reshape(h, w * ch)
+    zero_row = np.zeros(w * ch, dtype=np.uint8)
+    out_rows = []
+    for y in range(h):
+        cur = flat[y]
+        up = flat[y - 1] if y else zero_row
+        left = np.concatenate([np.zeros(ch, dtype=np.uint8), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.uint8), up[:-ch]])
+        f = int(frow[y])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - (
+                (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        elif f == 4:
+            enc = cur - _paeth(left, up, upleft).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out_rows.append(bytes([f]) + enc.tobytes())
+    payload = zlib.compress(b"".join(out_rows))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_col, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", payload)
+        + chunk(b"IEND", b"")
+    )
+
+
+# --- BMP ----------------------------------------------------------------------
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, 24/32-bit uncompressed) → uint8 BGR.
+    BMP stores BGR(A) natively, bottom-up unless height is negative."""
+    if buf[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP buffer")
+    (data_off,) = struct.unpack("<I", buf[10:14])
+    (hdr_size,) = struct.unpack("<I", buf[14:18])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack("<ii", buf[18:26])
+    planes, bpp = struct.unpack("<HH", buf[26:30])
+    (compression,) = struct.unpack("<I", buf[30:34])
+    if compression not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    ch = bpp // 8
+    stride = (width * ch + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * height
+    if len(buf) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, :3].copy()  # BGRA → BGR (BMP is already BGR order)
+
+
+def encode_bmp(bgr: np.ndarray) -> bytes:
+    """uint8 BGR (h, w, 3) → 24-bit bottom-up BMP bytes."""
+    h, w = bgr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr[::-1].reshape(h, w * 3)
+    pixels = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", BMP_MAGIC, 54 + len(pixels), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + pixels

@@ -7,10 +7,13 @@ Conventions:
 - pointer: ``image_uri StringType`` for the 100 TB posture,
 - metadata: plain columns (width/height/format), never packed blobs.
 
-Decode/resize/frame-sample need image/audio libs that are not in this
-container, so the decode step is STUBBED (deterministic byte-level
-fake) behind an import-try — the Spark-side plumbing (schema, Arrow
-batch shape, mapInPandas signature, partitioning) is real and tested.
+Decode status (r5): PNG and BMP byte→pixel decode is REAL with zero
+external deps (operators/imagecodec.py — stdlib zlib + numpy scanline
+unfiltering), selected by magic-byte sniffing; cv2/PIL are preferred
+when importable and remain the only path for JPEG, whose absence
+leaves the deterministic byte-level stub for non-PNG/BMP buffers. The
+Spark-side plumbing (schema, Arrow batch shape, mapInPandas
+signature, partitioning) is real and tested either way.
 The reference's equivalents are numpy_to_pil (main.py:139-140) and the
 cv2 preprocess projections (main.py:93,154-156).
 """
@@ -54,13 +57,16 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Real decode when a lib is importable (cv2 first, PIL second);
-    deterministic fake otherwise. Always returns a uint8 array in
-    cv2's BGR channel order so everything downstream (preprocess_blob,
-    feature histograms) is convention-stable regardless of which
-    decoder ran — matching the reference, whose frames are cv2 BGR
-    (main.py:143-149) and whose RGB conversion is an explicit
-    transform step (util.py:13-14, blobFromImage swapRB).
+    """Real decode via cv2/PIL when importable; REAL pure-stdlib decode
+    for PNG and BMP regardless (operators/imagecodec.py — zlib +
+    numpy, no external lib, r5); deterministic fake only for formats
+    that genuinely need a native decoder (JPEG) when no lib is
+    present. Always returns a uint8 array in cv2's BGR channel order
+    so everything downstream (preprocess_blob, feature histograms) is
+    convention-stable regardless of which decoder ran — matching the
+    reference, whose frames are cv2 BGR (main.py:143-149) and whose
+    RGB conversion is an explicit transform step (util.py:13-14,
+    blobFromImage swapRB).
 
     The fake 'image' is the byte buffer reshaped/padded to 8×8 — enough
     to exercise the downstream feature path deterministically.
@@ -75,6 +81,13 @@ def decode_image(buf: bytes) -> np.ndarray:
 
         img = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
         return img[:, :, ::-1].copy()  # RGB → BGR, cv2 convention
+    from .imagecodec import decode_bmp, decode_png, sniff_format
+
+    fmt = sniff_format(bytes(buf))
+    if fmt == "png":
+        return decode_png(bytes(buf))
+    if fmt == "bmp":
+        return decode_bmp(bytes(buf))
     arr = np.frombuffer(buf, dtype=np.uint8)
     out = np.zeros(64, dtype=np.uint8)
     out[: min(64, len(arr))] = arr[:64]
