@@ -15,10 +15,14 @@ frames at main.py:143-149) so every downstream operator
 (preprocess_blob, bgr_to_hsv, fire_pixel_count) is decoder-agnostic.
 
 Scale note: these run inside Arrow-batched mapInPandas workers — one
-Python call per image, numpy-vectorized across pixels; the per-row
-unfilter loop is height-bounded (vectorized across width and
-channels), which is the standard shape for PNG's sequential filter
-dependency.
+Python call per image. PNG filters 0/2 unfilter as whole-row numpy
+ops and filter 1 (Sub) as a vectorized per-channel cumsum mod 256;
+filters 3/4 (Average/Paeth) are inherently sequential in x — each
+pixel depends on the RECONSTRUCTED left neighbour — so they run as
+Python-int loops over row lists (measured ~10x faster than per-pixel
+numpy slicing at this granularity, but still O(width) Python ops per
+such row). For JPEG, or pipelines dominated by Paeth-filtered PNGs,
+the native decoder behind the cv2/PIL gate is the fast path.
 
 PNG support: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
 gray+alpha, RGBA), non-interlaced. ``encode_png`` writes color type
@@ -100,7 +104,11 @@ def decode_png(buf: bytes) -> np.ndarray:
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
     ch = _CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # keep the documented ValueError contract
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel payload has wrong size")
@@ -109,39 +117,45 @@ def decode_png(buf: bytes) -> np.ndarray:
     img = np.zeros((height, stride), dtype=np.uint8)
     zero_row = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        line = raw[y, 1:].copy()
+        line = raw[y, 1:]
         up = img[y - 1] if y else zero_row
         f = filters[y]
         if f == 0:
             img[y] = line
-        elif f == 1:  # Sub — sequential in x, vectorize over channels
-            cur = img[y]
-            cur[:ch] = line[:ch]
-            for x in range(ch, stride, ch):
-                cur[x : x + ch] = line[x : x + ch] + cur[x - ch : x]
+        elif f == 1:  # Sub: x_i = raw_i + x_{i-ch} — a per-channel
+            # prefix sum mod 256; cumsum vectorizes the whole row
+            img[y] = (
+                line.reshape(-1, ch).cumsum(axis=0, dtype=np.uint32) % 256
+            ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             img[y] = line + up
-        elif f == 3:  # Average
-            cur = img[y]
-            cur[:ch] = line[:ch] + (up[:ch] // 2)
-            for x in range(ch, stride, ch):
-                avg = (
-                    cur[x - ch : x].astype(np.uint16)
-                    + up[x : x + ch].astype(np.uint16)
-                ) // 2
-                cur[x : x + ch] = line[x : x + ch] + avg.astype(np.uint8)
-        elif f == 4:  # Paeth
-            cur = img[y]
-            cur[:ch] = line[:ch] + _paeth(
-                zero_row[:ch], up[:ch], zero_row[:ch]
-            ).astype(np.uint8)
-            for x in range(ch, stride, ch):
-                pred = _paeth(cur[x - ch : x], up[x : x + ch], up[x - ch : x])
-                cur[x : x + ch] = line[x : x + ch] + pred.astype(np.uint8)
+        elif f == 3:  # Average — inherently sequential in x (depends on
+            # the reconstructed left pixel); Python-int loop over lists
+            # beats per-pixel numpy slicing ~10x at this granularity
+            cur = [0] * stride
+            lb, ub = line.tolist(), up.tolist()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (lb[x] + ((left + ub[x]) >> 1)) & 0xFF
+            img[y] = cur
+        elif f == 4:  # Paeth — sequential like Average
+            cur = [0] * stride
+            lb, ub = line.tolist(), up.tolist()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = ub[x]
+                c = ub[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (lb[x] + pred) & 0xFF
+            img[y] = cur
         else:
             raise ValueError(f"unknown PNG filter {f}")
     px = img.reshape(height, width, ch)
     if color_type == 3:
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("palette PNG index out of PLTE range")
         rgb = palette[px[:, :, 0]]
     elif ch == 1:
         rgb = np.repeat(px, 3, axis=2)
@@ -232,6 +246,19 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported BMP (bpp={bpp}, compression={compression})"
         )
+    if compression == 3:
+        # BI_BITFIELDS: honor the channel masks instead of assuming
+        # BGRA — accept only the standard layout, reject the rest
+        # loudly (decoding them would silently swap channels)
+        # masks sit at absolute offset 54 both for BITMAPINFOHEADER
+        # (appended after the 40-byte header) and V4/V5 (in-header
+        # RedMask field at the same absolute position)
+        masks = struct.unpack("<III", buf[54:66])
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"unsupported BMP BI_BITFIELDS masks {tuple(hex(m) for m in masks)}"
+                " (only the standard BGRA layout is supported)"
+            )
     top_down = height < 0
     height = abs(height)
     ch = bpp // 8

@@ -84,10 +84,20 @@ def decode_image(buf: bytes) -> np.ndarray:
     from .imagecodec import decode_bmp, decode_png, sniff_format
 
     fmt = sniff_format(bytes(buf))
-    if fmt == "png":
-        return decode_png(bytes(buf))
-    if fmt == "bmp":
-        return decode_bmp(bytes(buf))
+    try:
+        if fmt == "png":
+            return decode_png(bytes(buf))
+        if fmt == "bmp":
+            return decode_bmp(bytes(buf))
+    except ValueError:
+        # the no-lib seam stays TOTAL: a malformed/unsupported-corner
+        # buffer degrades to the deterministic stub (the container's
+        # documented degraded mode) instead of killing the Spark task —
+        # mirroring r4 behavior, where every buffer hit the stub. With
+        # cv2/PIL present the native path above raises instead; callers
+        # wanting loud failures in this container should call the
+        # imagecodec decoders directly.
+        pass
     arr = np.frombuffer(buf, dtype=np.uint8)
     out = np.zeros(64, dtype=np.uint8)
     out[: min(64, len(arr))] = arr[:64]

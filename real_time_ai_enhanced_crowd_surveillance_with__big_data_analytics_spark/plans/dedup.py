@@ -251,9 +251,10 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-DEDUP_NGRAM_CAPPED_SQL = f"""
-WITH {{postings}},
-hot AS (
+# shared candidate CTEs for BOTH df-capped scorers (jaccard and
+# containment) — one definition so the oracle specs cannot drift apart,
+# mirroring the Python side's shared _df_capped_shared
+_DUCK_CAPPED_CANDS = f"""hot AS (
   SELECT sid FROM postings GROUP BY sid HAVING count(*) > {DF_CAP}
 ), rare AS (
   SELECT p.doc_id, p.sid FROM postings p
@@ -269,7 +270,11 @@ hot AS (
   JOIN postings pa ON pa.doc_id = c.ia
   JOIN postings pb ON pb.doc_id = c.ib AND pb.sid = pa.sid
   GROUP BY 1, 2
-)
+)"""
+
+DEDUP_NGRAM_CAPPED_SQL = f"""
+WITH {{postings}},
+{_DUCK_CAPPED_CANDS}
 SELECT s.ia, s.ib,
        round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
          AS jaccard
@@ -463,23 +468,7 @@ def dedup_containment_capped(spark: SparkSession, sf: str) -> DataFrame:
 
 DEDUP_CONTAINMENT_CAPPED_SQL = f"""
 WITH {{postings}},
-hot AS (
-  SELECT sid FROM postings GROUP BY sid HAVING count(*) > {DF_CAP}
-), rare AS (
-  SELECT p.doc_id, p.sid FROM postings p
-  WHERE p.sid NOT IN (SELECT sid FROM hot)
-), cands AS (
-  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-  FROM rare a JOIN rare b ON a.sid = b.sid AND a.doc_id < b.doc_id
-), counts AS (
-  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
-), shared AS (
-  SELECT c.ia, c.ib, count(*) AS shared
-  FROM cands c
-  JOIN postings pa ON pa.doc_id = c.ia
-  JOIN postings pb ON pb.doc_id = c.ib AND pb.sid = pa.sid
-  GROUP BY 1, 2
-)
+{_DUCK_CAPPED_CANDS}
 SELECT ia, ib, shared, contain_a, contain_b FROM (
   SELECT s.ia, s.ib, s.shared,
          round(CAST(s.shared AS DOUBLE) / na.n_tri, 6) AS contain_a,

@@ -32,7 +32,9 @@ QUOTA_PER_SOURCE = 50  # domain cap for quota sampling
 N_SHARDS = 32
 HASH_P = 1_000_000_007
 PRIORITY_MULT = 2_654_435_761  # Knuth multiplicative hash constant
-SHARD_MULT = 40_503  # affine shard/split multiplier (also plans/indexing.py)
+SHARD_MULT = 40_503  # shard multiplier — indexing.py's split hash is
+# DELIBERATELY independent (two-round 48_271): sharing this constant made
+# split buckets congruent with shards mod 4 (see test_split_decorrelated_from_shard)
 
 
 def _n_tokens() -> F.Column:
@@ -174,11 +176,13 @@ def shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
         # materialize ONCE (N_SHARDS rows): both the mean branch and
         # the output read this, and without it the crossJoin re-runs
         # the corpus scan+shuffle per branch (no ReusedExchange across
-        # DataFrame branches). The mean then rides as a 1-row
-        # broadcast, not a global window — an un-partitioned window
-        # would funnel the frame through a SinglePartition exchange
-        # (the shape tools/explain_audit.py flags).
-        .localCheckpoint()
+        # DataFrame branches). eager=False defers the checkpoint job to
+        # first execution, so building the plan (bench registration,
+        # explain audits) stays side-effect-free. The mean then rides
+        # as a 1-row broadcast, not a global window — an un-partitioned
+        # window would funnel the frame through a SinglePartition
+        # exchange (the shape tools/explain_audit.py flags).
+        .localCheckpoint(eager=False)
     )
     mean_tokens = per_shard.agg(
         F.avg("tokens").alias("_mean_tokens")
@@ -405,8 +409,9 @@ def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_quality"),
         )
         # materialized once (mixture-cardinality rows) so the total
-        # branch and the output share one corpus scan+shuffle
-        .localCheckpoint()
+        # branch and the output share one corpus scan+shuffle;
+        # eager=False keeps plan construction job-free
+        .localCheckpoint(eager=False)
     )
     total = agg.agg(F.sum("n_tokens").cast("double").alias("_total_tokens"))
     return agg.crossJoin(F.broadcast(total)).select(

@@ -41,19 +41,24 @@ def build_index(corpus: DataFrame) -> tuple:
     OOM-ing the driver or swamping executors on an oversized corpus,
     refuse loudly and point at the persisted IVF path
     (operators/ivf_index.py), whose streaming probe is the same
-    stateless seam. The pre-collect estimate costs one count + one
-    first() (dimension probe), both O(metadata) next to the collect
-    itself. Returns the plain python tuple a closure can ship."""
+    stateless seam. The pre-collect estimate is ONE aggregate job
+    (count + a sample dimension in the same pass) — one extra scan of
+    a derived corpus, cheap next to collecting it, and the only way to
+    bound the collect before issuing it. Returns the plain python
+    tuple a closure can ship."""
     import numpy as np
 
-    n = corpus.count()
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("embedding")).alias("dim"),
+    ).first()
+    n = probe["n"]
     if n:
-        dim = len(corpus.select("embedding").first()[0])
-        est = n * dim * 8  # float64 matrix, the dominant term
+        est = n * probe["dim"] * 8  # float64 matrix, the dominant term
         if est > INDEX_BROADCAST_CEILING_BYTES:
             raise ValueError(
                 f"dense kNN index would be ~{est / 1e6:.0f} MB "
-                f"({n} vectors x {dim} dims) — past the "
+                f"({n} vectors x {probe['dim']} dims) — past the "
                 f"{INDEX_BROADCAST_CEILING_BYTES / 1e6:.0f} MB broadcast "
                 "ceiling. Build a persisted IVF index instead "
                 "(operators/ivf_index.py: build_ivf_index + ivf_probe) "

@@ -68,30 +68,49 @@ def compact_corpus_index(
     delete-old: the staging dir is a SIBLING of ``index_dir`` (same
     filesystem, so both renames are atomic directory moves, never a
     recursive cross-device copy), and the live index is renamed aside
-    rather than deleted first — at every instant either the old or the
-    new index exists under some name, so a crash at any point leaves a
-    recoverable index instead of none (a crash between the two renames
-    leaves ``<index>.old``, restored or re-compacted on the next run)."""
+    to the deterministic ``<index>.old`` rather than deleted first —
+    at every instant either the old or the new index exists under a
+    KNOWN name. A crash between the two renames leaves only
+    ``<index>.old``; the next call (or :func:`restore_corpus_index`)
+    rolls it back before compacting, so recovery is automatic."""
     import os
     import shutil
     import tempfile
 
+    local_index = os.path.abspath(index_dir.removeprefix("file:"))
+    restore_corpus_index(local_index)  # heal a prior mid-swap crash
     old = spark.read.parquet(index_dir).select("fp")
     new = spark.read.parquet(accepted_dir).select("fp")
     # distributed union-distinct to a staging dir (Spark refuses to
     # overwrite a path it is reading), then the two-rename swap
-    local_index = os.path.abspath(index_dir.removeprefix("file:"))
     parent = os.path.dirname(local_index)
     staging = tempfile.mkdtemp(prefix="fpindex_staging_", dir=parent)
-    retired = staging + ".old"
+    retired = local_index + ".old"
     try:
         old.union(new).distinct().write.mode("overwrite").parquet(staging)
+        if os.path.exists(retired):  # leftover from an interrupted delete
+            shutil.rmtree(retired)
+        os.rename(local_index, retired)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    os.rename(local_index, retired)
     os.rename(staging, local_index)
     shutil.rmtree(retired)
+
+
+def restore_corpus_index(index_dir: str) -> bool:
+    """Heal a compaction interrupted between its two renames: if the
+    live index is missing but ``<index>.old`` exists, rename it back.
+    Returns True if a restore happened. Idempotent and safe to call
+    before any read of the index."""
+    import os
+
+    local_index = os.path.abspath(index_dir.removeprefix("file:"))
+    retired = local_index + ".old"
+    if not os.path.exists(local_index) and os.path.exists(retired):
+        os.rename(retired, local_index)
+        return True
+    return False
 
 
 def streaming_corpus_ingest(

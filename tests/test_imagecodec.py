@@ -190,3 +190,58 @@ def test_real_decode_feeds_the_spark_feature_path(spark):
     for fid, buf in rows:
         assert got[fid] == fire_pixel_count(decode_image(bytes(buf)))
     assert any(v > 0 for v in got.values())
+
+
+def test_corrupt_png_degrades_to_stub_not_task_death():
+    """decode_image stays TOTAL in the no-lib container: a PNG-magic
+    buffer with a truncated IDAT must fall back to the deterministic
+    stub (r4 behavior) instead of leaking zlib.error and killing the
+    Spark task; the strict codec entrypoint raises ValueError."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        HAS_IMAGE_LIBS,
+        decode_image,
+    )
+
+    bgr = _img(5, 5)
+    buf = encode_png(bgr)
+    corrupt = buf[:40] + b"\x00" * (len(buf) - 40)  # wreck IDAT, keep magic
+    with pytest.raises(ValueError):
+        decode_png(corrupt)
+    if not HAS_IMAGE_LIBS:
+        assert decode_image(corrupt).shape == (8, 8)  # stub, no raise
+
+    # palette index past the PLTE is a loud codec error too
+    import struct as st
+
+    def chunk(ctype, data):
+        return (
+            st.pack(">I", len(data))
+            + ctype
+            + data
+            + st.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"\x00\x03\x03"  # 1x2 palette image referencing index 3
+    bad_pal = (
+        PNG_MAGIC
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))  # only 2 entries
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE range"):
+        decode_png(bad_pal)
+
+
+def test_bmp_bitfields_masks_checked():
+    """BI_BITFIELDS decodes only under the standard BGRA masks; any
+    other channel layout must fail loudly, never silently swap R/B."""
+    import struct as st
+
+    bgr = _img(3, 3)
+    buf = bytearray(encode_bmp(bgr))
+    buf[30:34] = st.pack("<I", 3)  # compression = BI_BITFIELDS
+    # standard masks happen to live where our 24-bit payload starts, so
+    # craft a 32-bit variant: simplest is to reject non-standard masks
+    with pytest.raises(ValueError, match="BI_BITFIELDS"):
+        decode_bmp(bytes(buf))

@@ -9,12 +9,13 @@ mechanical."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.explain_audit import _global_window_unbounded  # noqa: E402
 
@@ -35,6 +36,7 @@ def test_detector_flags_unbounded_global_window(spark, sf_dir):
     """The pre-fix shape: mixed rank + running-sum window over a full
     per-key aggregate (mixed window expressions block Spark's
     WindowGroupLimit rescue), rank-filtered only afterwards."""
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -49,12 +51,13 @@ def test_detector_flags_unbounded_global_window(spark, sf_dir):
         ).filter(F.col("rank") <= 10)
         assert _global_window_unbounded(_plan(bad))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_detector_accepts_partial_topk_shape(spark, sf_dir):
     """The fix pattern: orderBy().limit() (TakeOrderedAndProject) cuts
     the frame before the window, which then ranks <=k rows."""
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -73,7 +76,7 @@ def test_detector_accepts_partial_topk_shape(spark, sf_dir):
         )
         assert not _global_window_unbounded(_plan(good))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
 
 
 def test_guarded_queries_stay_bounded(spark, sf_dir):
@@ -84,6 +87,7 @@ def test_guarded_queries_stay_bounded(spark, sf_dir):
     )
 
     mods = {"text": text, "stats": stats, "training_data": training_data}
+    prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for mod_name, qname in GUARDED:
@@ -91,4 +95,4 @@ def test_guarded_queries_stay_bounded(spark, sf_dir):
             df = fn(spark, sf_dir)
             assert not _global_window_unbounded(_plan(df)), qname
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior)

@@ -10,6 +10,8 @@ import glob
 import os
 import shutil
 
+from pyspark.sql import functions as F
+
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.ingest import (
     batch_ingest_expectation,
     build_corpus_index,
@@ -159,3 +161,37 @@ def test_out_of_order_arrival_fp_set_parity(spark, tmp_path):
     }
     assert {r["fp"] for r in got} == want_fps
     assert len(got) == len(want_fps)
+
+
+def test_compaction_crash_between_renames_heals(spark, tmp_path):
+    """Simulate dying between the two renames (live index renamed to
+    <index>.old, staging not yet moved in): the next compaction must
+    restore the old index and complete normally."""
+    import os as _os
+    import shutil as _shutil
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.ingest import (
+        restore_corpus_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "accepted")
+    t = lambda m: T0 + dt.timedelta(minutes=m)  # noqa: E731
+    build_corpus_index(
+        spark.createDataFrame([(1, t(0), GOOD, "s1")], SCHEMA), index_dir
+    )
+    spark.createDataFrame(
+        [(2, t(1), GOOD + "fresh", "s2")], SCHEMA
+    ).select(F.sha2(F.col("text"), 256).alias("fp")).write.parquet(out)
+
+    # crash simulation: live index renamed aside, nothing in its place
+    _os.rename(index_dir, index_dir + ".old")
+    assert not _os.path.exists(index_dir)
+    assert restore_corpus_index(index_dir) is True
+    assert _os.path.exists(index_dir)
+    # and a full compaction on the healed state folds the accepted fp in
+    compact_corpus_index(spark, index_dir, out)
+    fps = {r["fp"] for r in spark.read.parquet(index_dir).collect()}
+    assert len(fps) == 2
+    assert not _os.path.exists(index_dir + ".old")
+    _shutil.rmtree(out)
