@@ -42,6 +42,8 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BMP_MAGIC = b"BM"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+MAX_DIM = 32_768  # per-axis decode cap: past this a corrupted header is
+# far likelier than a real frame, and the allocation guard matters more
 
 
 def sniff_format(buf: bytes) -> str | None:
@@ -83,6 +85,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:  # a corrupted length field would make
+                # the unpack below leak struct.error past the
+                # ValueError contract (caught by the hypothesis fuzz)
+                raise ValueError("malformed PNG IHDR")
             width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -103,14 +109,26 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
+    if not (0 < width <= MAX_DIM and 0 < height <= MAX_DIM):
+        raise ValueError(
+            f"PNG dimensions {width}x{height} out of supported range "
+            f"(corrupted header, or beyond the {MAX_DIM} per-axis cap)"
+        )
     ch = _CHANNELS[color_type]
+    stride = width * ch
+    expect = height * (stride + 1)
     try:
-        inflated = zlib.decompress(bytes(idat))
+        # decompressobj + max_length caps a decompression bomb (or a
+        # corrupted-header size mismatch) at the expected pixel payload
+        # instead of inflating unbounded into executor memory
+        d = zlib.decompressobj()
+        inflated = d.decompress(bytes(idat), expect)
+        if d.unconsumed_tail or (d.decompress(b"", 1) if not d.eof else b""):
+            raise ValueError("PNG IDAT inflates past the declared size")
     except zlib.error as exc:  # keep the documented ValueError contract
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expect:
         raise ValueError("PNG pixel payload has wrong size")
     raw = raw.reshape(height, stride + 1)
     filters = raw[:, 0]

@@ -245,3 +245,52 @@ def test_bmp_bitfields_masks_checked():
     # craft a 32-bit variant: simplest is to reject non-standard masks
     with pytest.raises(ValueError, match="BI_BITFIELDS"):
         decode_bmp(bytes(buf))
+
+
+# --- property-based fuzz (hypothesis) ----------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(h, w, seed, data):
+    rng = np.random.RandomState(seed)
+    bgr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    filters = np.asarray(
+        data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h)),
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_png(encode_png(bgr, filters=filters)), bgr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_flips=st.integers(1, 8),
+)
+def test_corrupted_png_never_leaks_foreign_exceptions(seed, n_flips):
+    """The ValueError contract under fuzzing: a valid PNG with random
+    byte corruption (magic kept intact so the codec path is taken)
+    either still decodes to SOME uint8 array or raises ValueError —
+    never zlib.error / IndexError / struct.error, which would escape
+    decode_image's fallback and kill a Spark task."""
+    rng = np.random.RandomState(seed)
+    bgr = rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    buf = bytearray(encode_png(bgr, filters=int(rng.randint(0, 5))))
+    for _ in range(n_flips):
+        pos = int(rng.randint(8, len(buf)))  # keep the 8-byte magic
+        buf[pos] = int(rng.randint(0, 256))
+    if rng.randint(0, 2):  # also truncate half the time
+        buf = buf[: int(rng.randint(9, len(buf)))]
+    try:
+        out = decode_png(bytes(buf))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except ValueError:
+        pass
