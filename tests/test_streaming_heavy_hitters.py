@@ -113,3 +113,47 @@ def test_invariants_under_squeezed_capacity(spark, tmp_path):
     # the runaway hot key tops the snapshot despite the tiny summary
     snap = heavy_hitters_snapshot(emitted, top=1).collect()
     assert snap[0]["user_id"] == 7
+
+
+def test_restart_resumes_summaries_exactly(spark, tmp_path):
+    """Kill the query between chunks and restart on the same
+    checkpoint (durable foreachBatch sink — the memory sink cannot
+    recover): cell summaries must resume from state (not recount from
+    zero), and the final snapshot must equal the all-data batch
+    top-k."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "emitted")
+    os.makedirs(src)
+
+    def drain_durable(name):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_heavy_hitters(stream, capacity=64, n_cells=4)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    rows = _rows()
+    write_events_chunk(spark, src, "c0", rows[0::3])
+    write_events_chunk(spark, src, "c1", rows[1::3])
+    drain_durable("a")
+    # new data arrives while the query is down
+    write_events_chunk(spark, src, "c2", rows[2::3])
+    drain_durable("b")
+    true = Counter(r[0] for r in rows)
+    snap = heavy_hitters_snapshot(spark.read.parquet(out), top=5).collect()
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["user_id"], r["est"]) for r in snap] == want
+    assert all(r["err"] == 0 for r in snap)
