@@ -166,3 +166,120 @@ def heavy_hitters_snapshot(emitted: DataFrame, top: int = 10) -> DataFrame:
     return cut.select(
         F.row_number().over(w).alias("rank"), "user_id", "est", "err"
     )
+
+
+# --- event-time windowed heavy hitters ---------------------------------------
+
+HOUR_MS = 3_600_000
+
+WINDOWED_HH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("hour_start_ms", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("est", T.LongType(), False),
+        T.StructField("err", T.LongType(), False),
+    ]
+)
+
+_WINDOWED_HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType()), True),
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+        T.StructField("errs", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _windowed_hh_fn(capacity: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        # key values arrive as numpy scalars; setTimeoutTimestamp JSON-
+        # serializes its argument, so coerce to Python int up front
+        hour_start_ms, cell = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            # watermark passed the hour: FINALIZE — emit once, drop the
+            # cell. Append-mode-safe because a finalized window is
+            # immutable (the late-row trade is the watermark's, same as
+            # any windowed agg).
+            users, counts, errs = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "hour_start_ms": [hour_start_ms] * len(users),
+                    "cell": [cell] * len(users),
+                    "user_id": list(users),
+                    "est": list(counts),
+                    "err": list(errs),
+                }
+            )
+            return
+        if state.exists:
+            users, counts, errs = state.get
+            summary = {
+                int(u): (int(c), int(e))
+                for u, c, e in zip(users, counts, errs)
+            }
+        else:
+            summary = {}
+        batch: dict[int, int] = {}
+        for pdf in pdfs:
+            if len(pdf):
+                for u, c in pdf["user_id"].value_counts().items():
+                    batch[int(u)] = batch.get(int(u), 0) + int(c)
+        _space_saving_merge(summary, batch, capacity)
+        items = sorted(summary.items())
+        state.update(
+            (
+                [u for u, _ in items],
+                [c for _, (c, _) in items],
+                [e for _, (_, e) in items],
+            )
+        )
+        # finalize when the watermark clears the end of this hour
+        state.setTimeoutTimestamp(hour_start_ms + HOUR_MS)
+        yield pd.DataFrame(
+            {
+                "hour_start_ms": [],
+                "cell": [],
+                "user_id": [],
+                "est": [],
+                "err": [],
+            }
+        )
+
+    return fn
+
+
+def streaming_windowed_heavy_hitters(
+    events: DataFrame,
+    capacity: int = CAPACITY,
+    n_cells: int = N_CELLS,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-HOUR heavy hitters, finalized on watermark: state cells are
+    keyed (hour, user_id % n_cells), each a bounded Space-Saving
+    summary; when the event-time watermark passes the hour end the cell
+    emits its final summary ONCE and is removed — append-mode output of
+    immutable rows, with state bounded by (open hours × n_cells ×
+    capacity), never by key cardinality. The batch twin is an exact
+    per-hour groupBy count; parity holds exactly when capacity covers
+    each (hour, cell) key set (tests). This is the finalize-on-
+    watermark complement to :func:`streaming_heavy_hitters`'s live
+    update-mode summaries."""
+    cells = events.withWatermark("ts", watermark).select(
+        "ts",
+        (
+            (F.unix_millis(F.col("ts")) / HOUR_MS).cast("long") * HOUR_MS
+        ).alias("hour_start_ms"),
+        F.pmod(F.col("user_id"), F.lit(n_cells)).alias("cell"),
+        "user_id",
+    )
+    return cells.groupBy("hour_start_ms", "cell").applyInPandasWithState(
+        _windowed_hh_fn(capacity),
+        outputStructType=WINDOWED_HH_OUTPUT_SCHEMA,
+        stateStructType=_WINDOWED_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -157,3 +157,64 @@ def test_restart_resumes_summaries_exactly(spark, tmp_path):
     want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r["user_id"], r["est"]) for r in snap] == want
     assert all(r["err"] == 0 for r in snap)
+
+
+def test_windowed_heavy_hitters_finalize_on_watermark(spark, tmp_path):
+    """Per-hour summaries finalize exactly once when the watermark
+    clears the hour, match exact per-hour counts (capacity covers the
+    key sets), and the still-open hour emits nothing."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.heavy_hitters import (
+        HOUR_MS,
+        streaming_windowed_heavy_hitters,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t = lambda h, m: T0 + dt.timedelta(hours=h, minutes=m)  # noqa: E731
+    eid = 0
+    per_hour_rows = {0: [], 1: [], 2: []}
+    for hour in range(3):
+        spec = [(7, 10 + hour), (3, 4), (50 + hour, 2), (90 + hour, 1)]
+        minute = 0
+        for uid, n in spec:
+            for _ in range(n):
+                per_hour_rows[hour].append(
+                    (uid, eid, 1.0, t(hour, minute % 60))
+                )
+                eid += 1
+                minute += 3
+    # time-ordered chunks so the advancing watermark never drops rows;
+    # the hour-5 sentinel pushes the watermark past hour 3's end
+    for hour in range(3):
+        write_events_chunk(spark, src, f"c{hour}", per_hour_rows[hour])
+    write_events_chunk(spark, src, "c_sentinel", [(999, eid, 1.0, t(5, 20))])
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_windowed_heavy_hitters(stream, capacity=64, n_cells=2)
+        .writeStream.format("memory")
+        .queryName("hh_windowed")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM hh_windowed").collect()
+    finally:
+        q.stop()
+
+    base_ms = int(T0.timestamp() * 1000)
+    finalized = {
+        (r["hour_start_ms"], r["user_id"]): (r["est"], r["err"]) for r in got
+    }
+    assert len(finalized) == len(got), "a window finalized twice"
+    want = {}
+    for hour, rows in per_hour_rows.items():
+        for uid, n in Counter(r[0] for r in rows).items():
+            want[(base_ms + hour * HOUR_MS, uid)] = (n, 0)
+    assert finalized == want  # exact, and the open hour-5 cell absent
