@@ -59,8 +59,12 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # 51+ and is the ENTIRE r6 never-checked queue, together with any
 # plan-changed queries from this round (dataset_split /
 # split_leakage_check changed spec — new split hash — and are in this
-# window; shard_assignment / source_mixture_report changed plan shape
-# but not values and should rotate back in r6).
+# window; corpus_build_pipeline changed spec — decorrelated selection
+# hash — and is in this window; shard_assignment /
+# source_mixture_report changed plan shape but not values, and
+# cap_per_source / source_quota_sample / token_budget_sample changed
+# spec to the decorrelated selection hash AFTER the window was frozen
+# — all five should rotate into the r6 window).
 _PRIORITY: list[str] = [
     # flagship canary (also smoke-checked every round via entry())
     "crowded_frames",

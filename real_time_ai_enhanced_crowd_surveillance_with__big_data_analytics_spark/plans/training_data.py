@@ -32,6 +32,34 @@ QUOTA_PER_SOURCE = 50  # domain cap for quota sampling
 N_SHARDS = 32
 HASH_P = 1_000_000_007
 PRIORITY_MULT = 2_654_435_761  # Knuth multiplicative hash constant
+# Selection-ORDER hash (cap/quota/budget ranking) — two affine rounds
+# with a multiplier independent of BOTH the quality-sample coin
+# (PRIORITY_MULT) and the train/val/test split hash (48_271,
+# indexing.py). Sharing the coin's hash made "quality-sample then
+# cap" compositions quality-biased: inside the cap's low-priority
+# window priority < KEEP_SCALE means coin == priority, so the cap's
+# keep-order and the sampler's acceptance stop being independent
+# (measured: capped-sample mean quality 0.7580 shared vs 0.7631
+# independent on 2M uniform-quality docs —
+# tests/test_training_data.py::test_selection_order_decorrelated).
+# The selection ops deliberately share THIS hash with each other:
+# equal priorities across cap/quota/budget give nested, reproducible
+# subsets (the 10k sample is a prefix of the 50k sample).
+SELECT_MULT = 69_621
+SELECT_ADD = 17
+
+
+def _sel_priority() -> F.Column:
+    """Two-round selection-order hash of doc_id (mod-first each round:
+    1e9 x 69_621 stays far under int64)."""
+    r1 = ((F.col("doc_id") % HASH_P) * SELECT_MULT + SELECT_ADD) % HASH_P
+    return (r1 * SELECT_MULT + SELECT_ADD) % HASH_P
+
+
+_SEL_PRIORITY_SQL = (
+    f"((((doc_id % {HASH_P}) * {SELECT_MULT} + {SELECT_ADD}) % {HASH_P})"
+    f" * {SELECT_MULT} + {SELECT_ADD}) % {HASH_P}"
+)
 SHARD_MULT = 40_503  # shard multiplier — indexing.py's split hash is
 # DELIBERATELY independent (two-round 48_271): sharing this constant made
 # split buckets congruent with shards mod 4 (see test_split_decorrelated_from_shard)
@@ -130,7 +158,7 @@ def source_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
     predicate prunes inside the window operator, so only K rows per
     source survive the exchange at 100 TB (rank pushdown)."""
     docs = load_table(spark, "documents", sf)
-    priority = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P  # mod-first: no int64 overflow at any doc_id
+    priority = _sel_priority()
     w = Window.partitionBy("source").orderBy(priority.asc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "source", priority.alias("priority"))
@@ -145,7 +173,7 @@ SELECT doc_id, source, rk
 FROM (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-                            ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+                            ORDER BY {_SEL_PRIORITY_SQL} ASC,
                                      doc_id ASC) AS rk
   FROM documents
 )
@@ -295,7 +323,7 @@ def token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB per-source budgets replace global proportional sampling
     precisely because each source windows independently."""
     docs = load_table(spark, "documents", sf)
-    priority = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P  # mod-first: no int64 overflow at any doc_id
+    priority = _sel_priority()
     w = (
         Window.partitionBy("source")
         .orderBy(priority.asc(), F.col("doc_id").asc())
@@ -316,7 +344,7 @@ WITH sized AS (
          len(string_split(trim(text), ' ')) AS n_tok,
          CAST(sum(len(string_split(trim(text), ' ')))
            OVER (PARTITION BY source
-                 ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC, doc_id ASC
+                 ORDER BY {_SEL_PRIORITY_SQL} ASC, doc_id ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
   FROM documents
 )
@@ -457,7 +485,7 @@ def cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
     top-k on (source,) before the window, same two-phase trick as
     knn's partial top-k."""
     docs = load_table(spark, "documents", sf)
-    priority = (F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P
+    priority = _sel_priority()
     w = Window.partitionBy("source").orderBy(
         priority.asc(), F.col("doc_id").asc()
     )
@@ -471,7 +499,7 @@ WITH ranked AS (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+           ORDER BY {_SEL_PRIORITY_SQL} ASC,
                     doc_id ASC) AS rk
   FROM documents
 )
@@ -607,7 +635,7 @@ def corpus_build_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     fp_w = Window.partitionBy("fp")
     src_w = Window.partitionBy("source").orderBy(
-        ((F.col("doc_id") % HASH_P) * PRIORITY_MULT % HASH_P).asc(),
+        _sel_priority().asc(),
         F.col("doc_id").asc(),
     )
     return (
@@ -658,7 +686,7 @@ WITH scored AS (
     SELECT doc_id, source, quality, n_tok,
            row_number() OVER (
              PARTITION BY source
-             ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+             ORDER BY {_SEL_PRIORITY_SQL} ASC,
                       doc_id ASC) AS rk
     FROM deduped
   ) WHERE rk <= {CAP_PER_SOURCE}
@@ -666,7 +694,7 @@ WITH scored AS (
 SELECT doc_id, source, quality, n_tok, rk,
        CAST(sum(n_tok) OVER (
          PARTITION BY source
-         ORDER BY (doc_id % {HASH_P}) * {PRIORITY_MULT} % {HASH_P} ASC,
+         ORDER BY {_SEL_PRIORITY_SQL} ASC,
                   doc_id ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cum_tokens
