@@ -72,3 +72,63 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
             spark.conf.set(_PROVIDER_CONF, prev)
     assert rocks == default
     assert rocks == {(1, 1): 1, (2, 3): 1, (1, 4): 2, (2, 6): 2}
+
+
+def test_rocksdb_heavy_hitters_matches_default(spark, tmp_path):
+    """The Space-Saving cells (array-typed state) survive the RocksDB
+    provider identically: same snapshot as the HDFS-backed default
+    over the same chunked replay."""
+    from collections import Counter
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.heavy_hitters import (
+        heavy_hitters_snapshot,
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src)
+    rows = [
+        (uid, eid, 1.0, T0)
+        for eid, uid in enumerate([7] * 9 + [3] * 5 + [11] * 3 + [2, 5, 8])
+    ]
+    write_events_chunk(spark, src, "f1", rows[0::2])
+    write_events_chunk(spark, src, "f2", rows[1::2])
+
+    def run(qname):
+        stream = (
+            spark.readStream.schema(events_chunk_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_heavy_hitters(stream, capacity=16, n_cells=2)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        try:
+            return [
+                (r["rank"], r["user_id"], r["est"], r["err"])
+                for r in heavy_hitters_snapshot(
+                    spark.sql(f"select * from {qname}"), top=4
+                ).collect()
+            ]
+        finally:
+            q.stop()
+
+    default = run("hh_state_hdfs")
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        rocks = run("hh_state_rocksdb")
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
+    assert rocks == default
+    true = Counter(r[0] for r in rows)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert [(u, e) for _, u, e, _ in rocks] == want
