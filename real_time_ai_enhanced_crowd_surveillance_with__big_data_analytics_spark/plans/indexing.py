@@ -129,7 +129,13 @@ def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     doc_id asc) — the rank filter runs BEFORE collect_list, so the
     aggregated array is ≤cap elements even for stopword-grade tokens;
     df/cf still aggregate over ALL rows. Shuffle keys are (token,
-    doc_id) then token — vocabulary-bounded, map-side combined."""
+    doc_id) then token — vocabulary-bounded, map-side combined.
+
+    The posting list is emitted as a comma-joined STRING, not an array:
+    the driver's canonicalizer sorts/hashes result cells with pandas,
+    which cannot hash list cells (r5 driver err: "unhashable type:
+    'list'"). Contract rule, pinned by tests/test_registry_contract.py:
+    no registry query may output an array/map/struct-typed column."""
     docs = load_table(spark, "documents", sf)
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -145,19 +151,22 @@ def inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("cf"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("rk") <= POSTINGS_CAP,
-                            F.struct(
-                                F.col("rk").alias("rk"),
-                                F.col("doc_id").alias("doc_id"),
-                            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") <= POSTINGS_CAP,
+                                F.struct(
+                                    F.col("rk").alias("rk"),
+                                    F.col("doc_id").alias("doc_id"),
+                                ),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s.doc_id.cast("string"),
                 ),
-                lambda s: s.doc_id,
+                ",",
             ).alias("postings"),
         )
         .select("tok", "df", "cf", "postings")
@@ -181,8 +190,9 @@ WITH tf AS (
 SELECT tok,
        count(*) AS df,
        CAST(sum(tf) AS BIGINT) AS cf,
-       list(doc_id ORDER BY rk ASC) FILTER (WHERE rk <= {POSTINGS_CAP})
-         AS postings
+       array_to_string(
+         list(doc_id ORDER BY rk ASC) FILTER (WHERE rk <= {POSTINGS_CAP}),
+         ',') AS postings
 FROM ranked
 GROUP BY tok
 """

@@ -370,6 +370,18 @@ def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     the reduce is a groupBy on the bounded (i, j) key (2 080 groups at
     d=64). The corpus never shuffles; only d² floats per partition do.
     Eigen-decomposition of the 64×64 result is driver-side by design.
+
+    Determinism (r5 driver red — hash mismatch with rows/schema green):
+    float partial sums are order-dependent, and the partition/Arrow
+    batch boundaries differ between engines, so ``round(cov, 6)`` could
+    flip on a rounding boundary. Cure (the ``hourly_autocorr`` pattern):
+    quantize each component ONCE to an int64 grid — floor(x·1000 + 0.5),
+    identical IEEE ops in both engines — accumulate integer-exact
+    Σxy/Σx/Σy/n (products ≤1e6, int64-safe to ~9e12 rows), and divide /
+    round only in the final projection from identical integers. The
+    float64 Gram matmul below is EXACT on the quantized values: per-batch
+    partial sums stay ≤~1e10 ≪ 2^53. Covariance is reported on the
+    original scale (÷1e6 for the 1e3-per-axis quantization).
     """
     import numpy as np
     import pandas as pd
@@ -382,21 +394,22 @@ def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
             x = np.asarray(pdf["embedding"].tolist(), dtype="float64")
             if x.size == 0:
                 continue
-            gram = x.T @ x
-            s = x.sum(axis=0)
+            q = np.floor(x * 1000.0 + 0.5)  # exact int values in float64
+            gram = q.T @ q
+            s = q.sum(axis=0)
             yield pd.DataFrame(
                 {
                     "i": iu[0].astype("int32"),
                     "j": iu[1].astype("int32"),
-                    "sxy": gram[iu],
-                    "sx": s[iu[0]],
-                    "sy": s[iu[1]],
+                    "sxy": gram[iu].astype("int64"),
+                    "sx": s[iu[0]].astype("int64"),
+                    "sy": s[iu[1]].astype("int64"),
                     "n": np.int64(len(x)),
                 }
             )
 
     acc = emb.select("embedding").mapInPandas(
-        partials, schema="i int, j int, sxy double, sx double, sy double, n long"
+        partials, schema="i int, j int, sxy long, sx long, sy long, n long"
     )
     tot = acc.groupBy("i", "j").agg(
         F.sum("sxy").alias("sxy"),
@@ -408,8 +421,11 @@ def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
         "i",
         "j",
         F.round(
-            F.col("sxy") / F.col("n")
-            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+            (
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+            )
+            / F.lit(1000000.0),
             6,
         ).alias("cov"),
     )
@@ -420,13 +436,16 @@ WITH flat AS (
   SELECT vec_id,
          unnest(range({EMB_DIM})) AS i,
          unnest(list_transform(range({EMB_DIM}),
-                k -> CAST(embedding[k + 1] AS DOUBLE))) AS v
+                k -> CAST(floor(CAST(embedding[k + 1] AS DOUBLE) * 1000.0
+                                + 0.5) AS BIGINT))) AS v
   FROM embeddings
 )
 SELECT CAST(a.i AS INTEGER) AS i,
        CAST(b.i AS INTEGER) AS j,
-       round(sum(a.v * b.v) / count(*)
-             - (sum(a.v) / count(*)) * (sum(b.v) / count(*)), 6) AS cov
+       round((CAST(sum(a.v * b.v) AS DOUBLE) / count(*)
+              - (CAST(sum(a.v) AS DOUBLE) / count(*))
+                * (CAST(sum(b.v) AS DOUBLE) / count(*)))
+             / 1000000.0, 6) AS cov
 FROM flat a
 JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i
