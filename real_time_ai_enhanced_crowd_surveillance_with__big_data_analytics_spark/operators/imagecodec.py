@@ -253,6 +253,12 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     BMP stores BGR(A) natively, bottom-up unless height is negative."""
     if buf[:2] != BMP_MAGIC:
         raise ValueError("not a BMP buffer")
+    # length-guard the fixed header reads: struct.unpack raises
+    # struct.error (NOT ValueError) on short slices, which would escape
+    # decode_image's ValueError seam and kill the mapInPandas task
+    # instead of degrading to the stub (ADVICE r5)
+    if len(buf) < 54:
+        raise ValueError(f"truncated BMP header ({len(buf)} bytes)")
     (data_off,) = struct.unpack("<I", buf[10:14])
     (hdr_size,) = struct.unpack("<I", buf[14:18])
     if hdr_size < 40:
@@ -264,7 +270,14 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported BMP (bpp={bpp}, compression={compression})"
         )
+    if not (0 < width <= MAX_DIM and 0 < abs(height) <= MAX_DIM):
+        raise ValueError(
+            f"refusing BMP dimensions {width}x{height} "
+            f"(corrupted header, or beyond the {MAX_DIM} per-axis cap)"
+        )
     if compression == 3:
+        if len(buf) < 66:
+            raise ValueError("truncated BMP BI_BITFIELDS masks")
         # BI_BITFIELDS: honor the channel masks instead of assuming
         # BGRA — accept only the standard layout, reject the rest
         # loudly (decoding them would silently swap channels)

@@ -45,58 +45,79 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
-# Round-5 window (VERDICT r4 top-next #1 — PURE VERIFICATION round):
-# every one of the 48 queries that has never had a driver verdict in
-# rounds 1-4 (computed mechanically: registry names minus the union of
-# CORRECTNESS_r01..r04 keys), plus the flagship canary and one
-# long-green returning canary — 48 + 1 + 1 = 50 exactly. After this
-# round every registry query has a driver verdict. Three of the 48
-# (bigram_lift, key_skew_report, vocab_coverage) had their plans fixed
-# this round (single-partition rank window → TakeOrderedAndProject
-# partial top-k; oracle hashes verified unchanged locally before
-# rotation). One query was added this round (dedup_containment_capped,
-# the df-capped scale path ADVICE r4 asked for) — it sits at position
-# 51+ and is the ENTIRE r6 never-checked queue, together with any
-# plan-changed queries from this round (dataset_split /
-# split_leakage_check changed spec — new split hash — and are in this
-# window; corpus_build_pipeline changed spec — decorrelated selection
-# hash — and is in this window; shard_assignment /
-# source_mixture_report changed plan shape but not values, and
-# cap_per_source / source_quota_sample / token_budget_sample changed
-# spec to the decorrelated selection hash AFTER the window was frozen
-# — all five should rotate into the r6 window).
+# Round-6 window (VERDICT r5 "Next round" #3 — the cleanup rotation):
+# (a) the two r5 driver reds, now fixed (inverted_index array→string
+#     serialization; embedding_covariance integer-exact co-moments);
+# (b) dedup_containment_capped — the only never-driver-checked query;
+# (c) the five queries whose spec/plan changed AFTER the r5 window
+#     froze (cap_per_source / source_quota_sample / token_budget_sample
+#     — decorrelated selection hash; shard_assignment /
+#     source_mixture_report — TakeOrderedAndProject reshape);
+# (d) stratified_sample / approx_aggregates — perpetual `no_oracle`
+#     reds, this round given full oracles (portable affine-hash
+#     sampler; exact columns + sketch-bounds flags);
+# (e) the flagship + returning canaries;
+# (f) fill to 50 with the queries whose latest driver verdict is
+#     oldest (r2/r3-era battery), computed mechanically from
+#     CORRECTNESS_r01..r05 key unions. After this round every registry
+#     query's latest verdict is ≤3 rounds old.
 _PRIORITY: list[str] = [
-    # flagship canary (also smoke-checked every round via entry())
+    # (e) canaries
     "crowded_frames",
-    # returning canary (green r1 + r4; cheapest broadcast-join probe)
     "revenue_by_nation",
-    # -- the 48 never-driver-checked queries ---------------------------
-    # round-3/4 relational + events additions
-    "props_variant_extract", "funnel_conversion", "retention_cohorts",
-    "user_event_paths", "markov_transitions",
-    # text / corpus analysis family
-    "corpus_build_pipeline", "length_bucket_batches", "text_normalize",
-    "ccnet_ppl_buckets", "vocab_coverage", "bigram_lift",
-    "cooccurrence_lift",
-    # similarity / clustering family
-    "kmeans_refine", "semantic_keep_canonical", "fuzzy_name_pairs",
+    # (a) fixed r5 reds
+    "inverted_index",
     "embedding_covariance",
-    # dedup family
-    "duplicate_span_fraction", "neardup_triangles", "dedup_containment",
-    "dedup_incremental_lsh", "dedup_cluster_sizes", "chunk_dedup",
-    # indexing / retrieval family
-    "bm25_topk", "hybrid_rrf", "hard_negatives", "search_snippets",
-    "split_leakage_check", "doc_chunking", "inverted_index",
-    "bpe_merge_step", "dataset_split",
-    # pipeline-quality / stats family
-    "column_profile", "expectation_report", "key_skew_report",
-    "value_drift_psi", "source_overlap_matrix", "value_histogram",
-    "winsorized_stats", "quantile_normalize", "robust_outliers",
-    # timeseries family
-    "scd2_tier_join", "hourly_autocorr", "seasonal_profile",
-    "gap_fill_hourly", "rolling_active_users", "time_weighted_avg",
-    # surveillance streaming-analog family
-    "alarm_episodes", "alarm_concurrency_daily",
+    # (b) never checked
+    "dedup_containment_capped",
+    # (c) spec/plan changed after the r5 freeze
+    "cap_per_source",
+    "source_quota_sample",
+    "token_budget_sample",
+    "shard_assignment",
+    "source_mixture_report",
+    # (d) newly oracle-backed
+    "stratified_sample",
+    "approx_aggregates",
+    # (f) oldest-verdict battery (r2/r3-era)
+    "value_outliers",
+    "alarm_rising_edges",
+    "conditional_counts",
+    "sessionize",
+    "clicks_near_purchases",
+    "event_pivot",
+    "event_unpivot",
+    "shipmode_priority",
+    "sequence_packing",
+    "embedding_quantization",
+    "knn_bruteforce",
+    "fall_detection_softmax",
+    "label_centroids",
+    "embedding_neardup_lsh",
+    "ivf_knn",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "contamination_check",
+    "doc_repetition",
+    "policy_pattern_scan",
+    "quality_funnel",
+    "bpe_token_stats",
+    "tfidf_top_terms",
+    "token_stats",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "trigram_profile",
+    "lm_cross_entropy",
+    "fire_alerts",
+    "user_cohorts_setops",
+    "detection_parse",
+    "validate_registrations",
+    "nms_detections",
+    "crowd_alerts_pipeline",
+    "multimodal_meta",
 ]
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}

@@ -1002,17 +1002,68 @@ GROUP BY p.user_id, p.event_id
 def approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ distinct counts and t-digest percentiles per event_type —
     the bounded-memory, one-pass forms of distinct_stats /
-    value_percentiles for 100 TB inputs. No oracle: HLL/t-digest
-    implementations are engine-specific (exact twins carry the parity
-    check); accuracy is asserted against exact values in
-    tests/test_approx.py."""
+    value_percentiles for 100 TB inputs.
+
+    Oracle-checkable form (r5 was a perpetual ``no_oracle`` red): the
+    sketch ESTIMATES are engine-specific and stay out of the output;
+    what the output carries is (a) the exact statistics the sketches
+    approximate and (b) booleans asserting each estimate landed inside
+    its published error bound — HLL++ default rsd 0.05, checked at 3σ
+    (15%); percentile_approx default accuracy 10 000 → rank error 1e-4,
+    checked against the vastly looser exact p40..p60 / p90..p99 rank
+    corridor. DuckDB's oracle computes the same exact columns and
+    literal TRUE flags, so rows+schema+hash verify fully and an
+    out-of-bounds sketch turns the row red instead of being
+    unverifiable. Spark's sketches are order/partition-independent
+    (hash-based HLL merge; rank-bounded KLL/t-digest within the
+    corridor regardless of merge order), so the flags are
+    deterministic. Accuracy is additionally asserted against tighter
+    tolerances in tests/test_approx.py."""
     events = load_table(spark, "events", sf)
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
-        F.percentile_approx("value", 0.95).alias("approx_p95"),
+    agg = events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.approx_count_distinct("user_id").alias("_hll"),
+        F.percentile_approx("value", 0.5).alias("_ap50"),
+        F.percentile_approx("value", 0.95).alias("_ap95"),
+        F.expr("percentile(value, 0.40)").alias("_p40"),
+        F.expr("percentile(value, 0.60)").alias("_p60"),
+        F.expr("percentile(value, 0.90)").alias("_p90"),
+        F.expr("percentile(value, 0.99)").alias("_p99"),
     )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        "p50",
+        "p95",
+        (
+            F.abs(F.col("_hll") - F.col("n_users"))
+            <= F.lit(0.15) * F.col("n_users")
+        ).alias("hll_in_bounds"),
+        (
+            (F.col("_ap50") >= F.col("_p40")) & (F.col("_ap50") <= F.col("_p60"))
+        ).alias("p50_in_bounds"),
+        (
+            (F.col("_ap95") >= F.col("_p90")) & (F.col("_ap95") <= F.col("_p99"))
+        ).alias("p95_in_bounds"),
+    )
+
+
+APPROX_AGGREGATES_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       TRUE AS hll_in_bounds,
+       TRUE AS p50_in_bounds,
+       TRUE AS p95_in_bounds
+FROM events
+GROUP BY event_type
+"""
 
 
 # --- exact percentiles (SURVEY §2.4 'free in Spark' note) --------------------
@@ -1230,21 +1281,65 @@ GROUP BY event_type
 # --- stratified sampling (training-data pipeline op; rows-only) --------------
 
 SAMPLE_FRACTIONS = {"click": 0.5, "view": 0.25, "purchase": 1.0, "signup": 1.0, "error": 0.1}
-SAMPLE_SEED = 42
+# Portable stratified-sampling coin: two-round affine hash of event_id
+# mod a large prime, reduced mod 1000 against per-mille fractions.
+# Own multiplier (classic MINSTD 16_807) — deliberately distinct from
+# training_data's SELECT_MULT 69_621 / SHARD_MULT 40_503 and
+# indexing's split 48_271, so no two hash families are congruent
+# (the r5 shard/split lesson). event_id is dense-sequential, which an
+# affine map alone would keep sequential — the second round breaks the
+# residue correlation with event_type assignment.
+STRATA_P = 1_000_000_007
+STRATA_MULT = 16_807
+STRATA_ADD = 29
 
 
 def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-class downsampling (``sampleBy``) — the class-rebalancing
-    primitive of training-data pipelines. Seeded => deterministic per
-    engine run; no oracle (sampling RNG is engine-specific), so the
-    check is rows-only; determinism + per-class bounds are asserted in
-    tests/test_approx.py."""
+    """Per-class downsampling — the class-rebalancing primitive of
+    training-data pipelines. Replaces ``sampleBy`` (engine-specific
+    RNG, so it could only ever get a rows-only driver check) with the
+    repo's portable two-round affine hash on event_id: keep a row iff
+    ``hash % 1000 < frac·1000``. Same statistical contract (uniform
+    acceptance per stratum, tests/test_approx.py keeps the 5-sigma
+    Bernoulli bound), but byte-identical across engines — full
+    hash-parity oracle, and at 100 TB the sample is reproducible across
+    reruns/engines, which seeded RNG sampling is not (partition-order
+    dependent). Plan: one scan + filter (no shuffle before the bounded
+    groupBy); the hash costs two fused int ops per row."""
     events = load_table(spark, "events", sf)
-    sampled = events.sampleBy("event_type", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    cases = None
+    for et, frac in SAMPLE_FRACTIONS.items():
+        per_mille = F.lit(int(round(frac * 1000)))
+        cases = (F if cases is None else cases).when(
+            F.col("event_type") == et, per_mille
+        )
+    r1 = ((F.col("event_id") % STRATA_P) * STRATA_MULT + STRATA_ADD) % STRATA_P
+    coin = ((r1 * STRATA_MULT + STRATA_ADD) % STRATA_P) % 1000
+    sampled = events.filter(coin < cases.otherwise(F.lit(0)))
     return sampled.groupBy("event_type").agg(
         F.count("*").alias("n_sampled"),
         F.min("event_id").alias("first_event"),
     )
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{et}' THEN {int(round(frac * 1000))}"
+        for et, frac in SAMPLE_FRACTIONS.items()
+    )
+    return f"CASE event_type {whens} ELSE 0 END"
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT event_type,
+       count(*) AS n_sampled,
+       min(event_id) AS first_event
+FROM events
+WHERE ((((event_id % {STRATA_P}) * {STRATA_MULT} + {STRATA_ADD})
+        % {STRATA_P}) * {STRATA_MULT} + {STRATA_ADD})
+      % {STRATA_P} % 1000 < {_strata_case_sql()}
+GROUP BY event_type
+"""
 
 
 # --- pivot / cube (grouping-set battery) -------------------------------------
@@ -1465,8 +1560,8 @@ RELATIONAL_QUERIES = {
     "moving_revenue": (moving_revenue, MOVING_REVENUE_SQL),
     "revenue_deciles": (revenue_deciles, REVENUE_DECILES_SQL),
     "clicks_near_purchases": (clicks_near_purchases, CLICKS_NEAR_PURCHASES_SQL),
-    "approx_aggregates": (approx_aggregates, None),
-    "stratified_sample": (stratified_sample, None),
+    "approx_aggregates": (approx_aggregates, APPROX_AGGREGATES_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "event_pivot": (event_pivot, EVENT_PIVOT_SQL),
     "event_unpivot": (event_unpivot, EVENT_UNPIVOT_SQL),
     "event_cube": (event_cube, EVENT_CUBE_SQL),

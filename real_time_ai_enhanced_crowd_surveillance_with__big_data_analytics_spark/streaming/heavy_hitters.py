@@ -75,7 +75,11 @@ def _space_saving_merge(
         elif len(summary) < capacity:
             summary[user] = (c, 0)
         else:
-            evict_user = min(summary, key=lambda u: summary[u][0])
+            # tie-break equal-count evictions on user_id: dict insertion
+            # order varies with pandas value_counts ordering of tied
+            # users, and a nondeterministic surviving-counter set breaks
+            # the repo's deterministic-output convention (ADVICE r5)
+            evict_user = min(summary, key=lambda u: (summary[u][0], u))
             m = summary[evict_user][0]
             del summary[evict_user]
             summary[user] = (m + c, m)

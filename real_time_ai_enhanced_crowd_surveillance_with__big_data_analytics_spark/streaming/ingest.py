@@ -79,6 +79,14 @@ def compact_corpus_index(
 
     local_index = os.path.abspath(index_dir.removeprefix("file:"))
     restore_corpus_index(local_index)  # heal a prior mid-swap crash
+    # reclaim staging dirs orphaned by crashes AFTER the new index was
+    # fully written but before/while it was being swapped in — the
+    # rollback above restores the index, but repeated mid-swap crashes
+    # would otherwise accumulate full-index copies forever (ADVICE r5)
+    parent_dir = os.path.dirname(local_index)
+    for entry in os.listdir(parent_dir):
+        if entry.startswith("fpindex_staging_"):
+            shutil.rmtree(os.path.join(parent_dir, entry), ignore_errors=True)
     old = spark.read.parquet(index_dir).select("fp")
     new = spark.read.parquet(accepted_dir).select("fp")
     # distributed union-distinct to a staging dir (Spark refuses to

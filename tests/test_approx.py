@@ -17,6 +17,9 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sou
 
 
 def test_approx_within_tolerance_of_exact(spark, sf_dir):
+    """The query's own in_bounds flags must all hold, and its exact
+    columns must equal an independently computed exact aggregate —
+    tighter than the oracle's corridor (which only pins the flags)."""
     approx = {r.event_type: r for r in approx_aggregates(spark, sf_dir).collect()}
     events = load_table(spark, "events", sf_dir)
     exact = {
@@ -30,8 +33,9 @@ def test_approx_within_tolerance_of_exact(spark, sf_dir):
     }
     for et, e in exact.items():
         a = approx[et]
-        assert abs(a.approx_users - e.users) <= max(2, 0.1 * e.users)
-        assert abs(a.approx_p50 - e.p50) <= 0.1 * max(1.0, abs(e.p50))
+        assert a.n_users == e.users
+        assert abs(a.p50 - e.p50) <= 1e-6
+        assert a.hll_in_bounds and a.p50_in_bounds and a.p95_in_bounds
 
 
 def test_range_join_equals_naive_theta_join(spark, sf_dir):

@@ -294,3 +294,53 @@ def test_corrupted_png_never_leaks_foreign_exceptions(seed, n_flips):
         assert out.dtype == np.uint8 and out.ndim == 3
     except ValueError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_flips=st.integers(1, 8),
+)
+def test_corrupted_bmp_never_leaks_foreign_exceptions(seed, n_flips):
+    """Same ValueError contract for BMP (ADVICE r5: struct.error leaked
+    from short/corrupt headers — b'BM' alone, or BI_BITFIELDS truncated
+    before offset 66 — and killed the mapInPandas task instead of
+    degrading to the stub)."""
+    rng = np.random.RandomState(seed)
+    bgr = rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    buf = bytearray(encode_bmp(bgr))
+    for _ in range(n_flips):
+        pos = int(rng.randint(2, len(buf)))  # keep the 2-byte magic
+        buf[pos] = int(rng.randint(0, 256))
+    if rng.randint(0, 2):  # also truncate half the time, down to magic-only
+        buf = buf[: int(rng.randint(2, len(buf)))]
+    try:
+        out = decode_bmp(bytes(buf))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except ValueError:
+        pass
+
+
+def test_bmp_short_header_cases_raise_valueerror():
+    """The two reproduced ADVICE cases, pinned exactly: bare magic, and
+    a BI_BITFIELDS header cut before the mask words at offset 54..66;
+    plus degenerate zero-width dimensions."""
+    import struct as _struct
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM")
+    # minimal 54-byte header claiming BI_BITFIELDS, truncated at 60
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[10:14] = _struct.pack("<I", 70)
+    hdr[14:18] = _struct.pack("<I", 40)
+    hdr[18:26] = _struct.pack("<ii", 4, 4)
+    hdr[26:30] = _struct.pack("<HH", 1, 32)
+    hdr[30:34] = _struct.pack("<I", 3)  # BI_BITFIELDS
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(hdr) + b"\x00" * 6)  # cut before offset 66
+    # zero width: silent-empty before, loud now
+    hdr[30:34] = _struct.pack("<I", 0)
+    hdr[18:26] = _struct.pack("<ii", 0, 4)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(hdr))

@@ -218,3 +218,19 @@ def test_windowed_heavy_hitters_finalize_on_watermark(spark, tmp_path):
         for uid, n in Counter(r[0] for r in rows).items():
             want[(base_ms + hour * HOUR_MS, uid)] = (n, 0)
     assert finalized == want  # exact, and the open hour-5 cell absent
+
+
+def test_space_saving_eviction_tiebreak_deterministic():
+    """Equal-count evictions must resolve by smallest user_id, not dict
+    insertion order (ADVICE r5): two summaries holding the same
+    counters in different insertion orders must evict the same user."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.heavy_hitters import (
+        _space_saving_merge,
+    )
+
+    a = {7: (3, 0), 2: (3, 0), 9: (3, 0)}
+    b = {9: (3, 0), 7: (3, 0), 2: (3, 0)}
+    _space_saving_merge(a, {100: 1}, capacity=3)
+    _space_saving_merge(b, {100: 1}, capacity=3)
+    assert a == b
+    assert 2 not in a and a[100] == (4, 3)

@@ -195,3 +195,35 @@ def test_compaction_crash_between_renames_heals(spark, tmp_path):
     assert len(fps) == 2
     assert not _os.path.exists(index_dir + ".old")
     _shutil.rmtree(out)
+
+
+def test_compaction_reclaims_orphaned_staging_dirs(spark, tmp_path):
+    """Repeated mid-swap crashes leave completed fpindex_staging_*
+    siblings behind; the next compaction must reclaim them instead of
+    accumulating full-index copies forever (ADVICE r5)."""
+    import os as _os
+
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "accepted")
+    t = lambda m: T0 + dt.timedelta(minutes=m)  # noqa: E731
+    build_corpus_index(
+        spark.createDataFrame([(1, t(0), GOOD, "s1")], SCHEMA), index_dir
+    )
+    spark.createDataFrame(
+        [(2, t(1), GOOD + "fresh", "s2")], SCHEMA
+    ).select(F.sha2(F.col("text"), 256).alias("fp")).write.parquet(out)
+
+    # two orphaned staging copies from prior crashed compactions
+    for i in range(2):
+        orphan = str(tmp_path / f"fpindex_staging_orphan{i}")
+        _os.makedirs(orphan)
+        with open(_os.path.join(orphan, "part-0.parquet"), "wb") as f:
+            f.write(b"junk")
+
+    compact_corpus_index(spark, index_dir, out)
+    leftovers = [
+        e for e in _os.listdir(tmp_path) if e.startswith("fpindex_staging_")
+    ]
+    assert leftovers == []
+    fps = {r["fp"] for r in spark.read.parquet(index_dir).collect()}
+    assert len(fps) == 2
