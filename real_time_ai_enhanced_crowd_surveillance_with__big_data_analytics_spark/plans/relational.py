@@ -1020,34 +1020,48 @@ def approx_aggregates(spark: SparkSession, sf: str) -> DataFrame:
     deterministic. Accuracy is additionally asserted against tighter
     tolerances in tests/test_approx.py."""
     events = load_table(spark, "events", sf)
-    agg = events.groupBy("event_type").agg(
+    # Plan shape matters here: mixing an exact COUNT DISTINCT with the
+    # percentile/sketch buffers in ONE aggregate makes Catalyst insert
+    # an Expand (x2 rows) and push every buffer through it — 5.4 s at
+    # sf0.1. Split instead: (a) percentiles + sketches + count in one
+    # pass (the six exact percentiles share one sort buffer via the
+    # array form — seven independent percentile aggregates cost 10.8 s);
+    # (b) exact distinct as its own two-phase hash agg (map-side
+    # combine on (event_type, user_id)); broadcast-join the
+    # event_type-cardinality results. ~0.9 s total, and each branch
+    # stays a partial-aggregated shuffle at 100 TB.
+    main = events.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.approx_count_distinct("user_id").alias("_hll"),
-        F.percentile_approx("value", 0.5).alias("_ap50"),
-        F.percentile_approx("value", 0.95).alias("_ap95"),
-        F.expr("percentile(value, 0.40)").alias("_p40"),
-        F.expr("percentile(value, 0.60)").alias("_p60"),
-        F.expr("percentile(value, 0.90)").alias("_p90"),
-        F.expr("percentile(value, 0.99)").alias("_p99"),
+        F.expr(
+            "percentile(value, array(0.40, 0.5, 0.60, 0.90, 0.95, 0.99))"
+        ).alias("_p"),
+        F.expr("percentile_approx(value, array(0.5, 0.95))").alias("_ap"),
     )
+    distinct = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    agg = main.join(F.broadcast(distinct), "event_type")
     return agg.select(
         "event_type",
         "n_events",
         "n_users",
-        "p50",
-        "p95",
+        F.round(F.col("_p")[1], 6).alias("p50"),
+        F.round(F.col("_p")[4], 6).alias("p95"),
         (
             F.abs(F.col("_hll") - F.col("n_users"))
             <= F.lit(0.15) * F.col("n_users")
         ).alias("hll_in_bounds"),
         (
-            (F.col("_ap50") >= F.col("_p40")) & (F.col("_ap50") <= F.col("_p60"))
+            (F.col("_ap")[0] >= F.col("_p")[0])
+            & (F.col("_ap")[0] <= F.col("_p")[2])
         ).alias("p50_in_bounds"),
         (
-            (F.col("_ap95") >= F.col("_p90")) & (F.col("_ap95") <= F.col("_p99"))
+            (F.col("_ap")[1] >= F.col("_p")[3])
+            & (F.col("_ap")[1] <= F.col("_p")[5])
         ).alias("p95_in_bounds"),
     )
 
@@ -1407,16 +1421,30 @@ WHERE n_events > 0
 
 
 def event_cube(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE over (event_type, day) — all grouping sets in one shuffle."""
+    """CUBE over (event_type, day) — all grouping sets in one shuffle.
+
+    avg(value) via integer-exact cents (tools/round_margin_audit.py
+    measured the float avg within 3e-10 quanta of a 6dp rounding
+    midpoint — ``value`` lives on a 0.01 grid, so group means land
+    exactly on midpoints and summation-order jitter decides the
+    rounded value): sum cents as int64 (exact, order-free), divide by
+    n once, floor(x+0.5) — the same deterministic double in every
+    engine/partitioning."""
     events = load_table(spark, "events", sf)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
     return (
         events.withColumn(
             "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
         )
+        .withColumn("cents", cents)
         .cube("event_type", "day")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            (
+                F.floor(
+                    F.sum("cents") * F.lit(10000.0) / F.count("*") + F.lit(0.5)
+                ) / F.lit(1000000.0)
+            ).alias("avg_value"),
         )
     )
 
@@ -1425,7 +1453,8 @@ EVENT_CUBE_SQL = """
 SELECT event_type,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       floor(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+             * 10000.0 / count(*) + 0.5) / 1000000.0 AS avg_value
 FROM events
 GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
 """

@@ -417,16 +417,22 @@ def embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("sy").alias("sy"),
         F.sum("n").alias("n"),
     )
+    # + 0.0 normalizes IEEE negative zero: Spark's BigDecimal round
+    # emits 0.0 where DuckDB's round keeps -0.0, and repr-level
+    # canonicalizers distinguish them
     return tot.select(
         "i",
         "j",
-        F.round(
-            (
-                F.col("sxy") / F.col("n")
-                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        (
+            F.round(
+                (
+                    F.col("sxy") / F.col("n")
+                    - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+                )
+                / F.lit(1000000.0),
+                6,
             )
-            / F.lit(1000000.0),
-            6,
+            + F.lit(0.0)
         ).alias("cov"),
     )
 
@@ -445,7 +451,7 @@ SELECT CAST(a.i AS INTEGER) AS i,
        round((CAST(sum(a.v * b.v) AS DOUBLE) / count(*)
               - (CAST(sum(a.v) AS DOUBLE) / count(*))
                 * (CAST(sum(b.v) AS DOUBLE) / count(*)))
-             / 1000000.0, 6) AS cov
+             / 1000000.0, 6) + 0.0 AS cov
 FROM flat a
 JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i

@@ -427,13 +427,26 @@ def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.text import quality_score, token_count
 
     docs = load_table(spark, "documents", sf)
+    # mean quality via integer-exact micro-units (tools/
+    # round_margin_audit.py measured the float avg EXACTLY on a 6dp
+    # rounding midpoint — margin 6e-12 quanta — so summation-order
+    # jitter decides the rounded value; the r5 embedding_covariance
+    # failure mode): per-doc quality is already on the 1e-6 grid, so
+    # floor(q·1e6 + 0.5) recovers it as int64, the sum is exact, and
+    # floor(sum/n + 0.5)/1e6 is the same deterministic double in every
+    # engine/partitioning.
+    q_micro = F.floor(
+        quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
     agg = (
         docs.groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(token_count(F.col("text"))).alias("n_tokens"),
-            F.round(
-                F.avg(quality_score(F.col("text"))), 6
+            (
+                F.floor(
+                    F.sum(q_micro) / F.count("*") + F.lit(0.5)
+                ) / F.lit(1000000.0)
             ).alias("mean_quality"),
         )
         # materialized once (mixture-cardinality rows) so the total
@@ -459,7 +472,8 @@ WITH agg AS (
   SELECT source, lang,
          count(*) AS n_docs,
          CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
-         round(avg({_DQ}), 6) AS mean_quality
+         floor(sum(CAST(floor(({_DQ}) * 1000000.0 + 0.5) AS BIGINT))
+               * 1.0 / count(*) + 0.5) / 1000000.0 AS mean_quality
   FROM documents
   GROUP BY source, lang
 )
