@@ -226,6 +226,36 @@ def fire_pixel_count(img: np.ndarray, blur_ksize: int = 21) -> int:
     return int(mask.sum())
 
 
+def bitwise_mask_apply(
+    frame: np.ndarray, other: np.ndarray, mask: np.ndarray
+) -> np.ndarray:
+    """SURVEY §2.2 P9 — the reference's display-sink masking projection
+    ``cv2.bitwise_and(frame, hsv, mask=mask)`` (main.py:165): per-pixel
+    ``frame AND other`` wherever mask is non-zero, 0 elsewhere. cv2
+    semantics exactly: the mask is single-channel and gates ALL
+    channels; AND is bitwise on uint8. Sink-side only in the reference
+    (the relational plans consume the mask's COUNT, not the masked
+    image), so the engine exposes it as a transform for rendered
+    outputs — composable into the transform pipeline like blur/hsv."""
+    if mask.ndim == 3:
+        mask = mask[:, :, 0]
+    out = (frame & other).astype("uint8", copy=False)
+    return np.where(mask[:, :, None] != 0, out, np.uint8(0))
+
+
+def fire_mask_overlay(img: np.ndarray, blur_ksize: int = 21) -> np.ndarray:
+    """The full reference display path (main.py:154-165): blur → HSV →
+    inRange fire mask → bitwise_and(frame, hsv, mask) — the rendered
+    overlay the display sink would show. Returns the masked composite."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    hsv = bgr_to_hsv(gaussian_blur(img, blur_ksize))
+    lo = np.array(FIRE_HSV_LOWER)
+    hi = np.array(FIRE_HSV_UPPER)
+    mask = np.all((hsv >= lo) & (hsv <= hi), axis=-1).astype("uint8") * 255
+    return bitwise_mask_apply(img, hsv, mask)
+
+
 def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize in pure numpy — genuinely functional
     (not a stub): index-map sampling, the same semantics as

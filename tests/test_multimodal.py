@@ -221,3 +221,38 @@ def test_fire_pixel_scan_distributed(spark, sf_dir):
     assert got == {
         d: fire_pixel_count(decode_image(buf)) for d, buf in raw.items()
     }
+
+
+def test_bitwise_mask_apply_cv2_semantics():
+    """P9 (reference main.py:165): AND is bitwise per channel, the
+    single-channel mask gates ALL channels, zero elsewhere — matches
+    cv2.bitwise_and(frame, hsv, mask=mask) when cv2 is present."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.multimodal import (
+        bitwise_mask_apply,
+        fire_mask_overlay,
+    )
+
+    rng = np.random.RandomState(7)
+    frame = rng.randint(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    other = rng.randint(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    mask = (rng.randint(0, 2, size=(8, 9), dtype=np.uint8)) * 255
+
+    out = bitwise_mask_apply(frame, other, mask)
+    assert out.dtype == np.uint8 and out.shape == frame.shape
+    # masked-off pixels are exactly zero; masked-on are frame AND other
+    assert (out[mask == 0] == 0).all()
+    assert np.array_equal(out[mask != 0], (frame & other)[mask != 0])
+
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    if cv2 is not None:
+        assert np.array_equal(
+            out, cv2.bitwise_and(frame, other, mask=mask)
+        )
+
+    # the composed display path runs end-to-end and only lights pixels
+    # inside the fire HSV band
+    overlay = fire_mask_overlay(frame)
+    assert overlay.shape == frame.shape and overlay.dtype == np.uint8
