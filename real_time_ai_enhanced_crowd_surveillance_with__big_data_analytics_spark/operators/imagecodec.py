@@ -6,9 +6,10 @@ emits: PNG is zlib (stdlib) + five scanline filters, BMP is a header
 and a pixel array. Implementing both here makes the multimodal decode
 step REAL for those formats — ``decode_image`` (operators/
 multimodal.py) sniffs magic bytes and routes here before falling back
-to its deterministic stub — while JPEG et al. remain behind the
-cv2/PIL gate (a from-scratch DCT decoder is out of scope, not out of
-principle).
+to its deterministic stub. r6 extends the family with a from-scratch
+baseline JPEG codec (operators/jpegcodec.py); only genuinely exotic
+corners (progressive JPEG, arithmetic coding) remain behind the
+cv2/PIL gate.
 
 Decoders return uint8 BGR (cv2 convention, matching the reference's
 frames at main.py:143-149) so every downstream operator
@@ -47,11 +48,13 @@ MAX_DIM = 32_768  # per-axis decode cap: past this a corrupted header is
 
 
 def sniff_format(buf: bytes) -> str | None:
-    """'png' | 'bmp' | None by magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | None by magic bytes."""
     if buf[:8] == PNG_MAGIC:
         return "png"
     if buf[:2] == BMP_MAGIC:
         return "bmp"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 

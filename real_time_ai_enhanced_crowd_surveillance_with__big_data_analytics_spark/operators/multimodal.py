@@ -7,11 +7,12 @@ Conventions:
 - pointer: ``image_uri StringType`` for the 100 TB posture,
 - metadata: plain columns (width/height/format), never packed blobs.
 
-Decode status (r5): PNG and BMP byte→pixel decode is REAL with zero
-external deps (operators/imagecodec.py — stdlib zlib + numpy scanline
-unfiltering), selected by magic-byte sniffing; cv2/PIL are preferred
-when importable and remain the only path for JPEG, whose absence
-leaves the deterministic byte-level stub for non-PNG/BMP buffers. The
+Decode status (r6): PNG, BMP (r5, operators/imagecodec.py) AND
+baseline JPEG (r6, operators/jpegcodec.py — Annex K Huffman + IDCT)
+byte→pixel decode are REAL with zero external deps, selected by
+magic-byte sniffing; cv2/PIL are preferred when importable and remain
+the only path for exotic corners (progressive JPEG), whose absence
+leaves the deterministic byte-level stub. The
 Spark-side plumbing (schema, Arrow batch shape, mapInPandas
 signature, partitioning) is real and tested either way.
 The reference's equivalents are numpy_to_pil (main.py:139-140) and the
@@ -58,9 +59,10 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def decode_image(buf: bytes) -> np.ndarray:
     """Real decode via cv2/PIL when importable; REAL pure-stdlib decode
-    for PNG and BMP regardless (operators/imagecodec.py — zlib +
-    numpy, no external lib, r5); deterministic fake only for formats
-    that genuinely need a native decoder (JPEG) when no lib is
+    for PNG and BMP (operators/imagecodec.py — zlib + numpy, r5) and
+    baseline JPEG (operators/jpegcodec.py — Huffman + IDCT, r6)
+    regardless; deterministic fake only for genuinely unsupported
+    corners (progressive JPEG, exotic formats) when no lib is
     present. Always returns a uint8 array in cv2's BGR channel order
     so everything downstream (preprocess_blob, feature histograms) is
     convention-stable regardless of which decoder ran — matching the
@@ -82,6 +84,7 @@ def decode_image(buf: bytes) -> np.ndarray:
         img = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
         return img[:, :, ::-1].copy()  # RGB → BGR, cv2 convention
     from .imagecodec import decode_bmp, decode_png, sniff_format
+    from .jpegcodec import decode_jpeg
 
     fmt = sniff_format(bytes(buf))
     try:
@@ -89,6 +92,10 @@ def decode_image(buf: bytes) -> np.ndarray:
             return decode_png(bytes(buf))
         if fmt == "bmp":
             return decode_bmp(bytes(buf))
+        if fmt == "jpeg":
+            # r6: baseline JFIF decode is real too (jpegcodec.py);
+            # progressive/arithmetic still degrade to the stub here
+            return decode_jpeg(bytes(buf))
     except ValueError:
         # the no-lib seam stays TOTAL: a malformed/unsupported-corner
         # buffer degrades to the deterministic stub (the container's
