@@ -181,6 +181,61 @@ FROM documents
 """
 
 
+def pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """The redaction TRANSFORM policy_pattern_scan only counts for:
+    mask emails → [EMAIL], long digit runs → [NUM], and the analytics
+    keyword pack → [TERM], emitting the rewritten text plus per-pattern
+    replacement counts and a changed flag — the standard PII-scrub
+    stage of a training-data pipeline (a real deployment swaps in its
+    pattern pack; the plumbing is the point).
+
+    All three rewrites are chained codegen'd regexp_replace over one
+    scan — no shuffle, no UDF; counts come from regexp_count on the
+    ORIGINAL text so they equal what was replaced. Patterns are
+    RE2-safe and replacement order is pinned (email first, so digit
+    runs inside an address are already masked when [NUM] runs), making
+    the output byte-identical across engines. On this clean synthetic
+    corpus the PII columns are legitimately zero; the keyword mask
+    carries the signal that the rewriting is real."""
+    docs = load_table(spark, "documents", sf)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_PAT, "[EMAIL]"),
+            DIGIT_RUN_PAT,
+            "[NUM]",
+        ),
+        KEYWORD_PAT,
+        "[TERM]",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        F.regexp_count(F.col("text"), F.lit(EMAIL_PAT)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(DIGIT_RUN_PAT)).alias("n_num"),
+        F.regexp_count(F.col("text"), F.lit(KEYWORD_PAT)).alias("n_term"),
+        (redacted != F.col("text")).alias("changed"),
+    )
+
+
+PII_REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_PAT}', '[EMAIL]', 'g'),
+           '{DIGIT_RUN_PAT}', '[NUM]', 'g'),
+         '{KEYWORD_PAT}', '[TERM]', 'g') AS redacted_text,
+       len(regexp_extract_all(text, '{EMAIL_PAT}')) AS n_email,
+       len(regexp_extract_all(text, '{DIGIT_RUN_PAT}')) AS n_num,
+       len(regexp_extract_all(text, '{KEYWORD_PAT}')) AS n_term,
+       (regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_PAT}', '[EMAIL]', 'g'),
+           '{DIGIT_RUN_PAT}', '[NUM]', 'g'),
+         '{KEYWORD_PAT}', '[TERM]', 'g') != text) AS changed
+FROM documents
+"""
+
+
 # --- quality funnel (per-stage rejection accounting) -------------------------
 
 def quality_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -525,5 +580,6 @@ PIPELINE_QUALITY_QUERIES = {
     "contamination_check": (contamination_check, CONTAMINATION_CHECK_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "policy_pattern_scan": (policy_pattern_scan, POLICY_PATTERN_SCAN_SQL),
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
     "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
 }

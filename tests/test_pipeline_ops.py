@@ -125,3 +125,59 @@ def test_build_observation_matches_direct_aggregation(spark, sf_dir):
     assert got["n_tokens"] == want.n_tokens
     assert got["mean_quality"] == want.mean_quality
     assert got["null_quality"] == 0
+
+
+def test_pii_redact_masks_synthetic_pii(spark, sf_dir):
+    """The corpus carries no PII, so prove the masking on synthetic
+    rows: emails → [EMAIL], digit runs → [NUM], keywords → [TERM],
+    email-before-digit order pinned (digits inside an address are
+    masked as part of the email, not left as a [NUM] island); then the
+    corpus query itself must show keyword rewrites actually occurred."""
+    import pandas as pd
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.pipeline_quality import (
+        DIGIT_RUN_PAT,
+        EMAIL_PAT,
+        KEYWORD_PAT,
+        pii_redact,
+    )
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_PAT, "[EMAIL]"),
+            DIGIT_RUN_PAT,
+            "[NUM]",
+        ),
+        KEYWORD_PAT,
+        "[TERM]",
+    )
+    rows = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "text": [
+                        "mail me at john.doe99+x@corp-mail.example.com now",
+                        "acct 123456789 and pin 00112233",
+                        "run the query on that table with a join",
+                        "clean text stays clean",
+                        "user1234567@host.org or call 998877665544",
+                    ]
+                }
+            )
+        )
+        .select(redacted.alias("out"))
+        .collect()
+    )
+    outs = [r.out for r in rows]
+    assert outs[0] == "mail me at [EMAIL] now"
+    assert outs[1] == "acct [NUM] and pin [NUM]"
+    assert outs[2] == "run the [TERM] on that [TERM] with a [TERM]"
+    assert outs[3] == "clean text stays clean"
+    assert outs[4] == "[EMAIL] or call [NUM]"  # digits in address: one mask
+
+    corpus = pii_redact(spark, sf_dir)
+    agg = corpus.agg(
+        F.sum(F.col("changed").cast("int")).alias("n_changed"),
+        F.sum("n_term").alias("terms"),
+    ).collect()[0]
+    assert agg.n_changed > 0 and agg.terms > 0  # rewriting is real
