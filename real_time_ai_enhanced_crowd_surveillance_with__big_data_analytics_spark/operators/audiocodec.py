@@ -1,0 +1,209 @@
+"""Pure-stdlib WAV codec + numpy audio features — the audio arm of the
+multimodal column conventions (SURVEY.md §1.2; BASELINE.json
+'image/audio/video as opaque binary columns').
+
+Same design as the image codecs (imagecodec.py r5, jpegcodec.py r6):
+the decode step is REAL with zero external deps for the formats a
+controlled pipeline emits — WAV/RIFF PCM (8/16/24/32-bit int, 32-bit
+float) — while compressed formats (MP3/AAC/Opus) stay behind a native
+gate, and ``decode_audio`` degrades to a deterministic byte-derived
+fake so the Spark seam is total. Feature extraction (RMS energy,
+zero-crossing rate, spectral centroid/rolloff via rfft) is plain
+numpy over the decoded samples and runs inside Arrow-batched
+mapInPandas workers — one call per clip, the same at-scale shape as
+the image feature path.
+
+ValueError contract: malformed buffers raise ValueError only (never
+struct/index errors), pinned by the corruption fuzz test, so a corrupt
+clip degrades instead of killing the task.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+RIFF_MAGIC = b"RIFF"
+WAVE_MAGIC = b"WAVE"
+MAX_SAMPLES = 1 << 28  # ~268M samples (~100 min at 44.1 kHz): past this
+# a corrupted header is far likelier than a real clip
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 samples in [-1, 1] shaped (n, channels),
+    sample_rate). PCM 8 (unsigned) / 16 / 24 / 32-bit and IEEE
+    float32; raises ValueError for compressed/extensible-only forms."""
+    try:
+        return _decode_wav_inner(buf)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as ex:
+        raise ValueError(f"malformed WAV: {type(ex).__name__}") from ex
+
+
+def _decode_wav_inner(buf: bytes) -> tuple[np.ndarray, int]:
+    if len(buf) < 12 or buf[:4] != RIFF_MAGIC or buf[8:12] != WAVE_MAGIC:
+        raise ValueError("not a WAV buffer")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short WAV fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _block, bits = fmt
+    if channels < 1 or channels > 16 or rate < 1:
+        raise ValueError(f"refusing WAV layout ({channels} ch @ {rate} Hz)")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+            raw = raw.reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            raise ValueError(f"unsupported WAV PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        if bits != 32:
+            raise ValueError(f"unsupported WAV float bit depth {bits}")
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV audio format {audio_fmt} "
+                         "(compressed formats need a native decoder)")
+    n = len(x) - len(x) % channels
+    if n > MAX_SAMPLES:
+        raise ValueError("WAV clip exceeds the decode sample cap")
+    return x[:n].reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """(n, channels) float in [-1, 1] → WAV bytes (PCM 16 or float32).
+    Round-trip partner and test oracle."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    if bits == 16:
+        fmt_code, sw = 1, 2
+        pcm = np.clip(np.floor(samples * 32768.0 + 0.5), -32768, 32767)
+        payload = pcm.astype("<i2").tobytes()
+    elif bits == 32:
+        fmt_code, sw = 3, 4
+        payload = samples.astype("<f4").tobytes()
+    else:
+        raise ValueError("encode_wav writes 16-bit PCM or 32-bit float")
+    hdr = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, channels, rate,
+        rate * channels * sw, channels * sw, bits * 1,
+    )
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        data += b"\x00"
+    body = WAVE_MAGIC + hdr + data
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+# --- features -----------------------------------------------------------------
+
+N_AUDIO_FEATURES = 6
+
+
+def audio_features(x: np.ndarray, rate: int) -> dict[str, float]:
+    """Clip-level descriptors over the mono mix: duration, RMS energy,
+    peak, zero-crossing rate (Hz), spectral centroid and 85% rolloff
+    (Hz, via rfft power spectrum). Deterministic pure numpy."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = len(mono)
+    if n == 0:
+        return {
+            "duration_s": 0.0, "rms": 0.0, "peak": 0.0,
+            "zcr_hz": 0.0, "centroid_hz": 0.0, "rolloff_hz": 0.0,
+        }
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.abs(mono).max())
+    crossings = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    zcr = crossings / 2.0 * rate / max(1, n - 1)
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = spec.sum()
+    if total > 0:
+        centroid = float((freqs * spec).sum() / total)
+        cum = np.cumsum(spec)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    else:
+        centroid = rolloff = 0.0
+    return {
+        "duration_s": round(n / rate, 6),
+        "rms": round(rms, 6),
+        "peak": round(peak, 6),
+        "zcr_hz": round(zcr, 6),
+        "centroid_hz": round(centroid, 6),
+        "rolloff_hz": round(rolloff, 6),
+    }
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """Total decode seam (the audio twin of decode_image): real WAV
+    decode when the magic matches and parses; deterministic byte-
+    derived fake otherwise — bytes as centered int8 samples at 8 kHz —
+    so the Spark batch path never dies on a bad clip."""
+    try:
+        return _decode_wav_inner(buf)
+    except (ValueError, struct.error, IndexError):
+        arr = np.frombuffer(buf[:8000], dtype=np.uint8).astype(np.float64)
+        return ((arr - 128.0) / 128.0)[:, None], 8000
+
+
+def audio_feature_scan(df):
+    """Distributed clip-feature extraction over (doc_id, payload)
+    binary columns — Arrow-batched mapInPandas, one row per clip, zero
+    shuffle; the drop-in slot for a real embedding model
+    (predict_batch_udf) at 100 TB."""
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                x, rate = decode_audio(bytes(buf))
+                f = audio_features(x, rate)
+                rows.append((int(doc_id), rate, *f.values()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "duration_s", "rms", "peak",
+                    "zcr_hz", "centroid_hz", "rolloff_hz",
+                ],
+            )
+
+    return df.mapInPandas(
+        scan,
+        schema=(
+            "doc_id long, sample_rate int, duration_s double, rms double, "
+            "peak double, zcr_hz double, centroid_hz double, rolloff_hz double"
+        ),
+    )
