@@ -111,3 +111,20 @@ def test_allowed_global_windows_still_needed(registry_dfs):
         and not _global_window_unbounded(registry_dfs[name][1])
     ]
     assert not stale, f"ALLOWED_GLOBAL_WINDOWS entries no longer needed: {stale}"
+
+
+def test_no_cartesian_or_rowwise_python(registry_dfs):
+    """The other two explain_audit flags, mechanically over the whole
+    registry: no CartesianProduct (unbounded cross join — broadcast
+    NLJ with a tiny build side prints as BroadcastNestedLoopJoin and
+    is fine), and no BatchEvalPython (row-at-a-time Python UDF outside
+    Arrow) anywhere in any physical plan."""
+    cartesian, rowpy = [], []
+    for name, (_df, plan) in registry_dfs.items():
+        tree = plan.toString()
+        if "CartesianProduct" in tree:
+            cartesian.append(name)
+        if "BatchEvalPython" in tree:
+            rowpy.append(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not rowpy, f"row-at-a-time Python UDF in: {rowpy}"
