@@ -1,0 +1,125 @@
+"""Scene-cut detection over frame sequences — the video-analysis op
+the reference's imperative loop approximates with its per-frame
+detect-and-compare passes (main.py:143-190 processes frames serially;
+a cut is where consecutive-frame statistics jump).
+
+Spark-first decomposition, batch/stream-agnostic:
+
+1. ``frame_histograms`` — mapInPandas over (video_id, frame_idx,
+   frame_png) binary frames: decode (the zero-dep imagecodec/jpegcodec
+   path with the same total-degrade seam as decode_image) → per-frame
+   normalized 16-bin gray histogram as ``array<double>``. Partition-
+   local, zero shuffle, Arrow-batched — the standard multimodal batch
+   shape.
+2. ``scene_cuts`` — pure Column expressions from there: L1 histogram
+   distance to the previous frame via ``zip_with`` + ``aggregate``
+   (JVM-side, codegen'd — no Python in the hot comparison), a window
+   ``lag`` partitioned by video_id ordered by frame_idx, and a
+   threshold predicate. One shuffle on video_id — exactly the
+   partitioning a 100 TB frame store would already have (frames
+   arrive bucketed by camera/video), so the window sorts within
+   partitions without a global funnel.
+
+Threshold semantics: L1 distance of normalized histograms lies in
+[0, 2]; CUT_THRESHOLD = 0.5 flags genuine content changes while
+tolerating compression noise (the tests pin both sides: JPEG-grade
+noise stays below, scene changes land far above)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BINS = 16
+CUT_THRESHOLD = 0.5  # L1 on normalized histograms, range [0, 2]
+
+
+def gray_histogram(img: np.ndarray, n_bins: int = N_BINS) -> list[float]:
+    """Normalized luma histogram of a BGR (or 2-D stub) frame."""
+    if img.ndim == 3:
+        gray = (
+            0.114 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.299 * img[:, :, 2]
+        )
+    else:
+        gray = img.astype(np.float64)
+    hist, _ = np.histogram(gray, bins=n_bins, range=(0, 256))
+    return (hist / max(1, gray.size)).round(6).tolist()
+
+
+def _hist_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .multimodal import decode_image
+
+    for pdf in batches:
+        hists = [
+            gray_histogram(decode_image(bytes(buf))) for buf in pdf["frame_png"]
+        ]
+        yield pd.DataFrame(
+            {
+                "video_id": pdf["video_id"],
+                "frame_idx": pdf["frame_idx"],
+                "hist": hists,
+            }
+        )
+
+
+def frame_histograms(frames: DataFrame) -> DataFrame:
+    """(video_id, frame_idx, frame_png binary) → (video_id, frame_idx,
+    hist array<double>). Partition-local decode + histogram."""
+    return frames.mapInPandas(
+        _hist_batches,
+        schema=f"video_id long, frame_idx long, hist array<double>",
+    )
+
+
+def scene_cuts(
+    frames: DataFrame, threshold: float = CUT_THRESHOLD
+) -> DataFrame:
+    """Frame sequence → per-frame L1 histogram delta and cut flag.
+    The comparison is pure JVM Column arithmetic (zip_with/aggregate
+    over the 16-element arrays); the only Python is the decode stage.
+    First frame of each video has delta NULL and is never a cut."""
+    from pyspark.sql import Window
+
+    hists = frame_histograms(frames)
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("hist").over(w)
+    l1 = F.aggregate(
+        F.zip_with("hist", prev, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return hists.select(
+        "video_id",
+        "frame_idx",
+        F.round(l1, 6).alias("hist_delta"),
+        F.when(prev.isNull(), F.lit(False))
+        .otherwise(l1 > threshold)
+        .alias("is_cut"),
+    )
+
+
+def scene_segments(frames: DataFrame, threshold: float = CUT_THRESHOLD) -> DataFrame:
+    """Cuts → scene segmentation: a running sum of cut flags numbers
+    each frame's scene (the gaps-and-islands pattern, same shape as
+    plans/timeseries.py's episode census); output is one row per scene
+    with its frame span. Shuffles once on video_id."""
+    from pyspark.sql import Window
+
+    cuts = scene_cuts(frames, threshold)
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    scene = F.sum(F.col("is_cut").cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cuts.withColumn("scene_id", scene)
+        .groupBy("video_id", "scene_id")
+        .agg(
+            F.min("frame_idx").alias("first_frame"),
+            F.max("frame_idx").alias("last_frame"),
+            F.count("*").alias("n_frames"),
+        )
+    )
