@@ -57,6 +57,30 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def read_image_dir(
+    spark, path: str, glob: str | None = None, max_bytes: int = 64 << 20
+) -> DataFrame:
+    """The 100 TB ingestion posture the column conventions point at:
+    an object-store directory of image/clip files scanned with Spark's
+    ``binaryFile`` source — (doc_id, payload, payload_uri) with the
+    same shape ``with_binary_payload`` synthesizes from documents, so
+    every downstream operator (fire_pixel_scan, extract_features,
+    audio_feature_scan) runs unchanged on real files. doc_id is a
+    stable hash of the URI (xxhash64 — deterministic across runs,
+    collision-negligible at catalog scale); ``pathGlobFilter`` pushes
+    the extension filter into the file listing, and the size cap
+    filters pathological blobs BEFORE bytes move."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    files = r.load(path)
+    return files.filter(F.col("length") <= max_bytes).select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.col("path").alias("payload_uri"),
+    )
+
+
 def decode_image(buf: bytes) -> np.ndarray:
     """Real decode via cv2/PIL when importable; REAL pure-stdlib decode
     for PNG and BMP (operators/imagecodec.py — zlib + numpy, r5) and
