@@ -71,7 +71,7 @@ def frame_histograms(frames: DataFrame) -> DataFrame:
     hist array<double>). Partition-local decode + histogram."""
     return frames.mapInPandas(
         _hist_batches,
-        schema=f"video_id long, frame_idx long, hist array<double>",
+        schema="video_id long, frame_idx long, hist array<double>",
     )
 
 

@@ -128,3 +128,17 @@ def test_no_cartesian_or_rowwise_python(registry_dfs):
             rowpy.append(name)
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not rowpy, f"row-at-a-time Python UDF in: {rowpy}"
+
+
+def test_every_query_has_an_oracle():
+    """r6 closed the last two no-oracle queries (stratified_sample via
+    the portable hash sampler, approx_aggregates via exact+bounds
+    columns); from here, shipping a registry query without a DuckDB
+    oracle is a deliberate decision that must edit this test, not a
+    silent rows-only downgrade."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans import (
+        ORACLES,
+    )
+
+    missing = [n for n in QUERIES if n not in ORACLES]
+    assert not missing, f"registry queries without oracles: {missing}"
