@@ -68,8 +68,13 @@ _PRIORITY: list[str] = [
     # (a) fixed r5 reds
     "inverted_index",
     "embedding_covariance",
-    # (b) never checked
+    # (b) never checked (dedup_containment_capped from r5;
+    # pii_redact / sketch_rollup added earlier in r6 — a never-checked
+    # query outranks a 3-round-old green battery re-verdict, so these
+    # displace token_stats / trigram_profile from (f), both r2-green)
     "dedup_containment_capped",
+    "pii_redact",
+    "sketch_rollup",
     # (c) spec/plan changed after the r5 freeze
     "cap_per_source",
     "source_quota_sample",
@@ -105,11 +110,9 @@ _PRIORITY: list[str] = [
     "quality_funnel",
     "bpe_token_stats",
     "tfidf_top_terms",
-    "token_stats",
     "doc_quality",
     "lang_id",
     "doc_fingerprint",
-    "trigram_profile",
     "lm_cross_entropy",
     "fire_alerts",
     "user_cohorts_setops",
