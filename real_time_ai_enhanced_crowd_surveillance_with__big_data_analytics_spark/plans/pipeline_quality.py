@@ -574,6 +574,182 @@ SELECT 'props', n_rows, null_props, dist_props,
 """
 
 
+# --- weak-supervision vote (Snorkel-style label-matrix diagnostics) ---------
+
+# (name, +1 condition, -1 condition) triples are materialized as vote
+# columns v1..v4 in one projection; every diagnostic below is a
+# conditional sum over those four small ints.
+_LF_NAMES = ("lf_length", "lf_lang", "lf_stopword", "lf_distinct")
+
+
+def weak_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """Weak-supervision labeling-function diagnostics over the corpus
+    (the Snorkel label-matrix report): four heuristic labeling
+    functions each vote keep(+1)/drop(-1)/abstain(0) per document;
+    consensus is the vote-sum sign. Output is one row per LF —
+    coverage, polarity counts, overlap with other voters, conflicts,
+    and agreement with consensus — plus a consensus summary row. This
+    is the report a pipeline publishes before trusting an ensemble of
+    quality heuristics as training labels.
+
+    All votes are integer-exact: ratio thresholds use cross-multiplied
+    integer comparisons (``10*n_sw <= n_tok``), never float division,
+    so no rounding boundary exists for partitioning to flip. One
+    full-corpus scan: the vote matrix is a single codegen'd projection,
+    every diagnostic is a conditional sum in ONE aggregate (map-side
+    partial -> one driver-sized row), and the per-LF rows explode from
+    that row — adding labeling functions adds columns, not passes, so
+    at 100 TB this stays a single scan like quality_funnel.
+    """
+    from ..functions.text import stopword_count, token_count, tokens
+
+    docs = load_table(spark, "documents", sf)
+    t = F.col("text")
+    n_tok = token_count(t)
+    n_sw = stopword_count(t)
+    n_dis = F.size(F.array_distinct(tokens(t)))
+    votes = [
+        F.when(F.col("n_chars") >= 150, 1)
+        .when(F.col("n_chars") < 60, -1)
+        .otherwise(0),
+        F.when(F.col("lang") == "en", 1).otherwise(-1),
+        F.when(10 * n_sw <= n_tok, 1).when(4 * n_sw >= n_tok, -1).otherwise(0),
+        F.when(2 * n_dis >= n_tok, 1).when(3 * n_dis < n_tok, -1).otherwise(0),
+    ]
+    mat = docs.select(
+        *[v.alias(f"v{j + 1}") for j, v in enumerate(votes)]
+    ).withColumn(
+        "c",
+        F.signum(sum(F.col(f"v{j + 1}") for j in range(4))).cast("int"),
+    )
+
+    def _n(cond):  # conditional count as a sum column
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for j in range(4):
+        vj = F.col(f"v{j + 1}")
+        others = [F.col(f"v{k + 1}") for k in range(4) if k != j]
+        other_voted = sum((o != 0).cast("int") for o in others) > 0
+        other_disagrees = (
+            sum(((o != 0) & (o != vj)).cast("int") for o in others) > 0
+        )
+        aggs += [
+            _n(vj == 1).alias(f"pos{j}"),
+            _n(vj == -1).alias(f"neg{j}"),
+            _n((vj != 0) & other_voted).alias(f"ovl{j}"),
+            _n((vj != 0) & other_disagrees).alias(f"cfl{j}"),
+            _n((vj != 0) & (F.col("c") != 0) & (vj == F.col("c"))).alias(
+                f"agr{j}"
+            ),
+            _n((vj != 0) & (F.col("c") != 0)).alias(f"dec{j}"),
+        ]
+    aggs += [_n(F.col("c") == 1).alias("cpos"), _n(F.col("c") == -1).alias("cneg")]
+    one = mat.agg(*aggs)
+
+    rows = [
+        F.struct(
+            F.lit(name).alias("lf"),
+            F.col(f"pos{j}").alias("n_pos"),
+            F.col(f"neg{j}").alias("n_neg"),
+            F.round(
+                (F.col(f"pos{j}") + F.col(f"neg{j}")) / F.col("n_docs"), 6
+            ).alias("coverage"),
+            F.col(f"ovl{j}").alias("n_overlap"),
+            F.col(f"cfl{j}").alias("n_conflict"),
+            F.round(
+                F.col(f"agr{j}") / F.nullif(F.col(f"dec{j}"), F.lit(0)), 6
+            ).alias("agree_rate"),
+        )
+        for j, name in enumerate(_LF_NAMES)
+    ]
+    rows.append(
+        F.struct(
+            F.lit("consensus").alias("lf"),
+            F.col("cpos").alias("n_pos"),
+            F.col("cneg").alias("n_neg"),
+            F.round(
+                (F.col("cpos") + F.col("cneg")) / F.col("n_docs"), 6
+            ).alias("coverage"),
+            F.lit(0).cast("long").alias("n_overlap"),
+            F.lit(0).cast("long").alias("n_conflict"),
+            F.lit(1.0).alias("agree_rate"),
+        )
+    )
+    return one.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+WEAK_LABEL_VOTE_SQL = """
+WITH base AS (
+  SELECT n_chars, lang,
+         len(string_split(trim(text), ' ')) AS n_tok,
+         len(list_filter(string_split(trim(text), ' '),
+                         x -> x = 'the' OR x = 'a')) AS n_sw,
+         len(list_distinct(string_split(trim(text), ' '))) AS n_dis
+  FROM documents
+), v AS (
+  SELECT CASE WHEN n_chars >= 150 THEN 1 WHEN n_chars < 60 THEN -1
+              ELSE 0 END AS v1,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS v2,
+         CASE WHEN 10 * n_sw <= n_tok THEN 1
+              WHEN 4 * n_sw >= n_tok THEN -1 ELSE 0 END AS v3,
+         CASE WHEN 2 * n_dis >= n_tok THEN 1
+              WHEN 3 * n_dis < n_tok THEN -1 ELSE 0 END AS v4
+  FROM base
+), w AS (
+  SELECT v1, v2, v3, v4, CAST(sign(v1 + v2 + v3 + v4) AS INT) AS c FROM v
+), agg AS (
+  SELECT count(*) AS n_docs, {lf_sums},
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         CAST(sum(CASE WHEN c = -1 THEN 1 ELSE 0 END) AS BIGINT) AS cneg
+  FROM w
+)
+{lf_rows}
+UNION ALL
+SELECT 'consensus', cpos, cneg,
+       round(CAST(cpos + cneg AS DOUBLE) / n_docs, 6),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1.0 FROM agg
+"""
+
+
+def _weak_label_vote_sql() -> str:
+    sums, rows = [], []
+    for j, name in enumerate(_LF_NAMES):
+        vj = f"v{j + 1}"
+        others = [f"v{k + 1}" for k in range(4) if k != j]
+        other_voted = " + ".join(
+            f"CASE WHEN {o} <> 0 THEN 1 ELSE 0 END" for o in others
+        )
+        other_dis = " + ".join(
+            f"CASE WHEN {o} <> 0 AND {o} <> {vj} THEN 1 ELSE 0 END"
+            for o in others
+        )
+        for alias, cond in [
+            (f"pos{j}", f"{vj} = 1"),
+            (f"neg{j}", f"{vj} = -1"),
+            (f"ovl{j}", f"{vj} <> 0 AND ({other_voted}) > 0"),
+            (f"cfl{j}", f"{vj} <> 0 AND ({other_dis}) > 0"),
+            (f"agr{j}", f"{vj} <> 0 AND c <> 0 AND {vj} = c"),
+            (f"dec{j}", f"{vj} <> 0 AND c <> 0"),
+        ]:
+            sums.append(
+                f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS {alias}"
+            )
+        rows.append(
+            f"SELECT '{name}' AS lf, pos{j} AS n_pos, neg{j} AS n_neg,\n"
+            f"       round(CAST(pos{j} + neg{j} AS DOUBLE) / n_docs, 6)"
+            f" AS coverage,\n"
+            f"       ovl{j} AS n_overlap, cfl{j} AS n_conflict,\n"
+            f"       round(CAST(agr{j} AS DOUBLE) / nullif(dec{j}, 0), 6)"
+            f" AS agree_rate FROM agg"
+        )
+    return WEAK_LABEL_VOTE_SQL.format(
+        lf_sums=",\n         ".join(sums),
+        lf_rows="\nUNION ALL\n".join(rows),
+    )
+
+
 PIPELINE_QUALITY_QUERIES = {
     "column_profile": (column_profile, COLUMN_PROFILE_SQL),
     "expectation_report": (expectation_report, EXPECTATION_REPORT_SQL),
@@ -582,4 +758,5 @@ PIPELINE_QUALITY_QUERIES = {
     "policy_pattern_scan": (policy_pattern_scan, POLICY_PATTERN_SCAN_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
+    "weak_label_vote": (weak_label_vote, _weak_label_vote_sql()),
 }
