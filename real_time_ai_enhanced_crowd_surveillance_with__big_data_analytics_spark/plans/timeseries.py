@@ -727,7 +727,97 @@ GROUP BY 1, 2
 """
 
 
+# --- mergeable-state rollup maintenance (late-data merge) -------------------
+
+def state_merge_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental rollup maintenance under late-arriving data — the
+    reason a 100 TB rollup table stores MERGEABLE state (count / sum /
+    min / max in exact integer cents), not finished averages: when a
+    late delta arrives for a day that already has state, the pipeline
+    aggregates only the delta and merges the two partials; history is
+    never rescanned. Here the 5% late slice (``event_id % 20 = 19`` —
+    deterministic, timestamps spread across ALL days, so its state
+    genuinely collides with on-time state) is carried as a grouping
+    key in the first aggregate (= the two state tables built in one
+    scan), and the second aggregate IS the merge: counts and cent-sums
+    add, min/max combine, and the average is derived only at the end
+    from exact integers (one deterministic division — partition-order
+    invariant on both engines). ``n_state_shards`` makes the merge
+    observable: 2 where a late partial met on-time state.
+
+    Streaming twin: ``streaming/rollup.py`` (exactly-once foreachBatch
+    merge into the same state shape); distinct-count analog:
+    ``sketch_rollup`` (HLL sketches — mergeable state for the one
+    aggregate count/sum/min/max cannot express).
+    """
+    events = load_table(spark, "events", sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    state = (
+        events.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+            (F.col("event_id") % 20 == 19).alias("late"),
+            cents.alias("cents"),
+        )
+        .groupBy("day", "event_type", "late")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+    )
+    return (
+        state.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_state_shards"),
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("sum_cents"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_state_shards",
+            "n_events",
+            "sum_cents",
+            (F.col("mn") / 100.0).alias("min_value"),
+            (F.col("mx") / 100.0).alias("max_value"),
+            F.round(
+                F.col("sum_cents") / (F.col("n_events") * 100.0), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
+STATE_MERGE_ROLLUP_SQL = """
+WITH state AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         event_id % 20 = 19 AS late,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         min(CAST(round(value * 100) AS BIGINT)) AS mn,
+         max(CAST(round(value * 100) AS BIGINT)) AS mx
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT day, event_type,
+       CAST(count(*) AS BIGINT) AS n_state_shards,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(s) AS BIGINT) AS sum_cents,
+       min(mn) / 100.0 AS min_value,
+       max(mx) / 100.0 AS max_value,
+       round(CAST(sum(s) AS DOUBLE) / (sum(n) * 100.0), 6) AS avg_value
+FROM state
+GROUP BY day, event_type
+"""
+
+
 TIMESERIES_QUERIES = {
+    "state_merge_rollup": (state_merge_rollup, STATE_MERGE_ROLLUP_SQL),
     "scd2_tier_join": (scd2_tier_join, SCD2_TIER_JOIN_SQL),
     "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
     "seasonal_profile": (seasonal_profile, SEASONAL_PROFILE_SQL),
