@@ -900,7 +900,113 @@ GROUP BY a.clabel, e.dim
 """
 
 
+# --- semi-supervised label propagation over the near-dup graph --------------
+
+LP_SEED_MOD = 4   # vec_id % 4 == 0 keeps its true label as a seed
+LP_ROUNDS = 2     # fixed propagation depth (oracle unrolls the same 2)
+
+
+def label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised label spreading over the LSH near-dup graph —
+    the label-bootstrapping pass a training-data pipeline uses to
+    extend a small trusted label set (here: every 4th vector keeps its
+    ``label``) across unlabeled near-duplicates: each round, an
+    unlabeled node adopts the most frequent label among its already-
+    labeled neighbors (ties -> smallest label), and labels are
+    monotone — once assigned, never re-voted — so the result is
+    deterministic and converges without oscillation.
+
+    Scale shape: edges come from the banded sign-LSH join (never the
+    corpus square); each of the FIXED ``LP_ROUNDS`` rounds is one
+    hash join on node keys + one groupBy + one per-node window
+    (partitioned, never global) — linear in edge count per round.
+    Output is every vector with its final label and the round it was
+    labeled (0 = seed, NULL = never reached by the graph).
+    """
+    emb = load_table(spark, "embeddings", sf)
+    pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
+    edges = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    )
+    labels = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        F.col("vec_id").alias("node"),
+        F.col("label").alias("lab"),
+        F.lit(0).alias("rnd"),
+    )
+    from pyspark.sql import Window
+
+    for r in range(1, LP_ROUNDS + 1):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("ib"), "lab"), "ib"
+            )
+            .join(
+                labels.select(F.col("node").alias("ia")), "ia", "left_anti"
+            )
+            .groupBy("ia", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("ia").orderBy(
+            F.col("cnt").desc(), F.col("lab").asc()
+        )
+        assigned = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("ia").alias("node"), "lab", F.lit(r).alias("rnd")
+            )
+        )
+        labels = labels.unionByName(assigned)
+    return emb.select("vec_id").join(
+        labels, emb.vec_id == labels.node, "left"
+    ).select(
+        "vec_id",
+        F.col("lab").alias("final_label"),
+        F.col("rnd").alias("labeled_round"),
+    )
+
+
+def _lp_round_sql(r: int) -> str:
+    prev = f"l{r - 1}"
+    return f"""
+c{r} AS (
+  SELECT e.ia AS node, l.lab, count(*) AS cnt
+  FROM edges e JOIN {prev} l ON e.ib = l.node
+  WHERE e.ia NOT IN (SELECT node FROM {prev})
+  GROUP BY 1, 2
+), a{r} AS (
+  SELECT node, lab, {r} AS rnd FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lab ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+), l{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM a{r})"""
+
+
+LABEL_PROPAGATION_SQL_TEMPLATE = (
+    """
+WITH pairs AS ({lsh_pairs}),
+edges AS (SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+l0 AS (
+  SELECT vec_id AS node, label AS lab, 0 AS rnd FROM embeddings
+  WHERE vec_id % """
+    + str(LP_SEED_MOD)
+    + """ = 0
+),"""
+    + ",".join(_lp_round_sql(r) for r in range(1, LP_ROUNDS + 1))
+    + f"""
+SELECT e.vec_id, l.lab AS final_label, l.rnd AS labeled_round
+FROM embeddings e LEFT JOIN l{LP_ROUNDS} l ON e.vec_id = l.node
+"""
+)
+
+
 SIMILARITY_QUERIES = {
+    "label_propagation": (
+        label_propagation,
+        LABEL_PROPAGATION_SQL_TEMPLATE.format(lsh_pairs=NEARDUP_LSH_SQL),
+    ),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "knn_batch": (knn_batch, KNN_BATCH_SQL),
     "fall_detection_softmax": (fall_detection_softmax, FALL_DETECTION_SQL),
