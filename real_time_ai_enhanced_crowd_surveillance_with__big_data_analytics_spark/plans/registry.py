@@ -84,11 +84,16 @@ _PRIORITY: list[str] = [
     # (d) newly oracle-backed
     "stratified_sample",
     "approx_aggregates",
+    # (b') never-checked queries added later in r6 — same rule as (b):
+    # a first verdict outranks a 3-round-old battery re-verdict, so
+    # these displace the three NEWEST-verdict fill entries
+    # (alarm_rising_edges / conditional_counts / sessionize, all
+    # r3-green — everything else in (f) is r2-or-older)
+    "weak_label_vote",
+    "state_merge_rollup",
+    "label_propagation",
     # (f) oldest-verdict battery (r2/r3-era)
     "value_outliers",
-    "alarm_rising_edges",
-    "conditional_counts",
-    "sessionize",
     "clicks_near_purchases",
     "event_pivot",
     "event_unpivot",

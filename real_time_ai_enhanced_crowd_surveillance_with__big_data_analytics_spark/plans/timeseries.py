@@ -741,8 +741,11 @@ def state_merge_rollup(spark: SparkSession, sf: str) -> DataFrame:
     key in the first aggregate (= the two state tables built in one
     scan), and the second aggregate IS the merge: counts and cent-sums
     add, min/max combine, and the average is derived only at the end
-    from exact integers (one deterministic division — partition-order
-    invariant on both engines). ``n_state_shards`` makes the merge
+    from exact integers via the ``event_cube`` projection
+    ``floor(sum_cents*1e4/n + 0.5)/1e6`` (round_margin_audit measured
+    the plain rounded mean ON a 6dp midpoint — value lives on a 0.01
+    grid — and floor-of-exact-ints is the same double in every
+    engine/partitioning). ``n_state_shards`` makes the merge
     observable: 2 where a late partial met on-time state.
 
     Streaming twin: ``streaming/rollup.py`` (exactly-once foreachBatch
@@ -786,8 +789,12 @@ def state_merge_rollup(spark: SparkSession, sf: str) -> DataFrame:
             "sum_cents",
             (F.col("mn") / 100.0).alias("min_value"),
             (F.col("mx") / 100.0).alias("max_value"),
-            F.round(
-                F.col("sum_cents") / (F.col("n_events") * 100.0), 6
+            (
+                F.floor(
+                    F.col("sum_cents") * F.lit(10000.0) / F.col("n_events")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("avg_value"),
         )
     )
@@ -810,7 +817,7 @@ SELECT day, event_type,
        CAST(sum(s) AS BIGINT) AS sum_cents,
        min(mn) / 100.0 AS min_value,
        max(mx) / 100.0 AS max_value,
-       round(CAST(sum(s) AS DOUBLE) / (sum(n) * 100.0), 6) AS avg_value
+       floor(sum(s) * 10000.0 / sum(n) + 0.5) / 1000000.0 AS avg_value
 FROM state
 GROUP BY day, event_type
 """
