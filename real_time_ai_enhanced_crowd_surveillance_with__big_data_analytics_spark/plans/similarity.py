@@ -925,9 +925,14 @@ def label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf)
     pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
+    # materialize the edge set once: every round references it from
+    # both the vote join and the anti-join, and without truncation the
+    # whole LSH pipeline (mapInPandas signatures + candidate join +
+    # cosine UDF) would re-execute per reference — measured 35 s vs
+    # ~4 s at sf0.1 for the same answer
     edges = pairs.union(
         pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    )
+    ).localCheckpoint()
     labels = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
         F.col("vec_id").alias("node"),
         F.col("label").alias("lab"),
