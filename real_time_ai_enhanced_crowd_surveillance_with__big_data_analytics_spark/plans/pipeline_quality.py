@@ -574,6 +574,64 @@ SELECT 'props', n_rows, null_props, dist_props,
 """
 
 
+# --- corpus novelty (df=1 shingle share per document) ------------------------
+
+def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document novelty: the share of a document's distinct
+    token-trigram shingles that occur NOWHERE else in the corpus
+    (document frequency 1). Low novelty marks template/boilerplate
+    text whose content is already covered elsewhere — the
+    diversity-vs-redundancy signal dedup pair queries can't give for
+    documents that are partial mosaics of many others. Documents with
+    fewer than 3 tokens have no shingles and are absent, matching the
+    postings definition.
+
+    Scale shape: reuses the shared shingle-postings generator
+    (vocab-hash broadcast + codegen shingle compose, materialized once
+    — both the df aggregate and the join back read it); df is one
+    sid-keyed aggregate (vocabulary-sized, the inverted_index shape)
+    and the verdict is one sid-keyed join + doc-keyed aggregate —
+    linear in postings, no pair join anywhere. Novelty is an
+    exact-int single division (order-free, midpoint-safe).
+    """
+    docs = load_table(spark, "documents", sf)
+    posts = _shingle_postings(docs)
+    df_stats = posts.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        posts.join(df_stats, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+DOC_NOVELTY_SQL = f"""
+WITH {_DUCK_POSTINGS},
+df AS (
+  SELECT sid, count(*) AS df FROM postings GROUP BY sid
+)
+SELECT p.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM postings p JOIN df d USING (sid)
+GROUP BY p.doc_id
+"""
+
+
 # --- weak-supervision vote (Snorkel-style label-matrix diagnostics) ---------
 
 # (name, +1 condition, -1 condition) triples are materialized as vote
@@ -759,4 +817,5 @@ PIPELINE_QUALITY_QUERIES = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
     "weak_label_vote": (weak_label_vote, _weak_label_vote_sql()),
+    "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
 }
