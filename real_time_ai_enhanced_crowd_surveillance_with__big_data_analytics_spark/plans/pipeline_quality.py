@@ -574,6 +574,109 @@ SELECT 'props', n_rows, null_props, dist_props,
 """
 
 
+# --- cross-table referential-integrity audit ---------------------------------
+
+# (relation label, child table, fk column, parent table, pk column).
+# events.user_id -> customer is the deliberately cross-domain row: the
+# event feed is not governed by the warehouse's FK discipline, so it is
+# where orphans actually appear in practice.
+_FK_RELATIONS = [
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across every declared FK edge — the
+    cross-TABLE data contract that expectation_report (single-table)
+    cannot see: orphan child rows, distinct orphan keys, and parents
+    never referenced, one row per relation. This is the join-hygiene
+    report a pipeline publishes before trusting multi-table joins as
+    training features (an orphaned FK silently drops rows in every
+    inner join downstream).
+
+    Scale shape: per relation, the child collapses to a key HISTOGRAM
+    first (groupBy fk — one shuffle on the key, map-side combined) and
+    the parent to its distinct keys, so the full-outer join that
+    classifies orphans/unreferenced is key-cardinality-sized, never
+    row-sized; both sides arrive hash-partitioned on the same key so
+    the join adds no exchange. NULL FKs are reported separately, not
+    as orphans. Relations audit independently (a union of one-row
+    aggregates — embarrassingly parallel across tables at 100 TB).
+    """
+    rows = []
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        hist = (
+            load_table(spark, child, sf)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        par = (
+            load_table(spark, parent, sf)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("p", F.lit(1))
+        )
+        f = hist.join(par, "k", "full")
+        child_k = F.col("c").isNotNull()
+        orphan = child_k & F.col("k").isNotNull() & F.col("p").isNull()
+        rows.append(
+            f.agg(
+                F.sum(F.coalesce(F.col("c"), F.lit(0))).alias(
+                    "n_child_rows"
+                ),
+                F.sum(
+                    F.when(F.col("k").isNull() & child_k, F.col("c")).otherwise(0)
+                ).alias("n_null_fk_rows"),
+                F.sum(F.when(orphan, F.col("c")).otherwise(0)).alias(
+                    "n_orphan_rows"
+                ),
+                F.sum(F.when(orphan, 1).otherwise(0)).alias("n_orphan_keys"),
+                F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias(
+                    "n_parent_keys"
+                ),
+                F.sum(
+                    F.when((F.col("p") == 1) & ~child_k, 1).otherwise(0)
+                ).alias("n_unreferenced_parents"),
+            ).select(F.lit(name).alias("relation"), "*")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _fk_audit_sql() -> str:
+    blocks = []
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        blocks.append(f"""
+SELECT '{name}' AS relation,
+       CAST(sum(coalesce(c, 0)) AS BIGINT) AS n_child_rows,
+       CAST(sum(CASE WHEN k IS NULL AND c IS NOT NULL THEN c ELSE 0 END)
+            AS BIGINT) AS n_null_fk_rows,
+       CAST(sum(CASE WHEN c IS NOT NULL AND k IS NOT NULL AND p IS NULL
+                THEN c ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+       CAST(sum(CASE WHEN c IS NOT NULL AND k IS NOT NULL AND p IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_parent_keys,
+       CAST(sum(CASE WHEN p = 1 AND c IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unreferenced_parents
+FROM (
+  SELECT coalesce(h.k, p.k) AS k, h.c, p.p
+  FROM (SELECT {fk} AS k, count(*) AS c FROM {child} GROUP BY 1) h
+  FULL JOIN (SELECT DISTINCT {pk} AS k, 1 AS p FROM {parent}) p
+    ON h.k = p.k
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 # --- corpus novelty (df=1 shingle share per document) ------------------------
 
 def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
@@ -818,4 +921,5 @@ PIPELINE_QUALITY_QUERIES = {
     "quality_funnel": (quality_funnel, QUALITY_FUNNEL_SQL),
     "weak_label_vote": (weak_label_vote, _weak_label_vote_sql()),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
+    "fk_integrity_audit": (fk_integrity_audit, _fk_audit_sql()),
 }
