@@ -677,6 +677,81 @@ FROM (
     return "\nUNION ALL\n".join(blocks)
 
 
+# --- k-anonymity / l-diversity audit ----------------------------------------
+
+K_ANON = 50   # minimum rows per quasi-identifier class
+L_DIV = 25    # minimum distinct users (sensitive attr) per class
+
+
+def k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the event feed before it
+    is released as training data: rows are grouped by their
+    quasi-identifier class (event_type, 6-hour time band, value
+    hundred-band) and each class reports its row count (k-anonymity)
+    and distinct-user count (l-diversity) with an ``at_risk`` flag —
+    the re-identification report that decides which classes need
+    suppression or coarsening. Completes the privacy surface next to
+    ``pii_redact`` (content scrubbing) with structural disclosure
+    risk.
+
+    Scale shape: QI classes are computed in one codegen'd projection
+    (value band via exact integer cents, so no float boundary exists);
+    the exact distinct-user count uses the two-phase pre-dedup —
+    groupBy(class, user) then groupBy(class) — so no Expand ever
+    multiplies the scan and both aggregates are map-side combined.
+    Output is QI-cardinality-sized regardless of corpus size.
+    """
+    events = load_table(spark, "events", sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    classes = events.select(
+        "event_type",
+        F.floor(F.hour("ts") / F.lit(6)).cast("int").alias("hour_band"),
+        F.floor(cents / F.lit(10000.0)).cast("int").alias("value_band"),
+        "user_id",
+    )
+    per_user = classes.groupBy(
+        "event_type", "hour_band", "value_band", "user_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_user.groupBy("event_type", "hour_band", "value_band")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "hour_band",
+            "value_band",
+            "n_rows",
+            "n_users",
+            (
+                (F.col("n_rows") < K_ANON) | (F.col("n_users") < L_DIV)
+            ).alias("at_risk"),
+        )
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT event_type,
+         CAST(floor(hour(ts) / 6) AS INT) AS hour_band,
+         CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0) AS INT)
+           AS value_band,
+         user_id
+  FROM events
+), per_user AS (
+  SELECT event_type, hour_band, value_band, user_id, count(*) AS c
+  FROM classes GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, hour_band, value_band,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_users,
+       (sum(c) < {K_ANON} OR count(*) < {L_DIV}) AS at_risk
+FROM per_user
+GROUP BY 1, 2, 3
+"""
+
+
 # --- corpus novelty (df=1 shingle share per document) ------------------------
 
 def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
@@ -922,4 +997,5 @@ PIPELINE_QUALITY_QUERIES = {
     "weak_label_vote": (weak_label_vote, _weak_label_vote_sql()),
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
     "fk_integrity_audit": (fk_integrity_audit, _fk_audit_sql()),
+    "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_AUDIT_SQL),
 }
