@@ -752,6 +752,136 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- k-anonymity generalization (the release mechanism) ---------------------
+
+def k_anonymity_generalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The release mechanism the audit above gates: every finest-grain
+    quasi-identifier class is assigned the first level of a fixed
+    generalization hierarchy at which it satisfies k-anonymity AND
+    l-diversity — level 0 = (type, hour band, value hundred-band),
+    level 1 = widen the value axis to 400-bands, level 2 = drop the
+    value axis entirely, level -1 = suppress (unsafe even fully
+    generalized). This is how a feed actually ships: coarsen just
+    enough, suppress the rest, and publish the level per class so the
+    consumer knows each row's resolution.
+
+    Scale shape: one scan builds the finest (class, user) pre-dedup;
+    all three hierarchy levels re-aggregate that dedup table (classes
+    × users sized, not corpus sized), because a user distinct at a
+    coarse grain is exactly a distinct (coarse class, user) pair from
+    the finest pre-dedup. Three bounded aggregates + two broadcast-
+    joinable lookups back to the finest classes — output stays
+    QI-cardinality-sized.
+    """
+    events = load_table(spark, "events", sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_type",
+        F.floor(F.hour("ts") / F.lit(6)).cast("int").alias("hour_band"),
+        F.floor(cents / F.lit(10000.0)).cast("int").alias("value_band"),
+        "user_id",
+    )
+    pu0 = base.groupBy(
+        "event_type", "hour_band", "value_band", "user_id"
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def _safe(df, *keys):
+        return df.groupBy(*keys).agg(
+            (
+                (F.sum("c") >= K_ANON)
+                & (F.count(F.lit(1)) >= L_DIV)
+            ).alias("safe")
+        )
+
+    l0 = _safe(pu0, "event_type", "hour_band", "value_band")
+    # coarser grains re-dedup users from the finest (class, user) table
+    pu1 = (
+        pu0.withColumn(
+            "band4", F.floor(F.col("value_band") / F.lit(4)).cast("int")
+        )
+        .groupBy("event_type", "hour_band", "band4", "user_id")
+        .agg(F.sum("c").alias("c"))
+    )
+    l1 = _safe(pu1, "event_type", "hour_band", "band4")
+    pu2 = pu0.groupBy("event_type", "hour_band", "user_id").agg(
+        F.sum("c").alias("c")
+    )
+    l2 = _safe(pu2, "event_type", "hour_band")
+
+    fin = pu0.groupBy("event_type", "hour_band", "value_band").agg(
+        F.sum("c").alias("n_rows")
+    ).withColumn(
+        "band4", F.floor(F.col("value_band") / F.lit(4)).cast("int")
+    )
+    out = (
+        fin.join(l0.withColumnRenamed("safe", "s0"),
+                 ["event_type", "hour_band", "value_band"])
+        .join(F.broadcast(l1.withColumnRenamed("safe", "s1")),
+              ["event_type", "hour_band", "band4"])
+        .join(F.broadcast(l2.withColumnRenamed("safe", "s2")),
+              ["event_type", "hour_band"])
+        .select(
+            "event_type",
+            "hour_band",
+            "value_band",
+            "n_rows",
+            F.when(F.col("s0"), 0)
+            .when(F.col("s1"), 1)
+            .when(F.col("s2"), 2)
+            .otherwise(-1)
+            .alias("release_level"),
+        )
+    )
+    return out
+
+
+K_ANONYMITY_GENERALIZE_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(hour(ts) / 6) AS INT) AS hour_band,
+         CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0) AS INT)
+           AS value_band,
+         user_id
+  FROM events
+), pu0 AS (
+  SELECT event_type, hour_band, value_band, user_id, count(*) AS c
+  FROM base GROUP BY 1, 2, 3, 4
+), l0 AS (
+  SELECT event_type, hour_band, value_band,
+         (sum(c) >= {K_ANON} AND count(*) >= {L_DIV}) AS s0
+  FROM pu0 GROUP BY 1, 2, 3
+), pu1 AS (
+  SELECT event_type, hour_band,
+         CAST(floor(value_band / 4) AS INT) AS band4, user_id,
+         sum(c) AS c
+  FROM pu0 GROUP BY 1, 2, 3, 4
+), l1 AS (
+  SELECT event_type, hour_band, band4,
+         (sum(c) >= {K_ANON} AND count(*) >= {L_DIV}) AS s1
+  FROM pu1 GROUP BY 1, 2, 3
+), pu2 AS (
+  SELECT event_type, hour_band, user_id, sum(c) AS c
+  FROM pu0 GROUP BY 1, 2, 3
+), l2 AS (
+  SELECT event_type, hour_band,
+         (sum(c) >= {K_ANON} AND count(*) >= {L_DIV}) AS s2
+  FROM pu2 GROUP BY 1, 2
+), fin AS (
+  SELECT event_type, hour_band, value_band,
+         CAST(floor(value_band / 4) AS INT) AS band4,
+         CAST(sum(c) AS BIGINT) AS n_rows
+  FROM pu0 GROUP BY 1, 2, 3, 4
+)
+SELECT f.event_type, f.hour_band, f.value_band, f.n_rows,
+       CASE WHEN l0.s0 THEN 0 WHEN l1.s1 THEN 1 WHEN l2.s2 THEN 2
+            ELSE -1 END AS release_level
+FROM fin f
+JOIN l0 USING (event_type, hour_band, value_band)
+JOIN l1 USING (event_type, hour_band, band4)
+JOIN l2 USING (event_type, hour_band)
+"""
+
+
 # --- corpus novelty (df=1 shingle share per document) ------------------------
 
 def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
@@ -998,4 +1128,8 @@ PIPELINE_QUALITY_QUERIES = {
     "doc_novelty": (doc_novelty, DOC_NOVELTY_SQL),
     "fk_integrity_audit": (fk_integrity_audit, _fk_audit_sql()),
     "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_AUDIT_SQL),
+    "k_anonymity_generalize": (
+        k_anonymity_generalize,
+        K_ANONYMITY_GENERALIZE_SQL,
+    ),
 }

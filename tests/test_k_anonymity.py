@@ -68,3 +68,47 @@ def test_k_anonymity_consistency_on_testdata(spark, sf_dir):
         assert r["n_users"] <= r["n_rows"]
         assert r["at_risk"] == (r["n_rows"] < K_ANON or r["n_users"] < L_DIV)
         assert 0 <= r["hour_band"] <= 3
+
+
+def test_k_anonymity_generalize_levels(spark, crafted_sf):
+    """On the crafted classes: 'a' is safe at level 0; 'b' (2 users)
+    and 'c' (10 rows) stay unsafe at every level of the hierarchy
+    because coarsening cannot add rows or users to a class that is
+    alone on its (type, hour_band) axis -> suppressed."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.pipeline_quality import (
+        k_anonymity_generalize,
+    )
+
+    got = {
+        (r["event_type"], r["hour_band"], r["value_band"]): (
+            r["n_rows"],
+            r["release_level"],
+        )
+        for r in k_anonymity_generalize(spark, crafted_sf).collect()
+    }
+    assert got == {
+        ("a", 0, 0): (60, 0),
+        ("b", 1, 1): (60, -1),
+        ("c", 2, 2): (10, -1),
+    }
+
+
+def test_k_anonymity_generalize_monotone_on_testdata(spark, sf_dir):
+    """Release levels agree with the audit: a class flagged safe by the
+    audit must release at level 0, and every class has a level in
+    {-1, 0, 1, 2}."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.pipeline_quality import (
+        k_anonymity_audit,
+        k_anonymity_generalize,
+    )
+
+    audit = {
+        (r["event_type"], r["hour_band"], r["value_band"]): r["at_risk"]
+        for r in k_anonymity_audit(spark, sf_dir).collect()
+    }
+    rel = k_anonymity_generalize(spark, sf_dir).collect()
+    assert len(rel) == len(audit)
+    for r in rel:
+        key = (r["event_type"], r["hour_band"], r["value_band"])
+        assert r["release_level"] in (-1, 0, 1, 2)
+        assert (r["release_level"] == 0) == (not audit[key])
