@@ -86,19 +86,20 @@ _PRIORITY: list[str] = [
     "approx_aggregates",
     # (b') never-checked queries added later in r6 — same rule as (b):
     # a first verdict outranks a 3-round-old battery re-verdict, so
-    # these displace the six NEWEST-verdict fill entries
+    # these displace the seven NEWEST-verdict fill entries
     # (alarm_rising_edges / conditional_counts / sessionize /
-    # clicks_near_purchases / event_pivot / event_unpivot, all
-    # r3-green — everything else in (f) is r2-or-older)
+    # clicks_near_purchases / event_pivot / event_unpivot /
+    # shipmode_priority, all r3-green — everything else in (f) is
+    # r2-or-older)
     "weak_label_vote",
     "state_merge_rollup",
     "label_propagation",
     "doc_novelty",
     "fk_integrity_audit",
     "k_anonymity_audit",
+    "k_anonymity_generalize",
     # (f) oldest-verdict battery (r2/r3-era)
     "value_outliers",
-    "shipmode_priority",
     "sequence_packing",
     "embedding_quantization",
     "knn_bruteforce",
