@@ -1,0 +1,126 @@
+"""WARC source: crafted WARC/1.0 files (plain and per-record-gzip,
+the Common Crawl convention) round-tripped through the Spark reader;
+framing/HTTP corruption dead-letters instead of failing the task.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.warc import (
+    iter_warc_records,
+    parse_warc_bytes,
+    read_warc,
+    split_gzip_members,
+    split_http_response,
+)
+
+
+def _record(warc_type: str, uri: str | None, payload: bytes, rid: str) -> bytes:
+    hdr = [
+        "WARC/1.0",
+        f"WARC-Type: {warc_type}",
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        "WARC-Date: 2024-01-05T00:00:00Z",
+    ]
+    if uri:
+        hdr.append(f"WARC-Target-URI: {uri}")
+    hdr.append(f"Content-Length: {len(payload)}")
+    head = "\r\n".join(hdr).encode() + b"\r\n\r\n"
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(status: int, ctype: str, body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+BODY_A = b"<html><body>hello crawl</body></html>"
+BODY_B = b"plain text payload"
+WARCINFO = _record("warcinfo", None, b"software: testgen\r\n", "info1")
+RESP_A = _record(
+    "response", "http://a.example/x", _http(200, "text/html", BODY_A), "a1"
+)
+RESP_B = _record(
+    "response", "http://b.example/y", _http(404, "text/plain", BODY_B), "b1"
+)
+REQ = _record("request", "http://a.example/x", b"GET /x HTTP/1.1\r\n\r\n", "q1")
+PLAIN_FILE = WARCINFO + RESP_A + REQ + RESP_B
+
+
+def test_iter_records_and_http_split():
+    recs = list(iter_warc_records(PLAIN_FILE))
+    assert [f["warc-type"] for f, _ in recs] == [
+        "warcinfo",
+        "response",
+        "request",
+        "response",
+    ]
+    status, headers, body = split_http_response(recs[1][1])
+    assert (status, headers["content-type"], body) == (
+        200,
+        "text/html",
+        BODY_A,
+    )
+
+
+def test_gzip_member_walk():
+    gz = b"".join(
+        gzip.compress(r) for r in (WARCINFO, RESP_A, REQ, RESP_B)
+    )
+    members = list(split_gzip_members(gz))
+    assert members == [WARCINFO, RESP_A, REQ, RESP_B]
+
+
+def test_parse_total_on_corruption():
+    # truncated tail -> parsed records survive, one corrupt row appended
+    rows = list(parse_warc_bytes("f", PLAIN_FILE + b"WARC/1.0\r\nbroken"))
+    assert [r["warc_type"] for r in rows[:4]] == [
+        "warcinfo",
+        "response",
+        "request",
+        "response",
+    ]
+    assert rows[4]["corrupt_reason"] and rows[4]["warc_type"] is None
+    # bad HTTP payload inside a response -> row-level corrupt, not fatal
+    bad = _record("response", "http://c/z", b"not-http-at-all", "c1")
+    (row,) = parse_warc_bytes("f", bad)
+    assert row["corrupt_reason"] and row["target_uri"] == "http://c/z"
+    assert row["body"] == b"not-http-at-all"
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warcs")
+    (d / "crawl-00.warc").write_bytes(PLAIN_FILE)
+    (d / "crawl-01.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in (RESP_A, RESP_B))
+    )
+    (d / "ignore.txt").write_bytes(b"not a warc")
+    return str(d)
+
+
+def test_read_warc_spark(spark, warc_dir):
+    rows = read_warc(spark, warc_dir).collect()
+    # glob excluded ignore.txt; 4 plain + 2 gz records
+    assert len(rows) == 6
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["crawl-00.warc"]) == 4
+    assert len(by_file["crawl-01.warc.gz"]) == 2
+    responses = [
+        r
+        for r in rows
+        if r["warc_type"] == "response" and r["corrupt_reason"] is None
+    ]
+    assert len(responses) == 4  # RESP_A + RESP_B in each file
+    a = next(r for r in responses if r["target_uri"] == "http://a.example/x")
+    assert a["http_status"] == 200
+    assert a["content_type"] == "text/html"
+    assert bytes(a["body"]) == BODY_A
+    assert all(r["corrupt_reason"] is None for r in rows)
