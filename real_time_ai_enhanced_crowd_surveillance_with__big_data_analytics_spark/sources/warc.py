@@ -197,6 +197,33 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
     )
 
 
+def warc_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """WARC directory -> documents-shaped text corpus: HTTP-200
+    text/html responses, boilerplate-stripped to visible text with
+    title and link-density columns — ready for the existing corpus
+    operators (quality scoring, dedup, tokenization). One pass: the
+    record parse and the codegen'd extraction fuse into the same scan
+    stage, so the crawl is read exactly once."""
+    from pyspark.sql import functions as F
+
+    from ..functions.html import html_title, html_to_text, link_density
+
+    recs = read_warc(spark, path)
+    html = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("corrupt_reason").isNull()
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("text/html")
+    ).withColumn("html", F.col("body").cast("string"))
+    return html.select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        html_title(F.col("html")).alias("title"),
+        html_to_text(F.col("html")).alias("text"),
+        link_density(F.col("html")).alias("link_density"),
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
