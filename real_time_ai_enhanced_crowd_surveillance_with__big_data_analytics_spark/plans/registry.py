@@ -100,7 +100,9 @@ _PRIORITY: list[str] = [
     "k_anonymity_generalize",
     # (f) oldest-verdict battery (r2/r3-era)
     "value_outliers",
-    "sequence_packing",
+    # never-checked (added late r6) — displaces sequence_packing
+    # (r3-green), same first-verdict-outranks-re-verdict rule
+    "dedup_jaccard_prefix",
     "embedding_quantization",
     "knn_bruteforce",
     "fall_detection_softmax",
