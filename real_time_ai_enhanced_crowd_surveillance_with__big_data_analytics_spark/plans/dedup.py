@@ -164,7 +164,19 @@ WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
 def _prefix_candidates(postings: DataFrame, counts: DataFrame) -> DataFrame:
     """(ia, ib) candidate pairs sharing a token inside both docs'
     rarest-first prefixes of length ``s − ⌈s/5⌉ + 1`` (t = 1/5) — the
-    lossless AllPairs candidate set for Jaccard ≥ t."""
+    lossless AllPairs candidate set for Jaccard ≥ t, tightened by the
+    two classic lossless side-filters evaluated INSIDE the join (so
+    pruned pairs never reach the distinct/verify shuffle):
+
+    - length filter: J ≥ t forces ``t·sa ≤ sb ≤ sa/t`` (5·nb ≥ na and
+      5·na ≥ nb for t = 1/5);
+    - positional filter (PPJoin): for a common prefix token at ranks
+      (i, j), ``|∩| ≤ 1 + min(sa−i, sb−j)``; the pair needs
+      ``|∩| ≥ α = ⌈t/(1+t)·(sa+sb)⌉ = ⌈(sa+sb)/6⌉``. The bound is
+      tight for the FIRST common token; keeping a pair when ANY shared
+      token passes is therefore a superset of PPJoin's candidates —
+      lossless, strictly tighter than plain prefix overlap.
+    """
     from pyspark.sql import Window
 
     assert abs(JACCARD_THRESHOLD - 0.2) < 1e-12, "prefix math assumes t=1/5"
@@ -180,11 +192,37 @@ def _prefix_candidates(postings: DataFrame, counts: DataFrame) -> DataFrame:
     prefix_len = (
         F.col("n_tri") - F.floor((F.col("n_tri") + 4) / F.lit(5.0)) + 1
     )
-    prefix = ranked.filter(F.col("rk") <= prefix_len).select("doc_id", "sid")
-    pa = prefix.select(F.col("doc_id").alias("ia"), "sid")
-    pb = prefix.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
+        "doc_id", "sid", "rk", "n_tri"
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("ia"),
+        "sid",
+        F.col("rk").alias("ra"),
+        F.col("n_tri").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("ib"),
+        F.col("sid").alias("sidb"),
+        F.col("rk").alias("rb"),
+        F.col("n_tri").alias("nb"),
+    )
+    alpha = F.floor((F.col("na") + F.col("nb") + 5) / F.lit(6.0))
     return (
-        pa.join(pb, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
+        pa.join(
+            pb,
+            (F.col("sid") == F.col("sidb"))
+            & (F.col("ia") < F.col("ib"))
+            & (5 * F.col("nb") >= F.col("na"))
+            & (5 * F.col("na") >= F.col("nb"))
+            & (
+                1
+                + F.least(
+                    F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+                )
+                >= alpha
+            ),
+        )
         .select("ia", "ib")
         .distinct()
     )
@@ -216,10 +254,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     100 TB this replaces the anchor's full postings self-join with a
     prefix join whose Σdf² is driven by rare-shingle frequencies.
 
-    Measured honestly: at sf0.1 the prefix join examines 69.7% of the
-    full self-join's candidate pairs (788k vs 1.13M) at time parity —
-    the synthetic corpus's near-uniform df gives Zipf-skewed real
-    corpora's win only partially. On the 8× replica-clique probe the
+    Measured honestly: at sf0.1 the filtered prefix join examines 44%
+    of the full self-join's candidate pairs (499k vs 1.13M; plain
+    prefix alone 788k) at time parity — the synthetic corpus's
+    near-uniform df gives Zipf-skewed real corpora's win only
+    partially. On the 8× replica-clique probe the
     ratio is 32× vs the anchor's 22×: when the corpus is one giant
     duplicate family the output itself is clique-quadratic, every
     candidate is a true pair, and filter-then-verify re-joins what the
