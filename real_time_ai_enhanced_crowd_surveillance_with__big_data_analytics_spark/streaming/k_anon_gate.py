@@ -44,6 +44,7 @@ kill-and-restart on the same checkpoint).
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Iterable
 
 import pandas as pd
@@ -84,10 +85,10 @@ def _gate_fn(k: int, l_div: int, max_held: int, ttl_ms: int):
             state.remove()
             return
         if state.exists:
-            opened, held_eids, held_uids = state.get
-            held_eids, held_uids = list(held_eids), list(held_uids)
+            opened, eids0, uids0 = state.get
+            held_eids, held_uids = deque(eids0), deque(uids0)
         else:
-            opened, held_eids, held_uids = False, [], []
+            opened, held_eids, held_uids = False, deque(), deque()
         uid_counts: dict[int, int] = {}
         for u in held_uids:
             uid_counts[u] = uid_counts.get(u, 0) + 1
@@ -109,9 +110,9 @@ def _gate_fn(k: int, l_div: int, max_held: int, ttl_ms: int):
                 held_eids.append(eid)
                 held_uids.append(uid)
                 uid_counts[uid] = uid_counts.get(uid, 0) + 1
-                if len(held_eids) > max_held:  # suppress oldest
-                    held_eids.pop(0)
-                    old = held_uids.pop(0)
+                if len(held_eids) > max_held:  # suppress oldest, O(1)
+                    held_eids.popleft()
+                    old = held_uids.popleft()
                     uid_counts[old] -= 1
                     if uid_counts[old] == 0:
                         del uid_counts[old]
@@ -119,10 +120,12 @@ def _gate_fn(k: int, l_div: int, max_held: int, ttl_ms: int):
                     opened = True
                     out_eids.extend(held_eids)
                     out_uids.extend(held_uids)
-                    held_eids, held_uids = [], []
+                    held_eids, held_uids = deque(), deque()
                     uid_counts = {}
         state.update(
-            (True, [], []) if opened else (False, held_eids, held_uids)
+            (True, [], [])
+            if opened
+            else (False, list(held_eids), list(held_uids))
         )
         # re-arm on activity from the class's newest event time (the
         # stateful.py convention): only genuinely idle classes evict

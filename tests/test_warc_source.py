@@ -124,3 +124,46 @@ def test_read_warc_spark(spark, warc_dir):
     assert a["content_type"] == "text/html"
     assert bytes(a["body"]) == BODY_A
     assert all(r["corrupt_reason"] is None for r in rows)
+
+
+# --- totality fuzz: the parser must never raise, only dead-letter -----------
+
+import zlib as _zlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.one_of(
+        st.binary(max_size=400),
+        # valid-file mutations: slice, splice garbage, flip gzip magic
+        st.tuples(st.integers(0, len(PLAIN_FILE)), st.binary(max_size=20)).map(
+            lambda t: PLAIN_FILE[: t[0]] + t[1]
+        ),
+        st.integers(0, 200).map(
+            lambda n: _zlib.compress(PLAIN_FILE)[:n] + b"\x1f\x8b"
+        ),
+    )
+)
+def test_parse_warc_bytes_is_total(buf):
+    rows = list(parse_warc_bytes("fuzz", buf))
+    for r in rows:
+        assert set(r) == {
+            "path",
+            "record_id",
+            "warc_type",
+            "target_uri",
+            "warc_date",
+            "http_status",
+            "content_type",
+            "body",
+            "corrupt_reason",
+        }
+    # corruption, if any, is confined to at most one trailing framing
+    # row plus per-record HTTP rows — never an exception
