@@ -44,9 +44,12 @@ RECORD_SCHEMA = (
 _GZ_MAGIC = b"\x1f\x8b"
 
 
-def split_gzip_members(buf: bytes) -> Iterator[bytes]:
-    """Decompressed payloads of each gzip member in ``buf``, walking
-    member boundaries via ``unused_data`` (the warc.gz record seam)."""
+def iter_gzip_members(buf: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, decompressed_payload) of each gzip
+    member in ``buf``, walking member boundaries via ``unused_data``
+    (the warc.gz record seam). The (offset, length) pair is exactly
+    what a CDX index stores: ``buf[offset : offset + length]`` is a
+    self-contained gzip stream for one record."""
     pos = 0
     while pos < len(buf):
         d = zlib.decompressobj(wbits=31)
@@ -57,11 +60,17 @@ def split_gzip_members(buf: bytes) -> Iterator[bytes]:
             raise ValueError(f"bad gzip member at {pos}: {exc}") from exc
         if not d.eof:
             raise ValueError(f"truncated gzip member at {pos}")
-        yield out
         consumed = (len(buf) - pos) - len(d.unused_data)
         if consumed <= 0:  # pragma: no cover - zlib guarantees progress
             raise ValueError(f"gzip member made no progress at {pos}")
+        yield pos, consumed, out
         pos += consumed
+
+
+def split_gzip_members(buf: bytes) -> Iterator[bytes]:
+    """Decompressed payloads only (see :func:`iter_gzip_members`)."""
+    for _off, _n, out in iter_gzip_members(buf):
+        yield out
 
 
 def iter_warc_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -194,6 +203,79 @@ def parse_warc_files(files: DataFrame) -> DataFrame:
 
     return files.select("path", "content").mapInPandas(
         parse, schema=RECORD_SCHEMA
+    )
+
+
+CDX_SCHEMA = (
+    "path string, member_offset long, member_length long,"
+    " record_id string, warc_type string, target_uri string,"
+    " corrupt_reason string"
+)
+
+
+def build_cdx(files: DataFrame) -> DataFrame:
+    """CDX-style offset index over ``.warc.gz`` files: one row per
+    gzip member with its (offset, compressed length) plus the record
+    header fields — the structure that makes record-LEVEL parallelism
+    possible at 100 TB (a task seeks to ``offset``, reads ``length``
+    bytes, and has a self-contained record; no file-level scan). The
+    index build itself is one pass per file (file-level parallel);
+    after that, every downstream read is member-granular. Non-gzip
+    or malformed tails dead-letter as corrupt rows, never task
+    failures."""
+    import pandas as pd
+
+    def index(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                content = bytes(content)
+                base = dict(
+                    path=path,
+                    member_offset=None,
+                    member_length=None,
+                    record_id=None,
+                    warc_type=None,
+                    target_uri=None,
+                    corrupt_reason=None,
+                )
+                if content[:2] != _GZ_MAGIC:
+                    rows.append(
+                        dict(base, corrupt_reason="not a gzip warc file")
+                    )
+                    continue
+                try:
+                    for off, n, member in iter_gzip_members(content):
+                        rec = dict(base, member_offset=off, member_length=n)
+                        try:
+                            fields, _payload = next(
+                                iter_warc_records(member)
+                            )
+                            rec.update(
+                                record_id=fields.get("warc-record-id"),
+                                warc_type=fields.get("warc-type"),
+                                target_uri=fields.get("warc-target-uri"),
+                            )
+                        except (StopIteration, ValueError) as exc:
+                            rec["corrupt_reason"] = f"bad member record: {exc}"
+                        rows.append(rec)
+                except ValueError as exc:
+                    rows.append(dict(base, corrupt_reason=str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "member_offset",
+                    "member_length",
+                    "record_id",
+                    "warc_type",
+                    "target_uri",
+                    "corrupt_reason",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        index, schema=CDX_SCHEMA
     )
 
 

@@ -167,3 +167,50 @@ def test_parse_warc_bytes_is_total(buf):
         }
     # corruption, if any, is confined to at most one trailing framing
     # row plus per-record HTTP rows — never an exception
+
+
+def test_cdx_offsets_allow_record_level_seek(spark, warc_dir):
+    """The CDX contract: for every indexed member,
+    bytes[offset : offset+length] is a self-contained gzip stream
+    whose record matches the index row — the seek a 100 TB reader
+    performs instead of scanning the file."""
+    import gzip as _gzip
+    import os as _os
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.warc import (
+        build_cdx,
+        iter_warc_records,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(warc_dir)
+    )
+    rows = build_cdx(files).collect()
+    assert len(rows) == 2 and all(r["corrupt_reason"] is None for r in rows)
+    raw = open(
+        _os.path.join(warc_dir, "crawl-01.warc.gz"), "rb"
+    ).read()
+    for r in rows:
+        member = raw[r["member_offset"] : r["member_offset"] + r["member_length"]]
+        fields, _ = next(iter_warc_records(_gzip.decompress(member)))
+        assert fields["warc-record-id"] == r["record_id"]
+        assert fields["warc-target-uri"] == r["target_uri"]
+    # offsets tile the file exactly: contiguous, fully covering
+    spans = sorted((r["member_offset"], r["member_length"]) for r in rows)
+    assert spans[0][0] == 0
+    assert spans[0][0] + spans[0][1] == spans[1][0]
+    assert spans[1][0] + spans[1][1] == len(raw)
+
+
+def test_cdx_dead_letters_non_gzip(spark, tmp_path):
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.warc import (
+        build_cdx,
+    )
+
+    (tmp_path / "junk.warc.gz").write_bytes(b"plainly not gzip")
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    (row,) = build_cdx(files).collect()
+    assert row["corrupt_reason"] == "not a gzip warc file"
+    assert row["member_offset"] is None
