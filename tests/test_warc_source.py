@@ -214,3 +214,39 @@ def test_cdx_dead_letters_non_gzip(spark, tmp_path):
     (row,) = build_cdx(files).collect()
     assert row["corrupt_reason"] == "not a gzip warc file"
     assert row["member_offset"] is None
+
+
+def test_read_via_cdx_equals_full_read(spark, warc_dir):
+    """Seek-based reads through the index reproduce the full-file
+    parse exactly (for the gz file the index covers), even after an
+    arbitrary repartition of the index — record-level parallelism
+    without file boundaries."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.warc import (
+        build_cdx,
+        read_warc_via_cdx,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(warc_dir)
+    )
+    cdx = build_cdx(files).repartition(4)
+    got = read_warc_via_cdx(cdx).collect()
+    want = [
+        r
+        for r in read_warc(spark, warc_dir).collect()
+        if r["path"].endswith(".warc.gz")
+    ]
+
+    def key(r):
+        return (
+            r["record_id"],
+            r["warc_type"],
+            r["target_uri"],
+            r["http_status"],
+            bytes(r["body"]) if r["body"] is not None else None,
+        )
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 2
