@@ -132,3 +132,63 @@ def test_rocksdb_heavy_hitters_matches_default(spark, tmp_path):
     true = Counter(r[0] for r in rows)
     want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert [(u, e) for _, u, e, _ in rocks] == want
+
+
+def test_rocksdb_k_anon_gate_matches_default(spark, tmp_path):
+    """The privacy gate's held-backlog state (two capped long arrays +
+    flag) survives the RocksDB provider identically: same released set
+    as the HDFS-backed default over the same chunked replay, including
+    a class that crosses its thresholds only in the second chunk."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.k_anon_gate import (
+        streaming_k_anon_gate,
+    )
+
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src)
+    # band 0 (value 7.5): 6 rows / 3 users -> opens mid-chunk-2;
+    # band 1 (value 107.5): 4 rows / 1 user -> never opens
+    rows = (
+        [(400 + i % 3, i, 7.5, T0) for i in range(6)]
+        + [(500, 10 + i, 107.5, T0) for i in range(4)]
+    )
+    write_events_chunk(spark, src, "f1", rows[0::2])
+    write_events_chunk(spark, src, "f2", rows[1::2])
+
+    def run(tag):
+        sink = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        stream = (
+            spark.readStream.schema(events_chunk_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_k_anon_gate(stream, k=5, l_div=3)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r["value_band"], r["event_id"], r["user_id"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    default = run("hdfs")
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        rocks = run("rocks")
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
+    assert rocks == default
+    assert {e for _b, e, _u in rocks} == set(range(6))  # band 0 only
