@@ -882,6 +882,94 @@ JOIN l2 USING (event_type, hour_band)
 """
 
 
+# --- differential-privacy noisy release --------------------------------------
+
+DP_EPSILON = 1.0       # Laplace scale b = sensitivity/epsilon; count sens = 1
+DP_MULT = 48_947       # noise-hash multiplier — deliberately distinct from
+DP_ADD = 29            # the selection (69_621) and shard (40_503) constants
+_HASH_MOD = 1_000_000_007
+_HASH_BASE = 31
+
+
+def dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """ε-differentially-private release of the per-(type, day) event
+    histogram — the Laplace mechanism (sensitivity 1 for counts, scale
+    b = 1/ε), completing the governance family: where k-anonymity
+    suppresses/coarsens, DP perturbs and PUBLISHES every class with a
+    calibrated noise floor. Noise here is PSEUDO-noise — inverse-CDF
+    Laplace over a portable two-round affine hash of the class key —
+    so the release is reproducible and oracle-checkable; a production
+    release swaps the hash for a CSPRNG draw and the plan, accounting,
+    and ε are unchanged (the docstring-level seam, like the
+    multimodal decode fallback).
+
+    Scale shape: one aggregate to the class histogram (bounded by
+    type × day cardinality), then pure per-row math — the noise adds
+    zero shuffles. The hash constant set is disjoint from the
+    selection/shard hashes so DP noise can never correlate with
+    sampling decisions (the r5 decorrelation lesson).
+    """
+    events = load_table(spark, "events", sf)
+    hist = (
+        events.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    from ..functions.text import fingerprint
+
+    key = F.concat_ws("|", "event_type", "day")
+    h0 = fingerprint(key)
+    h1 = (h0 * DP_MULT + DP_ADD) % _HASH_MOD
+    h2 = (h1 * DP_MULT + DP_ADD) % _HASH_MOD
+    u = (h2 + 0.5) / _HASH_MOD  # (0,1), never exactly 0/1/0.5
+    b = 1.0 / DP_EPSILON
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return hist.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.round(F.col("n_events") + noise, 6).alias("noisy_count"),
+    )
+
+
+_DUCK_KEY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, c) -> (acc * {_HASH_BASE} + c) % {_HASH_MOD})"
+)
+
+DP_NOISY_COUNTS_SQL = f"""
+WITH hist AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), hashed AS (
+  SELECT event_type, day, n_events,
+         ((({_DUCK_KEY_HASH.format(s="event_type || '|' || day")}
+            * {DP_MULT} + {DP_ADD}) % {_HASH_MOD})
+          * {DP_MULT} + {DP_ADD}) % {_HASH_MOD} AS h2
+  FROM hist
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
+       round(n_events + (-1.0 / {DP_EPSILON})
+             * sign((h2 + 0.5) / {_HASH_MOD} - 0.5)
+             * ln(1.0 - 2.0 * abs((h2 + 0.5) / {_HASH_MOD} - 0.5)), 6)
+         AS noisy_count
+FROM hashed
+"""
+
+
 # --- corpus novelty (df=1 shingle share per document) ------------------------
 
 def doc_novelty(spark: SparkSession, sf: str) -> DataFrame:
@@ -1132,4 +1220,5 @@ PIPELINE_QUALITY_QUERIES = {
         k_anonymity_generalize,
         K_ANONYMITY_GENERALIZE_SQL,
     ),
+    "dp_noisy_counts": (dp_noisy_counts, DP_NOISY_COUNTS_SQL),
 }

@@ -99,7 +99,9 @@ _PRIORITY: list[str] = [
     "k_anonymity_audit",
     "k_anonymity_generalize",
     # (f) oldest-verdict battery (r2/r3-era)
-    "value_outliers",
+    # never-checked (added late r6) — displaces value_outliers
+    # (r2-green): a first verdict outranks any re-verdict
+    "dp_noisy_counts",
     # never-checked (added late r6) — displaces sequence_packing
     # (r3-green), same first-verdict-outranks-re-verdict rule
     "dedup_jaccard_prefix",
