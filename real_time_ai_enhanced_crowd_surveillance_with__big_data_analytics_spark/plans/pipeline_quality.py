@@ -882,6 +882,60 @@ JOIN l2 USING (event_type, hour_band)
 """
 
 
+# --- release readiness (the one-row gate report) -----------------------------
+
+def release_readiness(spark: SparkSession, sf: str) -> DataFrame:
+    """The one-row report that gates a training-data release —
+    corpus size, quality-funnel survivors, near-duplicate pair count,
+    eval-contamination pairs, and re-identification-risky QI classes,
+    composed from the SAME operators the registry ships individually
+    (this query calls them; it cannot drift from them). Each input
+    collapses to a one-row aggregate before the broadcast crossJoins,
+    so composing N checks costs their individual plans plus N
+    single-row joins — the manifest a 100 TB pipeline publishes next
+    to every release tag.
+    """
+    from .dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, "documents", sf)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_documents"))
+    surv = (
+        quality_funnel(spark, sf)
+        .filter(F.col("stage_no") == 4)
+        .select(F.col("n_pass").alias("n_funnel_survivors"))
+    )
+    dups = dedup_minhash_lsh(spark, sf).agg(
+        F.count(F.lit(1)).alias("n_neardup_pairs")
+    )
+    cont = contamination_check(spark, sf).agg(
+        F.count(F.lit(1)).alias("n_contaminated_pairs")
+    )
+    risky = k_anonymity_audit(spark, sf).agg(
+        F.sum(F.when(F.col("at_risk"), 1).otherwise(0)).alias(
+            "n_risky_qi_classes"
+        )
+    )
+    out = n_docs
+    for part in (surv, dups, cont, risky):
+        out = out.crossJoin(F.broadcast(part))
+    return out
+
+
+def _release_readiness_sql() -> str:
+    from .dedup import _duck_minhash_sql
+
+    return f"""
+SELECT
+  (SELECT count(*) FROM documents) AS n_documents,
+  (SELECT n_pass FROM ({QUALITY_FUNNEL_SQL}) WHERE stage_no = 4)
+    AS n_funnel_survivors,
+  (SELECT count(*) FROM ({_duck_minhash_sql()})) AS n_neardup_pairs,
+  (SELECT count(*) FROM ({CONTAMINATION_CHECK_SQL})) AS n_contaminated_pairs,
+  (SELECT CAST(sum(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT)
+   FROM ({K_ANONYMITY_AUDIT_SQL})) AS n_risky_qi_classes
+"""
+
+
 # --- differential-privacy noisy release --------------------------------------
 
 DP_EPSILON = 1.0       # Laplace scale b = sensitivity/epsilon; count sens = 1
@@ -1221,4 +1275,5 @@ PIPELINE_QUALITY_QUERIES = {
         K_ANONYMITY_GENERALIZE_SQL,
     ),
     "dp_noisy_counts": (dp_noisy_counts, DP_NOISY_COUNTS_SQL),
+    "release_readiness": (release_readiness, _release_readiness_sql()),
 }

@@ -105,7 +105,9 @@ _PRIORITY: list[str] = [
     # never-checked (added late r6) — displaces sequence_packing
     # (r3-green), same first-verdict-outranks-re-verdict rule
     "dedup_jaccard_prefix",
-    "embedding_quantization",
+    # never-checked (added late r6) — displaces embedding_quantization
+    # (r2-green), same rule
+    "release_readiness",
     "knn_bruteforce",
     "fall_detection_softmax",
     "label_centroids",
