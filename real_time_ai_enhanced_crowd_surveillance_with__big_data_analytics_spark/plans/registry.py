@@ -132,8 +132,12 @@ _PRIORITY: list[str] = [
     "detection_parse",
     "validate_registrations",
     "nms_detections",
-    "crowd_alerts_pipeline",
-    "multimodal_meta",
+    # never-checked (added late r6) — displace multimodal_meta and
+    # crowd_alerts_pipeline: the fill battery is uniformly r3-green,
+    # so the registry-order tiebreak drops the last fill entries for
+    # the first verdicts
+    "neardup_pagerank",
+    "neardup_lsh_recall",
 ]
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}

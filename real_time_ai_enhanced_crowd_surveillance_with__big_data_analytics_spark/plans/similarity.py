@@ -1007,10 +1007,185 @@ FROM embeddings e LEFT JOIN l{LP_ROUNDS} l ON e.vec_id = l.node
 )
 
 
+# --- PageRank centrality over the near-dup graph ----------------------------
+
+PR_ROUNDS = 3          # fixed damped-power iterations (oracle unrolls 3)
+PR_SCALE = 10**12      # total rank mass, integer-scaled
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def neardup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Damped PageRank over the sign-LSH near-dup graph — the
+    graph-centrality curation signal: vectors with high rank sit at
+    the center of large near-duplicate families (boilerplate,
+    templates, mirrored content) and are the first candidates for
+    down-weighting in a training mix, while rank ≈ the teleport base
+    marks genuinely unique content.
+
+    This is the oracle-checkable twin of ``operators/pagerank.py``
+    (the general float operator with standard dangling
+    redistribution, numpy-parity tested): the registry query trades
+    dangling handling for cross-engine exactness so the driver can
+    hash-compare it against DuckDB.
+
+    Determinism: all arithmetic is int64 — rank mass ``PR_SCALE`` is
+    split by integer division, per-round contributions are
+    ``rank div out_degree``, and damping is the exact ratio 85/100
+    applied as ``(x * 85) div 100`` — so sums are order-independent
+    and the result is identical across partitionings and engines (the
+    same midpoint-proofing as hourly_autocorr / embedding_covariance).
+    Dangling/isolated mass is dropped rather than redistributed (the
+    oracle mirrors this), which keeps every round a pure edge join.
+
+    Scale shape: edges come from the banded LSH join (never the corpus
+    square) and are localCheckpoint-materialized once; each of the
+    FIXED ``PR_ROUNDS`` rounds is one hash join on node keys + one
+    groupBy (partial-aggregated) — linear in edge count per round,
+    no global windows, no driver-side collect beyond one count().
+    """
+    emb = load_table(spark, "embeddings", sf)
+    pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
+    # symmetrize once: every round's contribution join and the final
+    # degree join reference the same edge set (see label_propagation
+    # for the measured cost of NOT truncating the LSH lineage here)
+    edges = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    ).localCheckpoint()
+    deg = edges.groupBy("ia").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = emb.count()  # one scalar aggregate — bounded by design
+    r0 = PR_SCALE // n_nodes
+    base = (PR_DAMP_DEN - PR_DAMP_NUM) * r0 // PR_DAMP_DEN
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    ranks = nodes.withColumn("rank", F.lit(r0))
+    for _ in range(PR_ROUNDS):
+        contrib = ranks.join(
+            deg, ranks.node == deg.ia
+        ).select(F.col("ia"), F.expr("rank div outdeg").alias("c"))
+        incoming = (
+            edges.join(contrib, "ia")
+            .groupBy(F.col("ib").alias("node"))
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"(coalesce(inc, 0L) * {PR_DAMP_NUM})"
+                    f" div {PR_DAMP_DEN}"
+                )
+            ).alias("rank"),
+        )
+    return (
+        ranks.join(deg, ranks.node == deg.ia, "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("rank").alias("pagerank_scaled"),
+            F.coalesce(F.col("outdeg"), F.lit(0)).alias("degree"),
+        )
+    )
+
+
+def _pr_round_sql(r: int) -> str:
+    prev = f"r{r - 1}"
+    return f"""
+c{r} AS (
+  SELECT d.ia, p.rank // d.outdeg AS c
+  FROM {prev} p JOIN deg d ON p.node = d.ia
+), i{r} AS (
+  -- CAST: DuckDB sum(BIGINT) widens to HUGEINT; the rank arithmetic
+  -- and the output type fingerprint must stay int64 like Spark's
+  SELECT e.ib AS node, CAST(sum(c.c) AS BIGINT) AS inc
+  FROM edges e JOIN c{r} c ON e.ia = c.ia GROUP BY e.ib
+), r{r} AS (
+  SELECT n.node,
+         (SELECT base FROM params)
+           + (coalesce(i.inc, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN} AS rank
+  FROM nodes n LEFT JOIN i{r} i ON n.node = i.node
+)"""
+
+
+NEARDUP_PAGERANK_SQL_TEMPLATE = (
+    f"""
+WITH pairs AS ({{lsh_pairs}}),
+edges AS (SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+deg AS (SELECT ia, count(*) AS outdeg FROM edges GROUP BY ia),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+params AS (
+  SELECT CAST({PR_SCALE} AS BIGINT) // count(*) AS r0,
+         (({PR_DAMP_DEN - PR_DAMP_NUM})
+          * (CAST({PR_SCALE} AS BIGINT) // count(*)))
+           // {PR_DAMP_DEN} AS base
+  FROM embeddings
+),
+r0 AS (SELECT node, (SELECT r0 FROM params) AS rank FROM nodes),"""
+    + ",".join(_pr_round_sql(r) for r in range(1, PR_ROUNDS + 1))
+    + f"""
+SELECT r.node AS vec_id, r.rank AS pagerank_scaled,
+       coalesce(d.outdeg, 0) AS degree
+FROM r{PR_ROUNDS} r LEFT JOIN deg d ON r.node = d.ia
+"""
+)
+
+
+# --- LSH recall audit vs the exact anchor -----------------------------------
+
+def neardup_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-pair recall audit of the sign-LSH near-dup path against the
+    exact all-pairs anchor: every true near-dup pair (cosine ≥
+    threshold, from the tiled exact matmul) flagged with whether the
+    banded LSH join found it. This is the measurement a pipeline runs
+    BEFORE trusting LSH at scale — the pairs it misses (no shared band
+    among the 4×4-bit signatures) are exactly the dedup leakage the
+    production path would ship.
+
+    LSH-verified pairs are a subset of the exact set by construction
+    (candidates pass the same rounded-cosine threshold), so one left
+    join from the exact side is the complete confusion surface: no
+    false positives exist to report.
+
+    Scale shape: the exact anchor is O(n²) by definition, so at 100 TB
+    this audit runs on a bounded stratum (one vec_id tile range, the
+    same filter the tiled anchor already pushes to the parquet scan)
+    rather than corpus-wide; the join itself is an equi-join on the
+    pair key. At test scale it covers the whole corpus.
+    """
+    exact = embedding_neardup_exact(spark, sf)
+    lsh = (
+        embedding_neardup_lsh(spark, sf)
+        .select("ia", "ib")
+        .withColumn("hit", F.lit(1))
+    )
+    return exact.join(lsh, ["ia", "ib"], "left").select(
+        "ia",
+        "ib",
+        "cosine",
+        F.col("hit").isNotNull().alias("found_by_lsh"),
+    )
+
+
+NEARDUP_LSH_RECALL_SQL_TEMPLATE = """
+WITH exact AS ({exact}),
+lsh AS ({lsh_pairs})
+SELECT e.ia, e.ib, e.cosine, l.ia IS NOT NULL AS found_by_lsh
+FROM exact e LEFT JOIN lsh l ON e.ia = l.ia AND e.ib = l.ib
+"""
+
+
 SIMILARITY_QUERIES = {
     "label_propagation": (
         label_propagation,
         LABEL_PROPAGATION_SQL_TEMPLATE.format(lsh_pairs=NEARDUP_LSH_SQL),
+    ),
+    "neardup_pagerank": (
+        neardup_pagerank,
+        NEARDUP_PAGERANK_SQL_TEMPLATE.format(lsh_pairs=NEARDUP_LSH_SQL),
+    ),
+    "neardup_lsh_recall": (
+        neardup_lsh_recall,
+        NEARDUP_LSH_RECALL_SQL_TEMPLATE.format(
+            exact=NEARDUP_EXACT_SQL, lsh_pairs=NEARDUP_LSH_SQL
+        ),
     ),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "knn_batch": (knn_batch, KNN_BATCH_SQL),
