@@ -1037,11 +1037,18 @@ def neardup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     Dangling/isolated mass is dropped rather than redistributed (the
     oracle mirrors this), which keeps every round a pure edge join.
 
-    Scale shape: edges come from the banded LSH join (never the corpus
-    square) and are localCheckpoint-materialized once; each of the
-    FIXED ``PR_ROUNDS`` rounds is one hash join on node keys + one
-    groupBy (partial-aggregated) — linear in edge count per round,
-    no global windows, no driver-side collect beyond one count().
+    Scale shape: the iteration state is bounded by the GRAPH, not the
+    corpus. Nodes outside the edge set can never leave the teleport
+    base (edges are symmetrized, so only edge endpoints have out-degree
+    or in-degree; everyone else's rank is exactly ``base`` after round
+    one) — so the power iteration runs over ``deg`` rows only, carrying
+    ``outdeg`` in the rank frame so each FIXED round is ONE edge join +
+    one partial-aggregated groupBy. Edges and degrees come from the
+    banded LSH join (never the corpus square) and are
+    localCheckpoint-materialized once; the corpus-sized table is
+    touched exactly once, in the final left join that constant-folds
+    non-graph nodes to ``base``. No global windows, no driver-side
+    collect beyond one count().
     """
     emb = load_table(spark, "embeddings", sf)
     pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
@@ -1051,23 +1058,32 @@ def neardup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
     ).localCheckpoint()
-    deg = edges.groupBy("ia").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg is the graph-node set with out-degrees attached; checkpoint
+    # it too — it seeds the iteration and re-enters every round
+    deg = (
+        edges.groupBy("ia")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint()
+    )
     n_nodes = emb.count()  # one scalar aggregate — bounded by design
     r0 = PR_SCALE // n_nodes
     base = (PR_DAMP_DEN - PR_DAMP_NUM) * r0 // PR_DAMP_DEN
-    nodes = emb.select(F.col("vec_id").alias("node"))
-    ranks = nodes.withColumn("rank", F.lit(r0))
+    ranks = deg.withColumn("rank", F.lit(r0))
     for _ in range(PR_ROUNDS):
-        contrib = ranks.join(
-            deg, ranks.node == deg.ia
-        ).select(F.col("ia"), F.expr("rank div outdeg").alias("c"))
+        contrib = ranks.select(
+            "ia", F.expr("rank div outdeg").alias("c")
+        )
         incoming = (
             edges.join(contrib, "ia")
-            .groupBy(F.col("ib").alias("node"))
+            .groupBy(F.col("ib").alias("ia"))
             .agg(F.sum("c").alias("inc"))
         )
-        ranks = nodes.join(incoming, "node", "left").select(
-            "node",
+        # symmetric edges mean every graph node has ≥1 incoming edge,
+        # so the left join never actually nulls — kept left+coalesce
+        # so the arithmetic spec reads the same as the oracle's
+        ranks = deg.join(incoming, "ia", "left").select(
+            "ia",
+            "outdeg",
             (
                 F.lit(base)
                 + F.expr(
@@ -1077,10 +1093,13 @@ def neardup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("rank"),
         )
     return (
-        ranks.join(deg, ranks.node == deg.ia, "left")
+        emb.select(F.col("vec_id"))
+        .join(ranks, emb.vec_id == ranks.ia, "left")
         .select(
-            F.col("node").alias("vec_id"),
-            F.col("rank").alias("pagerank_scaled"),
+            "vec_id",
+            F.coalesce(F.col("rank"), F.lit(base)).alias(
+                "pagerank_scaled"
+            ),
             F.coalesce(F.col("outdeg"), F.lit(0)).alias("degree"),
         )
     )
