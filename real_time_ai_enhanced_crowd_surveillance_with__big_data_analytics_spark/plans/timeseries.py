@@ -727,6 +727,101 @@ GROUP BY 1, 2
 """
 
 
+# --- CDC upsert compaction (changelog → latest state) ------------------------
+
+CDC_DELETE_TYPE = "error"  # changelog rows of this type are DELETE ops
+
+
+def cdc_upsert_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog compaction — the MERGE INTO / Delta-Hudi upsert
+    pattern: fold a CDC stream of upserts and deletes into the current
+    snapshot of a dimension table. Base = ``customer`` (key c_custkey,
+    payload c_acctbal); changelog = ``events`` keyed by user_id with
+    event_id as the monotone version, ``error`` rows as DELETEs and
+    everything else as UPSERTs carrying ``value``. The output is the
+    compacted state: latest upsert wins per key, keys whose latest op
+    is a delete vanish, untouched base rows pass through, and changelog
+    keys absent from the base surface as inserts (path pinned by a
+    crafted-frame unit test — the synthetic sf tables have every user
+    inside the customer key range).
+
+    Determinism: "latest" is ``max(struct(version, ...))`` over a
+    UNIQUE version column — one deterministic aggregate, no window, no
+    RNG; the payload passes through untouched (round(.,2) on a 2-dp
+    input grid is the identity).
+
+    Scale shape: one partial-aggregated groupBy on the changelog key +
+    one key equi-join against the base — exactly the shuffle pattern a
+    MERGE executes on a real lakehouse; both sides partition by the
+    same key, no window over anything unbounded, changelog never
+    rescans history (the incremental-maintenance posture of
+    state_merge_rollup, applied to row state instead of aggregates).
+    """
+    base = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("bkey"), F.col("c_acctbal")
+    )
+    changes = load_table(spark, "events", sf).select(
+        F.col("user_id").alias("ckey"), "event_id", "event_type", "value"
+    )
+    return compact_changelog(base, changes)
+
+
+def compact_changelog(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Core MERGE fold: ``base(bkey, c_acctbal)`` +
+    ``changes(ckey, event_id, event_type, value)`` → compacted state.
+    Split out so tests can drive the insert path with crafted frames."""
+    latest = changes.groupBy("ckey").agg(
+        F.max(F.struct("event_id", "event_type", "value")).alias("last"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    merged = base.join(latest, base.bkey == latest.ckey, "full_outer")
+    return (
+        merged.filter(
+            F.col("ckey").isNull()
+            | (F.col("last.event_type") != CDC_DELETE_TYPE)
+        )
+        .select(
+            F.coalesce("bkey", "ckey").alias("custkey"),
+            F.round(
+                F.when(
+                    F.col("ckey").isNull(), F.col("c_acctbal")
+                ).otherwise(F.col("last.value")),
+                2,
+            ).alias("cur_value"),
+            F.when(F.col("ckey").isNull(), F.lit("unchanged"))
+            .when(F.col("bkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            F.coalesce("n_changes", F.lit(0)).alias("n_changes"),
+            F.coalesce(F.col("last.event_id"), F.lit(-1)).alias(
+                "last_version"
+            ),
+        )
+    )
+
+
+CDC_UPSERT_COMPACTION_SQL = f"""
+WITH latest AS (
+  SELECT user_id AS ckey,
+         arg_max(event_type, event_id) AS latest_type,
+         arg_max(value, event_id) AS latest_value,
+         max(event_id) AS last_version,
+         count(*) AS n_changes
+  FROM events GROUP BY user_id
+)
+SELECT coalesce(c.c_custkey, l.ckey) AS custkey,
+       round(CASE WHEN l.ckey IS NULL THEN c.c_acctbal
+                  ELSE l.latest_value END, 2) AS cur_value,
+       CASE WHEN l.ckey IS NULL THEN 'unchanged'
+            WHEN c.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS status,
+       coalesce(l.n_changes, 0) AS n_changes,
+       coalesce(l.last_version, -1) AS last_version
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.ckey
+WHERE l.ckey IS NULL OR l.latest_type <> '{CDC_DELETE_TYPE}'
+"""
+
+
 # --- mergeable-state rollup maintenance (late-data merge) -------------------
 
 def state_merge_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -826,6 +921,10 @@ GROUP BY day, event_type
 TIMESERIES_QUERIES = {
     "state_merge_rollup": (state_merge_rollup, STATE_MERGE_ROLLUP_SQL),
     "scd2_tier_join": (scd2_tier_join, SCD2_TIER_JOIN_SQL),
+    "cdc_upsert_compaction": (
+        cdc_upsert_compaction,
+        CDC_UPSERT_COMPACTION_SQL,
+    ),
     "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
     "seasonal_profile": (seasonal_profile, SEASONAL_PROFILE_SQL),
     "cooccurrence_lift": (cooccurrence_lift, COOCCURRENCE_LIFT_SQL),
