@@ -15,6 +15,7 @@ from .dedup import DEDUP_QUERIES
 from .indexing import INDEXING_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
 from .pipeline_quality import PIPELINE_QUALITY_QUERIES
+from .pq import PQ_QUERIES_REG
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
 from .stats import STATS_QUERIES
@@ -33,6 +34,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     TPCH_FINAL_QUERIES,
     TRAINING_DATA_QUERIES,
     SIMILARITY_QUERIES,
+    PQ_QUERIES_REG,
     DEDUP_QUERIES,
     INDEXING_QUERIES,
     PIPELINE_QUALITY_QUERIES,
@@ -108,9 +110,14 @@ _PRIORITY: list[str] = [
     # never-checked (added late r6) — displaces embedding_quantization
     # (r2-green), same rule
     "release_readiness",
-    "knn_bruteforce",
-    "fall_detection_softmax",
-    "label_centroids",
+    # never-checked (added late r6, second wave) — displace the three
+    # NEWEST-verdict fills remaining (knn_bruteforce /
+    # fall_detection_softmax / label_centroids, all r3-green; computed
+    # mechanically from CORRECTNESS_r01..r05 — everything else left in
+    # (f) is r2-or-older, and (a)-(e) entries are not displaceable)
+    "cdc_upsert_compaction",
+    "pq_encode",
+    "pq_adc_knn",
     "embedding_neardup_lsh",
     "ivf_knn",
     "dedup_ngram_jaccard",
