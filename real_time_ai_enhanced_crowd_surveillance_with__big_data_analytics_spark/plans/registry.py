@@ -118,7 +118,11 @@ _PRIORITY: list[str] = [
     "cdc_upsert_compaction",
     "pq_encode",
     "pq_adc_knn",
-    "embedding_neardup_lsh",
+    # never-checked — displaces embedding_neardup_lsh (r3-green, the
+    # newest remaining fill; and it is transitively exercised anyway:
+    # neardup_pagerank / neardup_lsh_recall / label_propagation in
+    # this window all build on its pair set)
+    "seasonal_anomalies",
     "ivf_knn",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",

@@ -569,6 +569,114 @@ FROM by_hour CROSS JOIN days d
 """
 
 
+# --- seasonal anomaly detection (volume vs diurnal baseline) ----------------
+
+ANOM_SIGMA = 2  # flag hours more than this many LOO std-devs from cell mean
+
+
+def seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Hours whose total event volume is anomalous against the diurnal
+    baseline — the monitoring query an operator runs over the
+    surveillance feed's own history: outage hours (volume collapse) and
+    incident hours (volume spike) against what that hour-of-day
+    normally does. Gap hours count as ZERO volume (the dense spine of
+    gap_fill_hourly), which is exactly what makes outages visible.
+
+    Statistics are leave-one-out: hour h is scored against the mean/std
+    of the OTHER hours in its hour-of-day cell. Self-inclusion is not a
+    nicety — with n observations an included point can never exceed
+    √(n−1) sigmas of its own sample, so a 2σ rule over a month of
+    hourly data (n≈30) would be mathematically near-blind. LOO partials
+    come free from the same cell aggregate: n'=n−1, S'=S−c, Q'=Q−c².
+
+    Integer-exact flagging: |c−S'/n'| > ANOM_SIGMA·σ' is evaluated
+    cross-multiplied as (c·n'−S')² > ANOM_SIGMA²·(n'·Q'−S'²) — pure
+    int64, no division, no float, no rounding anywhere, so the flag
+    set is bit-identical across engines (headroom: safe while
+    c·n' < 3e9, i.e. ~1e8 events/hour at month granularity; past that
+    pre-scale c by an integer granule — same flags, coarser ties).
+
+    Scale shape: ONE event-cardinality aggregate (hourly counts,
+    partial map-side); everything after lives on the calendar-bounded
+    spine (hours in range) and the 24-row cell table — broadcast joins
+    regardless of corpus size.
+    """
+    events = load_table(spark, "events", sf)
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("bucket")
+    )
+    dense = spine.join(hourly, "bucket", "left").select(
+        "bucket",
+        F.hour("bucket").alias("hod"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    cell = dense.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    j = dense.join(F.broadcast(cell), "hod")
+    dev = F.col("c") * (F.col("n") - 1) - (F.col("s") - F.col("c"))
+    thr = (ANOM_SIGMA * ANOM_SIGMA) * (
+        (F.col("n") - 1) * (F.col("q") - F.col("c") * F.col("c"))
+        - (F.col("s") - F.col("c")) * (F.col("s") - F.col("c"))
+    )
+    return (
+        j.withColumn("dev", dev)
+        .withColumn("thr", thr)
+        .filter(F.col("dev") * F.col("dev") > F.col("thr"))
+        .select(
+            _ts_str(F.col("bucket")).alias("bucket_hour"),
+            F.col("hod").cast("int").alias("hod"),
+            F.col("c").alias("cnt"),
+            (F.col("dev") * F.col("dev")).alias("dev_sq"),
+            "thr",
+            F.when(F.col("dev") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("direction"),
+        )
+    )
+
+
+SEASONAL_ANOMALIES_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS c FROM events GROUP BY 1
+), dense AS (
+  SELECT s.bucket, CAST(hour(s.bucket) AS INT) AS hod,
+         CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN hourly h ON h.bucket = s.bucket
+), cell AS (
+  SELECT hod, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c*c) AS BIGINT) AS q
+  FROM dense GROUP BY 1
+), scored AS (
+  SELECT d.bucket, d.hod, d.c,
+         CAST(d.c*(e.n-1) - (e.s-d.c) AS BIGINT) AS dev,
+         CAST({ANOM_SIGMA * ANOM_SIGMA}*((e.n-1)*(e.q - d.c*d.c)
+              - (e.s-d.c)*(e.s-d.c)) AS BIGINT) AS thr
+  FROM dense d JOIN cell e USING (hod)
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       hod, c AS cnt, CAST(dev*dev AS BIGINT) AS dev_sq, thr,
+       CASE WHEN dev > 0 THEN 1 ELSE -1 END AS direction
+FROM scored WHERE dev*dev > thr
+"""
+
+
 # --- within-user event-type co-occurrence lift ------------------------------
 
 def cooccurrence_lift(spark: SparkSession, sf: str) -> DataFrame:
@@ -927,6 +1035,7 @@ TIMESERIES_QUERIES = {
     ),
     "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
     "seasonal_profile": (seasonal_profile, SEASONAL_PROFILE_SQL),
+    "seasonal_anomalies": (seasonal_anomalies, SEASONAL_ANOMALIES_SQL),
     "cooccurrence_lift": (cooccurrence_lift, COOCCURRENCE_LIFT_SQL),
     "alarm_episodes": (alarm_episodes, ALARM_EPISODES_SQL),
     "alarm_concurrency_daily": (alarm_concurrency_daily, ALARM_CONCURRENCY_SQL),
