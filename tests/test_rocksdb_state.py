@@ -192,3 +192,40 @@ def test_rocksdb_k_anon_gate_matches_default(spark, tmp_path):
             spark.conf.set(_PROVIDER_CONF, prev)
     assert rocks == default
     assert {e for _b, e, _u in rocks} == set(range(6))  # band 0 only
+
+
+def test_rocksdb_anomaly_gate_matches_default(spark, tmp_path):
+    """The anomaly gate's cell state (baseline ints + pending-hour
+    arrays + an armed event-time timeout) survives the RocksDB provider
+    identically: same finalized-hour score rows as the HDFS-backed
+    default, including the zero-filled gap hour."""
+    from test_streaming_anomaly_gate import _drain, _rows
+
+    src = str(tmp_path / "anom_src")
+    os.makedirs(src)
+    rows = _rows()
+    half = len(rows) // 2
+    write_events_chunk(spark, src, "f1", rows[:half])
+    write_events_chunk(spark, src, "f2", rows[half:])
+
+    def run(tag):
+        out = str(tmp_path / f"anom_out_{tag}")
+        _drain(spark, src, str(tmp_path / f"anom_ckpt_{tag}"), out)
+        return {
+            tuple(r[c] for c in ("hour_start_ms", "hod", "cnt",
+                                 "baseline_n", "dev", "thr",
+                                 "is_anomaly"))
+            for r in spark.read.parquet(out).collect()
+        }
+
+    default = run("hdfs")
+    prev = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, _ROCKSDB)
+    try:
+        rocks = run("rocks")
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
+    assert rocks == default and len(rocks) == 10
