@@ -164,10 +164,12 @@ def pq_adc_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Shared oracle CTE chain: quantized long frame → trained codebook →
-# corpus codes. CASTs pin DuckDB's HUGEINT sum-widening back to int64
-# so the arithmetic and type fingerprints match Spark exactly.
-_PQ_BASE_SQL = f"""
+# Shared oracle CTE chain: quantized long frame → codebook trained on
+# ``train`` rows → codes for ``enc`` rows. CASTs pin DuckDB's HUGEINT
+# sum-widening back to int64 so the arithmetic and type fingerprints
+# match Spark exactly.
+def _pq_sql_chain(train: str = "long", enc: str = "long") -> str:
+    return f"""
 long AS (
   SELECT vec_id,
          (u.idx - 1) // {PQ_SUBDIM} AS m,
@@ -181,12 +183,12 @@ long AS (
 c0 AS (
   SELECT m, vec_id % {PQ_K} AS j, pos,
          CAST(sum(xq) // count(*) AS BIGINT) AS c
-  FROM long GROUP BY m, vec_id % {PQ_K}, pos
+  FROM {train} GROUP BY m, vec_id % {PQ_K}, pos
 ),
 d1 AS (
   SELECT l.vec_id, l.m, c.j,
          CAST(sum((l.xq - c.c) * (l.xq - c.c)) AS BIGINT) AS d
-  FROM long l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
+  FROM {train} l JOIN c0 c ON l.m = c.m AND l.pos = c.pos
   GROUP BY l.vec_id, l.m, c.j
 ),
 a1 AS (
@@ -197,13 +199,13 @@ a1 AS (
 c1 AS (
   SELECT l.m, a.j, l.pos,
          CAST(sum(l.xq) // count(*) AS BIGINT) AS c
-  FROM long l JOIN a1 a ON l.vec_id = a.vec_id AND l.m = a.m
+  FROM {train} l JOIN a1 a ON l.vec_id = a.vec_id AND l.m = a.m
   GROUP BY l.m, a.j, l.pos
 ),
 d2 AS (
   SELECT l.vec_id, l.m, c.j,
          CAST(sum((l.xq - c.c) * (l.xq - c.c)) AS BIGINT) AS d
-  FROM long l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
+  FROM {enc} l JOIN c1 c ON l.m = c.m AND l.pos = c.pos
   GROUP BY l.vec_id, l.m, c.j
 ),
 codes AS (
@@ -211,6 +213,9 @@ codes AS (
   FROM d2 QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                      ORDER BY d, j) = 1
 )"""
+
+
+_PQ_BASE_SQL = _pq_sql_chain()
 
 
 PQ_ENCODE_SQL = f"""
@@ -246,7 +251,82 @@ QUALIFY rank <= {PQ_TOPK}
 """
 
 
+# --- incremental encode against a frozen codebook ----------------------------
+
+PQ_INC_MOD = 10  # vec_id % MOD == 0 → the increment; the rest is base
+
+
+def pq_incremental_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode an INCREMENT batch against the codebook trained on the
+    base corpus — the production shape of PQ maintenance (mirroring
+    dedup_incremental_lsh): codebooks are trained once and frozen;
+    arriving vectors are only ever encoded, never retrain the index.
+    Each increment vector reports its code word, its reconstruction
+    error under the FROZEN codebook (drift in this number over
+    batches is the retrain signal), and how many base vectors share
+    its exact code word — the free O(1) near-duplicate screen that
+    8-byte codes buy (same-word = quantized-identical across all 8
+    subspaces).
+
+    Scale shape: training touches only base rows; the increment's
+    encode join has the fixed 1024-row centroid build side, and the
+    word-collision lookup is an equi-join against the (distinct word,
+    count) table — bounded by the number of DISTINCT words ≤ 16^8,
+    in practice ≪ corpus size.
+    """
+    long = _pq_long(load_table(spark, "embeddings", sf)).localCheckpoint()
+    is_inc = F.col("vec_id") % PQ_INC_MOD == 0
+    base_long, inc_long = long.filter(~is_inc), long.filter(is_inc)
+    cb = _pq_codebook(base_long)
+
+    def words(codes: DataFrame) -> DataFrame:
+        return codes.groupBy("vec_id").agg(
+            F.sum(
+                F.expr("shiftleft(CAST(j AS BIGINT), CAST(4 * m AS INT))")
+            ).alias("pq_word"),
+            F.sum("d").alias("recon_err"),
+        )
+
+    base_words = (
+        words(_nearest(base_long, cb))
+        .groupBy("pq_word")
+        .agg(F.count(F.lit(1)).alias("n_base_same_word"))
+    )
+    inc = words(_nearest(inc_long, cb))
+    return inc.join(base_words, "pq_word", "left").select(
+        "vec_id",
+        "pq_word",
+        "recon_err",
+        F.coalesce("n_base_same_word", F.lit(0)).alias(
+            "n_base_same_word"
+        ),
+    )
+
+
+PQ_INCREMENTAL_SQL = f"""
+WITH {_pq_sql_chain(
+    train=f"(SELECT * FROM long WHERE vec_id % {PQ_INC_MOD} <> 0)",
+    enc="long",
+)},
+words AS (
+  SELECT vec_id,
+         CAST(sum(j << (4 * m)) AS BIGINT) AS pq_word,
+         CAST(sum(d) AS BIGINT) AS recon_err
+  FROM codes GROUP BY vec_id
+),
+base_words AS (
+  SELECT pq_word, count(*) AS n_base_same_word
+  FROM words WHERE vec_id % {PQ_INC_MOD} <> 0 GROUP BY pq_word
+)
+SELECT w.vec_id, w.pq_word, w.recon_err,
+       coalesce(b.n_base_same_word, 0) AS n_base_same_word
+FROM words w LEFT JOIN base_words b ON w.pq_word = b.pq_word
+WHERE w.vec_id % {PQ_INC_MOD} = 0
+"""
+
+
 PQ_QUERIES_REG = {
     "pq_encode": (pq_encode, PQ_ENCODE_SQL),
     "pq_adc_knn": (pq_adc_knn, PQ_ADC_KNN_SQL),
+    "pq_incremental_encode": (pq_incremental_encode, PQ_INCREMENTAL_SQL),
 }

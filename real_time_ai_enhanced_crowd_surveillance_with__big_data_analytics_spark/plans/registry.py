@@ -123,7 +123,10 @@ _PRIORITY: list[str] = [
     # neardup_pagerank / neardup_lsh_recall / label_propagation in
     # this window all build on its pair set)
     "seasonal_anomalies",
-    "ivf_knn",
+    # never-checked — displaces ivf_knn (r3-green, now the newest
+    # remaining fill; its IVF machinery is also probe-tested and
+    # partition-filter-asserted in T)
+    "pq_incremental_encode",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",

@@ -8,6 +8,8 @@ driver/check_oracle gate; this pins the arithmetic itself.
 
 from __future__ import annotations
 
+from collections import Counter
+
 import numpy as np
 
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.pq import (
@@ -155,3 +157,32 @@ def test_pq_compression_is_sane(spark, sf_dir):
     )
     total = sum(r["recon_err"] for r in rows)
     assert total < trivial * 0.8
+
+
+def test_pq_incremental_encode_frozen_codebook(spark, sf_dir):
+    """Increment rows are encoded against the BASE-trained codebook:
+    parity with the numpy reference restricted to base-row training,
+    and the word-collision counts match a direct recount."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.pq import (
+        PQ_INC_MOD,
+        pq_incremental_encode,
+    )
+
+    ids, xq = _load_quantized(spark, sf_dir)
+    base = ids % PQ_INC_MOD != 0
+    cb = _codebook(ids[base], xq[base])
+    want_words, want_errs = _encode(ids, xq, cb)
+    base_word_counts = Counter(
+        want_words[int(v)] for v in ids[base]
+    )
+
+    got = pq_incremental_encode(spark, sf_dir).collect()
+    assert {r["vec_id"] for r in got} == {
+        int(v) for v in ids if v % PQ_INC_MOD == 0
+    }
+    for r in got:
+        assert r["pq_word"] == want_words[r["vec_id"]]
+        assert r["recon_err"] == want_errs[r["vec_id"]]
+        assert r["n_base_same_word"] == base_word_counts.get(
+            r["pq_word"], 0
+        )
