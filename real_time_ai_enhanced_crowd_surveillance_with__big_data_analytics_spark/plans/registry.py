@@ -127,7 +127,9 @@ _PRIORITY: list[str] = [
     # remaining fill; its IVF machinery is also probe-tested and
     # partition-filter-asserted in T)
     "pq_incremental_encode",
-    "dedup_ngram_jaccard",
+    # never-checked — displaces dedup_ngram_jaccard (r3-green; its
+    # capped twin, same candidate machinery, stays in the window)
+    "pq_recall",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
