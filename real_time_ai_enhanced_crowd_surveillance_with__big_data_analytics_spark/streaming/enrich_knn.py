@@ -16,7 +16,10 @@ At 100 TB-corpus scale the dense broadcast is the small-index case
 (≤ a few GB); past that the same seam takes an IVF index (centroid
 matrix + per-cell lists, plans/similarity.py::ivf_knn's layout) —
 the stream side does centroid argmax then probes cells, still
-stateless.
+stateless. Past even that — a corpus too large to hold ANY per-vector
+float state — ``streaming/pq_screen.py`` is the unbounded tier: the
+corpus is its 8-byte PQ code rollup and the stream meets it in a
+stream-static equi-join (shuffled, never broadcast).
 """
 
 from __future__ import annotations
