@@ -37,9 +37,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..plans.timeseries import ANOM_SIGMA  # ONE sigma constant, shared
+                                           # with the batch query so the
+                                           # two tests pin the same rule
+
 HOUR_MS = 3_600_000
 DAY_MS = 24 * HOUR_MS
-ANOM_SIGMA = 2      # same test as the batch query
 MIN_BASELINE = 5    # warm-up observations per cell before flagging
 
 ANOMALY_OUTPUT_SCHEMA = T.StructType(
