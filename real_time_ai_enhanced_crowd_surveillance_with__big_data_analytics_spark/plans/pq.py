@@ -236,14 +236,14 @@ def _query_mats(emb: DataFrame):
     return qids, _quantize(pdf)
 
 
-def _adc_shortlist(emb: DataFrame, cb) -> DataFrame:
+def _adc_shortlist(emb: DataFrame, cb, qmats) -> DataFrame:
     """(query_id, vec_id, adc_dist): the PQ_SHORTLIST nearest corpus
     vectors per query by asymmetric distance — each candidate costs M
     table lookups on its code word, never a vector access. One corpus
     pass emits per-batch top-R per query; the rank shuffle sees ≤
     partitions × Q × R rows."""
     spark = emb.sparkSession
-    qids, qx = _query_mats(emb)
+    qids, qx = qmats
     # Q×M×K distance table, driver-side from the ~1 KB codebook
     dtab = {
         m: ((qx[:, None, m, :] - cb[m][1][None, :, :]) ** 2).sum(axis=2)
@@ -290,13 +290,13 @@ def _adc_shortlist(emb: DataFrame, cb) -> DataFrame:
     )
 
 
-def _rerank(emb: DataFrame, shortlist: DataFrame) -> DataFrame:
+def _rerank(emb: DataFrame, shortlist: DataFrame, qmats) -> DataFrame:
     """(query_id, vec_id, ed): exact quantized-L2 for exactly the
     shortlisted (query, vector) pairs — a vec_id equi-join pulls the ≤
     Q×R candidate vectors, one Arrow pass scores them against the
     broadcast query matrix."""
     spark = emb.sparkSession
-    qids, qx = _query_mats(emb)
+    qids, qx = qmats
     bc = spark.sparkContext.broadcast((qids, qx.reshape(len(qids), -1)))
     cand = shortlist.select("query_id", "vec_id").join(
         emb.select("vec_id", "embedding"), "vec_id"
@@ -308,8 +308,7 @@ def _rerank(emb: DataFrame, shortlist: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray(pdf["embedding"].tolist(), dtype="float64")
-            xq = np.floor(x * PQ_MILLS + 0.5).astype(np.int64) + PQ_SHIFT
+            xq = _quantize(pdf).reshape(len(pdf), -1)
             qmat = np.stack(
                 [lookup[int(q)] for q in pdf["query_id"]]
             )
@@ -335,7 +334,10 @@ def pq_adc_knn(spark: SparkSession, sf: str) -> DataFrame:
     Output: the PQ_TOPK nearest non-self vectors per query with the
     exact distance; ties to the smaller vec_id."""
     emb = load_table(spark, "embeddings", sf)
-    rer = _rerank(emb, _adc_shortlist(emb, _train_codebook(emb)))
+    qmats = _query_mats(emb)
+    rer = _rerank(
+        emb, _adc_shortlist(emb, _train_codebook(emb), qmats), qmats
+    )
     w = Window.partitionBy("query_id").orderBy("ed", "vec_id")
     return (
         rer.withColumn("rank", F.row_number().over(w))
@@ -367,7 +369,8 @@ def pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     runs over a sampled stratum exactly like the LSH recall audit."""
     emb = load_table(spark, "embeddings", sf)
     cb = _train_codebook(emb)
-    rer = _rerank(emb, _adc_shortlist(emb, cb))
+    qmats = _query_mats(emb)
+    rer = _rerank(emb, _adc_shortlist(emb, cb, qmats), qmats)
     w = Window.partitionBy("query_id").orderBy("ed", "vec_id")
     returned = (
         rer.withColumn("rank", F.row_number().over(w))
@@ -375,7 +378,7 @@ def pq_recall(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "vec_id", F.lit(1).alias("hit"))
     )
     spark_ = emb.sparkSession
-    qids, qx = _query_mats(emb)
+    qids, qx = qmats
     bc = spark_.sparkContext.broadcast(
         (qids, qx.reshape(len(qids), -1))
     )
@@ -385,8 +388,7 @@ def pq_recall(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray(pdf["embedding"].tolist(), dtype="float64")
-            xq = np.floor(x * PQ_MILLS + 0.5).astype(np.int64) + PQ_SHIFT
+            xq = _quantize(pdf).reshape(len(pdf), -1)
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             out_q, out_v, out_d = [], [], []
             for n, qid in enumerate(qi):

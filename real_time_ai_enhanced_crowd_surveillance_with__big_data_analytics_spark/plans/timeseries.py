@@ -853,10 +853,12 @@ def cdc_upsert_compaction(spark: SparkSession, sf: str) -> DataFrame:
     crafted-frame unit test — the synthetic sf tables have every user
     inside the customer key range).
 
-    Determinism: "latest" is ``max(struct(version, ...))`` over a
-    UNIQUE version column — one deterministic aggregate, no window, no
-    RNG; the payload passes through untouched (round(.,2) on a 2-dp
-    input grid is the identity).
+    Determinism: "latest" is ``max(struct(version, type, value))`` —
+    one deterministic aggregate, no RNG; versions are unique in this
+    changelog, and if a producer ever replayed one, the struct's full
+    lexicographic order still picks the same row on both engines (the
+    oracle ranks by the same three keys). The payload passes through
+    untouched (round(.,2) on a 2-dp input grid is the identity).
 
     Scale shape: one partial-aggregated groupBy on the changelog key +
     one key equi-join against the base — exactly the shuffle pattern a
@@ -909,13 +911,21 @@ def compact_changelog(base: DataFrame, changes: DataFrame) -> DataFrame:
 
 
 CDC_UPSERT_COMPACTION_SQL = f"""
-WITH latest AS (
-  SELECT user_id AS ckey,
-         arg_max(event_type, event_id) AS latest_type,
-         arg_max(value, event_id) AS latest_value,
-         max(event_id) AS last_version,
-         count(*) AS n_changes
-  FROM events GROUP BY user_id
+WITH ranked AS (
+  -- (event_id DESC, event_type DESC, value DESC) = Spark's
+  -- max(struct(event_id, event_type, value)) lexicographic rule, so
+  -- the two engines agree even if a producer ever replays an
+  -- event_id (arg_max's tie pick is unspecified; this one is not)
+  SELECT user_id AS ckey, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC, event_type DESC,
+                                     value DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+), latest AS (
+  SELECT ckey, event_type AS latest_type, value AS latest_value,
+         event_id AS last_version, n_changes
+  FROM ranked WHERE rn = 1
 )
 SELECT coalesce(c.c_custkey, l.ckey) AS custkey,
        round(CASE WHEN l.ckey IS NULL THEN c.c_acctbal

@@ -150,8 +150,18 @@ def streaming_seasonal_anomalies(
     (hour, hour-of-day cell) once the watermark clears the hour,
     including zero-filled gap hours between observations. State is 24
     cells × (3 ints + the pending horizon)."""
+    # hod derives from the EPOCH grid, not the session-timezone hour:
+    # the finalization loop steps pending hours in fixed 24h epoch-ms
+    # increments, and a DST-observing session timezone would shift
+    # F.hour() off that grid mid-stream, stranding pending counts
+    # forever (and emitting false zero-volume hours). Epoch-derived
+    # hod is grid-consistent in every timezone; under the repo's
+    # pinned-UTC sessions it equals F.hour(ts).
     keyed = events.withWatermark("ts", watermark).select(
-        "ts", F.hour("ts").cast("int").alias("hod")
+        "ts",
+        (
+            (F.unix_millis(F.col("ts")) / HOUR_MS).cast("long") % 24
+        ).cast("int").alias("hod"),
     )
     return keyed.groupBy("hod").applyInPandasWithState(
         _gate_fn,

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.pq import _encode_df, _train_codebook  # noqa: F401
+from ..plans.pq import _encode_df
 
 
 def build_code_stats(base_emb: DataFrame, cb) -> DataFrame:

@@ -96,11 +96,13 @@ def test_loo_beats_included_point_rule(spark, sf_dir):
         cell[2] += c * c
 
     def included_flag(b, c):
+        # (c - s/n)^2 > k^2 * (q/n - (s/n)^2), cross-multiplied by n^2:
+        # dev^2 > k^2 * (n*q - s^2) — the same algebra as the LOO rule
+        # but with the candidate INSIDE its own baseline
         n, s, q = cells[b.hour]
         dev = c * n - s
-        thr = ANOM_SIGMA * ANOM_SIGMA * n * (n * q - s * s)
-        # (c - s/n)^2 > k^2 * (q/n - (s/n)^2)  cross-multiplied by n^2
-        return dev * dev * n > thr * n  # simplified same-denominator form
+        thr = ANOM_SIGMA * ANOM_SIGMA * (n * q - s * s)
+        return dev * dev > thr
 
     loo_flags = set(
         r["bucket_hour"]
