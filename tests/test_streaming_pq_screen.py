@@ -143,3 +143,30 @@ def test_restart_is_exactly_once(spark, sf_dir, tmp_path):
         for r in rows
     }
     assert got == _want(spark, sf_dir)
+
+
+def test_word_collision_detected(spark, tmp_path):
+    """A streamed vector quantized-identical to base vectors must
+    report their count — the near-dup screen actually screening (the
+    sf corpora are random enough that cross-word collisions are rare,
+    so this pins the positive path with crafted frames)."""
+    import numpy as np
+
+    rng = [float(x) for x in np.linspace(-0.4, 0.4, 64)]
+    other = [float(x) for x in np.linspace(0.4, -0.4, 64)]
+    base = spark.createDataFrame(
+        [(100, rng), (101, rng), (102, other)], _EMB_SCHEMA
+    )
+    cb = _train_codebook(base)
+    stats = build_code_stats(base, cb)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_chunk(spark, src, "c0", [(7, rng), (8, [v + 3.0 for v in rng])])
+    out = str(tmp_path / "emitted")
+    _drain(spark, src, str(tmp_path / "ckpt"), out, cb, stats)
+    got = {
+        r["vec_id"]: r["n_base_same_word"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[7] == 2   # collides with the two identical base rows
+    assert got[8] == 0   # far from every base word
