@@ -130,7 +130,10 @@ _PRIORITY: list[str] = [
     # never-checked — displaces dedup_ngram_jaccard (r3-green; its
     # capped twin, same candidate machinery, stays in the window)
     "pq_recall",
-    "dedup_ngram_jaccard_capped",
+    # never-checked — displaces dedup_ngram_jaccard_capped (r3-green;
+    # the shared df-capped candidate machinery keeps its coverage via
+    # dedup_containment_capped, still in the window)
+    "lexicon_sentiment",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "contamination_check",

@@ -702,8 +702,93 @@ FROM documents
 """
 
 
+# --- lexicon sentiment scoring ------------------------------------------------
+
+# Valence lexicon over this corpus's vocabulary (SURVEY §7.3.8's
+# sentiment-lexicon op: the OPERATOR — broadcast token→valence lookup,
+# integer sums, sign buckets — is the deliverable; the lexicon is a
+# pluggable constant. Real deployments swap in AFINN/VADER-style word
+# lists; the synthetic corpus speaks database-performance vocabulary,
+# so the lexicon scores that).
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2,
+    "slow": -2,
+    "big": 1,
+    "small": -1,
+}
+
+
+def _valence_case(tok_sql: str) -> str:
+    whens = " ".join(
+        f"WHEN '{w}' THEN {v}" for w, v in SENTIMENT_LEXICON.items()
+    )
+    return f"CASE {tok_sql} {whens} ELSE 0 END"
+
+
+def lexicon_sentiment(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document lexicon sentiment: token valences summed in pure
+    int64 with the hit count and a sign-bucket label. The lexicon is a
+    tiny literal CASE folded into whole-stage codegen — ZERO shuffle,
+    zero join, one corpus scan (the correct shape at any scale: a
+    lexicon is bounded vocabulary, never a join side). Ties/neutrality:
+    label is the exact integer sign of the sum."""
+    docs = load_table(spark, "documents", sf)
+
+    def val(t):
+        expr = F.lit(0)
+        for w, v in SENTIMENT_LEXICON.items():
+            expr = F.when(t == w, v).otherwise(expr)
+        return expr
+
+    toks = tokens(F.col("text"))
+    valence = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + val(t)
+    )
+    hits = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(t.isin(*SENTIMENT_LEXICON), 1).otherwise(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        hits.alias("n_hits"),
+        valence.alias("valence"),
+        F.when(valence > 0, F.lit("positive"))
+        .when(valence < 0, F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+        .alias("label"),
+    )
+
+
+LEXICON_SENTIMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(list_reduce(list_prepend(0, list_transform(ts,
+              t -> CASE WHEN {" OR ".join(
+                  f"t = '{w}'" for w in SENTIMENT_LEXICON)}
+                   THEN 1 ELSE 0 END)),
+            (a, b) -> a + b) AS BIGINT) AS n_hits,
+       CAST(list_reduce(list_prepend(0, list_transform(ts,
+              t -> {_valence_case('t')})),
+            (a, b) -> a + b) AS BIGINT) AS valence,
+       CASE WHEN list_reduce(list_prepend(0, list_transform(ts,
+                   t -> {_valence_case('t')})), (a, b) -> a + b) > 0
+            THEN 'positive'
+            WHEN list_reduce(list_prepend(0, list_transform(ts,
+                   t -> {_valence_case('t')})), (a, b) -> a + b) < 0
+            THEN 'negative' ELSE 'neutral' END AS label
+FROM toks
+"""
+
+
 TEXT_QUERIES = {
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
+    "lexicon_sentiment": (lexicon_sentiment, LEXICON_SENTIMENT_SQL),
     "ccnet_ppl_buckets": (ccnet_ppl_buckets, CCNET_PPL_BUCKETS_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "bigram_lift": (bigram_lift, BIGRAM_LIFT_SQL),
