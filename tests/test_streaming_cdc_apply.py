@@ -160,3 +160,58 @@ def test_version_guard_and_tombstones(spark, tmp_path):
     assert _as_map(read_state(spark, out))[1] == (
         44.0, "updated", 4, 80,
     )
+
+
+def test_random_partitionings_converge(spark, tmp_path):
+    """Seeded randomized convergence: for several random changelogs
+    (unique versions — the documented precondition), ANY partitioning
+    into micro-batches in ANY batch order must land on the one-shot
+    batch compaction. This is the property the version guard +
+    tombstones exist for; a regression in either shows up as a
+    divergent snapshot on some shuffle."""
+    import random
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.timeseries import (
+        compact_changelog,
+    )
+
+    rng = random.Random(20260815)
+    types = ["click", "view", "signup", "purchase", "error"]
+    for case in range(4):
+        keys = list(range(1, 9))
+        base_rows = [(k, float(100 * k)) for k in keys[:5]]
+        n = 24
+        versions = rng.sample(range(1000), n)
+        rows = [
+            (
+                rng.choice(keys),
+                versions[i],
+                rng.choice(types),
+                round(rng.uniform(1, 99), 2),
+            )
+            for i in range(n)
+        ]
+        base = spark.createDataFrame(
+            base_rows, "bkey long, c_acctbal double"
+        )
+        want = _as_map(
+            compact_changelog(
+                base,
+                spark.createDataFrame(rows, _CHANGE_SCHEMA).select(
+                    F.col("user_id").alias("ckey"),
+                    "event_id",
+                    "event_type",
+                    "value",
+                ),
+            )
+        )
+        out = str(tmp_path / f"state{case}")
+        init_state(base, out)
+        fn = apply_batch(spark, out)
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        n_batches = rng.randint(2, 5)
+        for bid in range(n_batches):
+            chunk = shuffled[bid::n_batches]
+            fn(spark.createDataFrame(chunk, _CHANGE_SCHEMA), bid)
+        assert _as_map(read_state(spark, out)) == want, case
