@@ -134,7 +134,10 @@ _PRIORITY: list[str] = [
     # the shared df-capped candidate machinery keeps its coverage via
     # dedup_containment_capped, still in the window)
     "lexicon_sentiment",
-    "dedup_minhash_lsh",
+    # never-checked — displaces dedup_minhash_lsh (r3-green; the MinHash
+    # band machinery stays driver-covered via dedup_incremental_lsh's
+    # r5 verdict and this window's chunk-level dedup entries)
+    "cdc_deletions_audit",
     "dedup_simhash",
     "contamination_check",
     "doc_repetition",

@@ -910,6 +910,61 @@ def compact_changelog(base: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
+def cdc_deletions_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The deletion-compliance complement of the CDC fold: every key
+    whose LATEST changelog op is a delete — the rows an auditor checks
+    actually vanished from the compacted snapshot (the GDPR-erasure
+    ledger next to the governance family's k-anonymity/DP releases).
+    Per key: the delete's version, how many changelog rows preceded it
+    (erasure depth), and whether it targeted a real base row or was an
+    orphan delete (a key never in the base — usually a producer bug
+    worth surfacing, not silently dropping).
+
+    Same deterministic latest rule and shuffle shape as
+    cdc_upsert_compaction: one max-struct aggregate + one key
+    equi-join (left join against the base key set, broadcast when the
+    dim is small)."""
+    base = load_table(spark, "customer", sf).select(
+        F.col("c_custkey").alias("bkey")
+    )
+    latest = (
+        load_table(spark, "events", sf)
+        .groupBy(F.col("user_id").alias("ckey"))
+        .agg(
+            F.max(F.struct("event_id", "event_type", "value")).alias(
+                "last"
+            ),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        .filter(F.col("last.event_type") == CDC_DELETE_TYPE)
+    )
+    return latest.join(base, latest.ckey == base.bkey, "left").select(
+        F.col("ckey").alias("custkey"),
+        F.col("last.event_id").alias("deleted_at_version"),
+        (F.col("n_changes") - 1).alias("changes_before_delete"),
+        F.col("bkey").isNotNull().alias("was_in_base"),
+    )
+
+
+CDC_DELETIONS_AUDIT_SQL = f"""
+WITH ranked AS (
+  SELECT user_id AS ckey, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC, event_type DESC,
+                                     value DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+), latest AS (
+  SELECT ckey, event_id AS deleted_at_version, n_changes
+  FROM ranked WHERE rn = 1 AND event_type = '{CDC_DELETE_TYPE}'
+)
+SELECT l.ckey AS custkey, l.deleted_at_version,
+       l.n_changes - 1 AS changes_before_delete,
+       c.c_custkey IS NOT NULL AS was_in_base
+FROM latest l LEFT JOIN customer c ON l.ckey = c.c_custkey
+"""
+
+
 CDC_UPSERT_COMPACTION_SQL = f"""
 WITH ranked AS (
   -- (event_id DESC, event_type DESC, value DESC) = Spark's
@@ -1043,6 +1098,7 @@ TIMESERIES_QUERIES = {
         cdc_upsert_compaction,
         CDC_UPSERT_COMPACTION_SQL,
     ),
+    "cdc_deletions_audit": (cdc_deletions_audit, CDC_DELETIONS_AUDIT_SQL),
     "hourly_autocorr": (hourly_autocorr, HOURLY_AUTOCORR_SQL),
     "seasonal_profile": (seasonal_profile, SEASONAL_PROFILE_SQL),
     "seasonal_anomalies": (seasonal_anomalies, SEASONAL_ANOMALIES_SQL),

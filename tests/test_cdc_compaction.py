@@ -93,3 +93,35 @@ def test_sf_compaction_matches_direct_counts(spark, sf_dir):
             assert r["n_changes"] == 0 and r["last_version"] == -1
         else:
             assert r["n_changes"] >= 1 and r["last_version"] >= 0
+
+
+def test_deletions_audit_complements_compaction(spark, sf_dir):
+    """The audit's key set is exactly the changed keys MISSING from the
+    compacted snapshot — together the two relations partition the
+    changelog's key space."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.timeseries import (
+        cdc_deletions_audit,
+    )
+
+    audited = {
+        r["custkey"]: r for r in cdc_deletions_audit(spark, sf_dir).collect()
+    }
+    surviving = {
+        r["custkey"]
+        for r in cdc_upsert_compaction(spark, sf_dir).collect()
+    }
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+        load_table,
+    )
+
+    changed = {
+        r["user_id"]
+        for r in load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert set(audited) == changed - surviving
+    for r in audited.values():
+        assert r["changes_before_delete"] >= 0
+        assert r["deleted_at_version"] >= 0
