@@ -16,8 +16,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# non-content blocks whose inner text must vanish entirely
-_BLOCK = r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>"
+# non-content blocks whose inner text must vanish entirely — one
+# pattern per tag (no backreference) so every pattern stays RE2-safe:
+# a (script|style|...)…</\1> alternation would need \1, which
+# RE2-class engines (and the DuckDB oracle) reject.
+_BLOCKS = [
+    rf"(?is)<{_t}\b[^>]*>.*?</{_t}\s*>"
+    for _t in ("script", "style", "noscript")
+]
 _COMMENT = r"(?s)<!--.*?-->"
 _TAG = r"(?s)<[^>]*>"
 _ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
@@ -38,11 +44,17 @@ def _decode_entities(col: Column) -> Column:
     return col
 
 
-def _strip_tags(col: Column) -> Column:
+def _strip_noncontent(col: Column) -> Column:
+    """Remove comments and script/style/noscript blocks — the parts of
+    the markup whose inner text is never visible."""
     col = F.regexp_replace(col, _COMMENT, " ")
-    col = F.regexp_replace(col, _BLOCK, " ")
-    col = F.regexp_replace(col, _TAG, " ")
+    for _pat in _BLOCKS:
+        col = F.regexp_replace(col, _pat, " ")
     return col
+
+
+def _strip_tags(col: Column) -> Column:
+    return F.regexp_replace(_strip_noncontent(col), _TAG, " ")
 
 
 def html_to_text(html: Column) -> Column:
@@ -63,17 +75,21 @@ def html_title(html: Column) -> Column:
 def link_density(html: Column) -> Column:
     """Share of the visible text that sits inside <a> anchors — the
     classic boilerplate/navigation signal (link-farm pages score near
-    1, article bodies near 0). Anchor inner HTML is collected with
-    regexp_extract_all, tag-stripped per element, and its character
-    mass compared to the whole document's visible text. 0.0 for
+    1, article bodies near 0). Anchors are extracted from the
+    non-content-stripped markup (an <a> inside a script/style/comment
+    block contributes no visible text, so it must not count), each
+    anchor's inner HTML is tag-stripped, and the character mass is
+    compared to the whole document's visible text. Clamped to [0, 1]
+    so malformed markup can never report an impossible ratio. 0.0 for
     documents with no visible text."""
-    anchors = F.regexp_extract_all(html, F.lit(_ANCHOR), F.lit(1))
+    content = _strip_noncontent(html)
+    anchors = F.regexp_extract_all(content, F.lit(_ANCHOR), F.lit(1))
     anchor_chars = F.aggregate(
         F.transform(anchors, lambda a: F.length(html_to_text(a))),
         F.lit(0),
         lambda acc, n: acc + n,
     )
     total = F.length(html_to_text(html))
-    return F.when(total > 0, F.round(anchor_chars / total, 6)).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(
+        total > 0, F.least(F.round(anchor_chars / total, 6), F.lit(1.0))
+    ).otherwise(F.lit(0.0))

@@ -955,7 +955,12 @@ def dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
     so the release is reproducible and oracle-checkable; a production
     release swaps the hash for a CSPRNG draw and the plan, accounting,
     and ε are unchanged (the docstring-level seam, like the
-    multimodal decode fallback).
+    multimodal decode fallback). Because the noise is recomputable
+    from the published key, the release itself carries NO privacy
+    guarantee yet — the output says so: the ``mechanism`` column is
+    ``laplace_pseudo`` (a CSPRNG build would publish ``laplace``), so
+    a consumer can never mistake the oracle-checkable twin for a real
+    DP release by reading the schema alone.
 
     Scale shape: one aggregate to the class histogram (bounded by
     type × day cardinality), then pure per-row math — the noise adds
@@ -992,6 +997,7 @@ def dp_noisy_counts(spark: SparkSession, sf: str) -> DataFrame:
         "day",
         "n_events",
         F.lit(DP_EPSILON).alias("epsilon"),
+        F.lit("laplace_pseudo").alias("mechanism"),
         F.round(F.col("n_events") + noise, 6).alias("noisy_count"),
     )
 
@@ -1016,6 +1022,7 @@ WITH hist AS (
 )
 SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
        CAST({DP_EPSILON} AS DOUBLE) AS epsilon,
+       'laplace_pseudo' AS mechanism,
        round(n_events + (-1.0 / {DP_EPSILON})
              * sign((h2 + 0.5) / {_HASH_MOD} - 0.5)
              * ln(1.0 - 2.0 * abs((h2 + 0.5) / {_HASH_MOD} - 0.5)), 6)

@@ -288,6 +288,8 @@ def read_warc_via_cdx(cdx: DataFrame) -> DataFrame:
     independent of file boundaries — the point of building the index.
     Corrupt index rows pass through as corrupt records."""
     import gzip
+    import zlib as _zlib
+
     import pandas as pd
 
     def fetch(batches):
@@ -317,7 +319,12 @@ def read_warc_via_cdx(cdx: DataFrame) -> DataFrame:
                     rows.extend(
                         parse_warc_bytes(r["path"], gzip.decompress(member))
                     )
-                except OSError as exc:  # bad gzip span
+                # gzip.decompress raises OSError (BadGzipFile) for a bad
+                # header, zlib.error for corrupt member bytes, and
+                # EOFError for a truncated span — none of the latter two
+                # subclass OSError, and a stale CDX span must dead-letter,
+                # never fail the task (module contract).
+                except (OSError, EOFError, _zlib.error) as exc:
                     rows.append(
                         {
                             "path": r["path"],

@@ -29,8 +29,13 @@ state is one flag and two capped arrays:
   — a pending ProcessingTimeTimeout makes MicroBatchExecution's
   shouldRunAnotherBatch always-true and the query busy-loops empty
   micro-batches forever; watermark-driven timeouts only fire when
-  data moves the stream forward): their backlog is suppressed and the
-  state cleared — an abandoned class cannot pin memory forever.
+  data moves the stream forward): an UN-OPENED class's backlog is
+  suppressed and its state cleared — an abandoned class cannot pin
+  memory forever. An OPENED class is exempt (no timeout armed; a
+  stale pre-open timeout that still fires re-stores the flag): its
+  state is already the one-flag minimum, and dropping the flag would
+  re-hold rows that arrive after an idle gap, making the released
+  set depend on arrival timing.
 
 Total state is ≤ n_classes × 2 × max_held longs — at 100 TB bounded
 by QI cardinality and the knob, never by the stream. Determinism:
@@ -81,8 +86,20 @@ def _gate_fn(k: int, l_div: int, max_held: int, ttl_ms: int):
     ) -> Iterable[pd.DataFrame]:
         (band,) = key
         if state.hasTimedOut:
-            # abandoned class: suppress the backlog, free the state
-            state.remove()
+            opened0 = state.exists and bool(state.get[0])
+            if opened0:
+                # an OPENED class must stay open across idle gaps — if
+                # the flag were dropped here, rows arriving after a TTL
+                # would be re-held (and possibly cap-suppressed), making
+                # the released set depend on arrival timing. Keep the
+                # flag (held arrays are already empty once opened) and
+                # don't re-arm: an open class needs no timeout, its
+                # state is the one-flag minimum already.
+                state.update((True, [], []))
+            else:
+                # abandoned un-opened class: suppress the backlog,
+                # free the state
+                state.remove()
             return
         if state.exists:
             opened, eids0, uids0 = state.get
@@ -128,9 +145,13 @@ def _gate_fn(k: int, l_div: int, max_held: int, ttl_ms: int):
             else (False, list(held_eids), list(held_uids))
         )
         # re-arm on activity from the class's newest event time (the
-        # stateful.py convention): only genuinely idle classes evict
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(max_ts_ms, wm_ms + 1) + ttl_ms)
+        # stateful.py convention): only genuinely idle UN-OPENED
+        # classes evict — an opened class carries no timeout at all
+        # (its state is the one-flag minimum and must survive idle
+        # gaps so late rows pass instead of being re-held)
+        if not opened:
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_ms, wm_ms + 1) + ttl_ms)
         if out_eids:
             yield pd.DataFrame(
                 {

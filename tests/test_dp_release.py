@@ -36,6 +36,9 @@ def test_noise_matches_python_reference(spark, sf_dir):
         want = round(r["n_events"] + _ref_noise(f"{r['event_type']}|{r['day']}"), 6)
         assert r["noisy_count"] == want, (r["event_type"], r["day"])
         assert r["epsilon"] == DP_EPSILON
+        # pseudo-noise is recomputable from the key (this test just
+        # did), so the schema must say so until the CSPRNG swap
+        assert r["mechanism"] == "laplace_pseudo"
 
 
 def test_noise_distribution_is_laplace_shaped(spark, sf_dir):

@@ -122,3 +122,28 @@ def test_warc_text_corpus_end_to_end(spark, crawl_dir):
     assert page["title"] == "The & Title"
     assert rows["http://a/farm"]["link_density"] == round(6 / 7, 6)
     assert page["doc_id"] is not None
+
+
+def test_link_density_ignores_anchors_in_noncontent_blocks(spark):
+    # the <a> inside <script> contributes no visible text, so it must
+    # not inflate the numerator — and the ratio can never exceed 1.0
+    page = (
+        '<script>document.write(\'<a href="/x">ggggggggggggggggg</a>\');'
+        "</script><body>ab <a href='/y'>cd</a></body>"
+    )
+    got = (
+        _df(spark, page)
+        .select(link_density(F.col("html")).alias("d"))
+        .first()["d"]
+    )
+    # visible text "ab cd" (5 chars), anchor text "cd" (2 chars)
+    assert got == pytest.approx(2 / 5, abs=1e-6)
+
+    # adversarial: comment-wrapped anchors only -> no visible anchors
+    only_hidden = "<!-- <a href='/z'>zzzz</a> --><body>plain</body>"
+    got2 = (
+        _df(spark, only_hidden)
+        .select(link_density(F.col("html")).alias("d"))
+        .first()["d"]
+    )
+    assert got2 == 0.0

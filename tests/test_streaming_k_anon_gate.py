@@ -201,3 +201,28 @@ def _drain_ttl(spark, src, ckpt, sink, **kw):
         q.processAllAvailable()  # no-data batch processes the timeouts
     finally:
         q.stop()
+
+
+def test_opened_class_survives_stale_timeout(spark, tmp_path):
+    """An OPENED class must stay open across idle gaps. The class arms
+    a timeout while still un-opened (c0), opens in c1 (no re-arm, but
+    the c0 timeout is still pending), goes idle while other-band
+    traffic advances the watermark past the stale timeout (c2 — the
+    timeout fires on the opened class), then receives late rows that
+    alone could never satisfy k/l (c3). Those rows must pass straight
+    through: dropping the flag at timeout would re-hold (and suppress)
+    them, making the released set depend on arrival timing."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    os.makedirs(src)
+    m = lambda mins: T0 + dt.timedelta(minutes=mins)
+    c0 = [(400 + i % 2, i, _band(0), m(i)) for i in range(4)]
+    c1 = [(402 + i % 2, 4 + i, _band(0), m(10 + i)) for i in range(4)]
+    c2 = [(600, 100, _band(2), m(20))]  # advances wm past the stale arm
+    c3 = [(404, 8, _band(0), m(30)), (404, 9, _band(0), m(31))]
+    for name, chunk in [("c0", c0), ("c1", c1), ("c2", c2), ("c3", c3)]:
+        write_events_chunk(spark, src, name, chunk)
+    _drain_ttl(spark, src, ckpt, sink, ttl_ms=60_000, watermark="0 seconds")
+    got = spark.read.parquet(sink).collect()
+    assert {r["event_id"] for r in got} == set(range(10))
+    assert len(got) == 10  # no duplicates either

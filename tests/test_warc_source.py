@@ -250,3 +250,41 @@ def test_read_via_cdx_equals_full_read(spark, warc_dir):
 
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) == 2
+
+
+def test_read_via_cdx_dead_letters_stale_spans(spark, tmp_path):
+    """A CDX that has gone stale (file rewritten/truncated under it)
+    must dead-letter each bad span, never fail the task: corrupt
+    member bytes raise zlib.error, truncated spans raise EOFError —
+    neither subclasses OSError, so this pins the full catch set."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.warc import (
+        CDX_SCHEMA,
+        build_cdx,
+        read_warc_via_cdx,
+    )
+
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(b"".join(gzip.compress(r) for r in (RESP_A, RESP_B)))
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    stale = [r.asDict() for r in build_cdx(files).collect()]
+    assert len(stale) == 2
+
+    # rewrite the file under the index: member 1's deflate stream is
+    # garbled past the 10-byte gzip header (zlib.error); the file is
+    # then truncated mid-member-2 (EOFError).
+    raw = bytearray(p.read_bytes())
+    m1, m2 = sorted(stale, key=lambda r: r["member_offset"])
+    for i in range(m1["member_offset"] + 10, m1["member_offset"] + 30):
+        raw[i] ^= 0xFF
+    p.write_bytes(bytes(raw[: m2["member_offset"] + 12]))
+
+    got = read_warc_via_cdx(
+        spark.createDataFrame(stale, schema=CDX_SCHEMA)
+    ).collect()
+    assert len(got) == 2
+    assert all(
+        r["corrupt_reason"] is not None
+        and r["corrupt_reason"].startswith("bad member span")
+        and r["record_id"] is None
+        for r in got
+    )
