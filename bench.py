@@ -113,17 +113,23 @@ def main() -> None:
         except (OSError, ValueError):
             pass
     total, penalty = headline_value(timings, errors, baseline_q)
+    # key order matters operationally: the driver's bench record keeps
+    # only the LAST 2000 chars of output, and json.dumps preserves
+    # insertion order — so the big per-query dict goes FIRST and the
+    # headline fields (metric/value/n_failed) LAST, where the tail
+    # truncation can never eat them (VERDICT r6 nit #1: BENCH_r06 lost
+    # the total because `value` led the line).
     out = {
-        "metric": "total_query_sec",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "n_failed": len(errors),
+        "unit": "sec",
     }
     if errors:
         out["errors"] = errors
         out["penalty_sec"] = penalty
+    out["n_failed"] = len(errors)
+    out["metric"] = "total_query_sec"
+    out["value"] = total
     print(json.dumps(out))
 
 

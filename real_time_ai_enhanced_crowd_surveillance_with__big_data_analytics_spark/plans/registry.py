@@ -47,120 +47,72 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
-# Round-6 window (VERDICT r5 "Next round" #3 — the cleanup rotation):
-# (a) the two r5 driver reds, now fixed (inverted_index array→string
-#     serialization; embedding_covariance integer-exact co-moments);
-# (b) dedup_containment_capped — the only never-driver-checked query;
-# (c) the five queries whose spec/plan changed AFTER the r5 window
-#     froze (cap_per_source / source_quota_sample / token_budget_sample
-#     — decorrelated selection hash; shard_assignment /
-#     source_mixture_report — TakeOrderedAndProject reshape);
-# (d) stratified_sample / approx_aggregates — perpetual `no_oracle`
-#     reds, this round given full oracles (portable affine-hash
-#     sampler; exact columns + sketch-bounds flags);
-# (e) the flagship + returning canaries;
-# (f) fill to 50 with the queries whose latest driver verdict is
-#     oldest (r2/r3-era battery), computed mechanically from
-#     CORRECTNESS_r01..r05 key unions. After this round every registry
-#     query's latest verdict is ≤3 rounds old.
+# Round-7 window (VERDICT r6 "Next round" #1 — the freshness rotation,
+# computed by tools/rotation_planner.py):
+# (a) the two canaries, every round;
+# (b) html_extract_quality — added this round (never driver-checked);
+# (c) fill to 50 with the queries whose latest driver verdict is
+#     OLDEST: value_outliers (r2), the 23 r3-era rows, and the r4
+#     battery — after this round no registry query's latest verdict
+#     is older than r4, clearing the whole freshness debt VERDICT r6
+#     item #2 called out.
 _PRIORITY: list[str] = [
-    # (e) canaries
+    # (a) canaries
     "crowded_frames",
     "revenue_by_nation",
-    # (a) fixed r5 reds
-    "inverted_index",
-    "embedding_covariance",
-    # (b) never checked (dedup_containment_capped from r5;
-    # pii_redact / sketch_rollup added earlier in r6 — a never-checked
-    # query outranks a 3-round-old green battery re-verdict, so these
-    # displace token_stats / trigram_profile from (f), both r2-green)
-    "dedup_containment_capped",
-    "pii_redact",
-    "sketch_rollup",
-    # (c) spec/plan changed after the r5 freeze
-    "cap_per_source",
-    "source_quota_sample",
-    "token_budget_sample",
-    "shard_assignment",
-    "source_mixture_report",
-    # (d) newly oracle-backed
-    "stratified_sample",
-    "approx_aggregates",
-    # (b') never-checked queries added later in r6 — same rule as (b):
-    # a first verdict outranks a 3-round-old battery re-verdict, so
-    # these displace the seven NEWEST-verdict fill entries
-    # (alarm_rising_edges / conditional_counts / sessionize /
-    # clicks_near_purchases / event_pivot / event_unpivot /
-    # shipmode_priority, all r3-green — everything else in (f) is
-    # r2-or-older)
-    "weak_label_vote",
-    "state_merge_rollup",
-    "label_propagation",
-    "doc_novelty",
-    "fk_integrity_audit",
-    "k_anonymity_audit",
-    "k_anonymity_generalize",
-    # (f) oldest-verdict battery (r2/r3-era)
-    # never-checked (added late r6) — displaces value_outliers
-    # (r2-green): a first verdict outranks any re-verdict
-    "dp_noisy_counts",
-    # never-checked (added late r6) — displaces sequence_packing
-    # (r3-green), same first-verdict-outranks-re-verdict rule
-    "dedup_jaccard_prefix",
-    # never-checked (added late r6) — displaces embedding_quantization
-    # (r2-green), same rule
-    "release_readiness",
-    # never-checked (added late r6, second wave) — displace the three
-    # NEWEST-verdict fills remaining (knn_bruteforce /
-    # fall_detection_softmax / label_centroids, all r3-green; computed
-    # mechanically from CORRECTNESS_r01..r05 — everything else left in
-    # (f) is r2-or-older, and (a)-(e) entries are not displaceable)
-    "cdc_upsert_compaction",
-    "pq_encode",
-    "pq_adc_knn",
-    # never-checked — displaces embedding_neardup_lsh (r3-green, the
-    # newest remaining fill; and it is transitively exercised anyway:
-    # neardup_pagerank / neardup_lsh_recall / label_propagation in
-    # this window all build on its pair set)
-    "seasonal_anomalies",
-    # never-checked — displaces ivf_knn (r3-green, now the newest
-    # remaining fill; its IVF machinery is also probe-tested and
-    # partition-filter-asserted in T)
-    "pq_incremental_encode",
-    # never-checked — displaces dedup_ngram_jaccard (r3-green; its
-    # capped twin, same candidate machinery, stays in the window)
-    "pq_recall",
-    # never-checked — displaces dedup_ngram_jaccard_capped (r3-green;
-    # the shared df-capped candidate machinery keeps its coverage via
-    # dedup_containment_capped, still in the window)
-    "lexicon_sentiment",
-    # never-checked — displaces dedup_minhash_lsh (r3-green; the MinHash
-    # band machinery stays driver-covered via dedup_incremental_lsh's
-    # r5 verdict and this window's chunk-level dedup entries)
-    "cdc_deletions_audit",
-    "dedup_simhash",
-    "contamination_check",
-    "doc_repetition",
-    "policy_pattern_scan",
-    "quality_funnel",
-    "bpe_token_stats",
-    "tfidf_top_terms",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "lm_cross_entropy",
-    "fire_alerts",
-    "user_cohorts_setops",
-    "detection_parse",
-    "validate_registrations",
-    "nms_detections",
-    # never-checked (added late r6) — displace multimodal_meta and
-    # crowd_alerts_pipeline: the fill battery is uniformly r3-green,
-    # so the registry-order tiebreak drops the last fill entries for
-    # the first verdicts
-    "neardup_pagerank",
-    "neardup_lsh_recall",
+    # (b) never checked
+    "html_extract_quality",
+    # (c) oldest-verdict fill: r2, then the r3 battery
+    "value_outliers",
+    "alarm_rising_edges",
+    "conditional_counts",
+    "sessionize",
+    "clicks_near_purchases",
+    "event_pivot",
+    "event_unpivot",
+    "shipmode_priority",
+    "sequence_packing",
+    "embedding_quantization",
+    "knn_bruteforce",
+    "fall_detection_softmax",
+    "label_centroids",
+    "embedding_neardup_lsh",
+    "ivf_knn",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "token_stats",
+    "trigram_profile",
+    "crowd_alerts_pipeline",
+    "multimodal_meta",
+    "multimodal_features",
+    "video_frame_sample",
+    # (c) oldest-verdict fill: the r4 battery (registry-order tiebreak)
+    "pricing_summary",
+    "top_orders_per_customer",
+    "argmax_event",
+    "customers_without_events",
+    "customers_with_errors",
+    "event_trend_rollup",
+    "shipping_priority",
+    "returned_revenue",
+    "props_extract",
+    "session_window_stats",
+    "asof_last_event",
+    "asof_next_event",
+    "value_percentiles",
+    "distinct_stats",
+    "value_rank_profile",
+    "running_revenue",
+    "moving_revenue",
+    "revenue_deciles",
+    "event_cube",
+    "event_grouping_sets",
+    "small_quantity_revenue",
+    "volume_shipping",
+    "top_supplier",
 ]
+
 
 _ALL: dict[str, tuple[Callable, str | None]] = {}
 for _mod in _MODULES:

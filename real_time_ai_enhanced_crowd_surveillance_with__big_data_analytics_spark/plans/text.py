@@ -786,7 +786,157 @@ FROM toks
 """
 
 
+# --- HTML extraction quality (crawl-ingestion rules, hash-verified) ---------
+
+def html_extract_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-verified twin of the crawl text-extraction stage
+    (functions/html.py, the WARC → corpus seam in sources/warc.py::
+    warc_text_corpus): both engines wrap each document's text in the
+    SAME deterministic markup — title carrying an entity, script/
+    style/noscript blocks, an HTML comment hiding an anchor, and a
+    doc_id-length visible anchor — then run the extraction rules and
+    emit title, a text prefix, and exact character-mass columns. This
+    promotes the extraction rules from unit-asserted
+    (test_html_extract) to oracle-verified: tag stripping, non-content
+    removal, entity-decode order, whitespace collapse, anchor
+    link-mass — all inside the value hash. The WARC container parse
+    itself stays pytest-gated (binary fixtures can't cross the SQL
+    oracle boundary).
+
+    Scale shape: one corpus scan, pure codegen regexp/concat columns —
+    zero shuffles, zero Python; at 100 TB this runs at scan speed like
+    the rest of text.py. Link density ships as exact integer parts-
+    per-million (BIGINT floor-div, the event_cube midpoint lesson) —
+    no float rounding anywhere in the output.
+    """
+    from ..functions.html import (
+        _ANCHOR,
+        _strip_noncontent,
+        html_title,
+        html_to_text,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    did = F.col("doc_id").cast("string")
+    markup = F.concat(
+        F.lit("<html><head><title> "),
+        F.col("source"),
+        F.lit(" &amp; doc "),
+        did,
+        F.lit(" </title><style>p { color: red }</style>"),
+        F.lit("<script>var s = <a href=/x>never text</a>;</script>"),
+        F.lit('</head><body><!-- <a href="/hidden">hidden</a> --><h1>'),
+        F.expr("substring(text, 1, 20)"),
+        F.lit("</h1><p>"),
+        F.expr("substring(text, 21, 40)"),
+        F.lit(' <a href="/d'),
+        did,
+        F.lit('">'),
+        F.expr("substring(text, 61, 1 + doc_id % 29)"),
+        F.lit("</a> "),
+        F.expr("substring(text, 62 + doc_id % 29)"),
+        F.lit("&nbsp;&lt;eof&gt;</p><noscript>js off</noscript>"),
+        F.lit("</body></html>"),
+    )
+    page = docs.select("doc_id", markup.alias("html"))
+    text = html_to_text(F.col("html"))
+    anchors = F.regexp_extract_all(
+        _strip_noncontent(F.col("html")), F.lit(_ANCHOR), F.lit(1)
+    )
+    anchor_chars = F.aggregate(
+        F.transform(anchors, lambda a: F.length(html_to_text(a))),
+        F.lit(0).cast("long"),
+        lambda acc, n: acc + n,
+    )
+    total = F.length(text).cast("long")
+    return page.select(
+        "doc_id",
+        html_title(F.col("html")).alias("title"),
+        F.substring(text, 1, 60).alias("text_head"),
+        total.alias("n_text_chars"),
+        anchor_chars.alias("n_anchor_chars"),
+        F.when(
+            total > 0, (anchor_chars * 1_000_000).cast("long") / total
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("link_density_ppm"),
+    )
+
+
+def _duck_html_sql() -> str:
+    """DuckDB oracle generated from the SAME pattern/entity constants
+    as the Spark plan (functions/html.py) — the rules cannot drift."""
+    from ..functions.html import _ANCHOR, _BLOCKS, _COMMENT, _ENTITIES, _TAG
+
+    def strip_noncontent(e: str) -> str:
+        out = f"regexp_replace({e}, '{_COMMENT}', ' ', 'g')"
+        for pat in _BLOCKS:
+            out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+        return out
+
+    def to_text(e: str) -> str:
+        out = f"regexp_replace({strip_noncontent(e)}, '{_TAG}', ' ', 'g')"
+        for src, dst in _ENTITIES:
+            out = (
+                f"replace({out}, '{src.replace(chr(39), chr(39) * 2)}', "
+                f"'{dst.replace(chr(39), chr(39) * 2)}')"
+            )
+        return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+
+    def decode(e: str) -> str:
+        out = e
+        for src, dst in _ENTITIES:
+            out = (
+                f"replace({out}, '{src.replace(chr(39), chr(39) * 2)}', "
+                f"'{dst.replace(chr(39), chr(39) * 2)}')"
+            )
+        return out
+
+    title_raw = (
+        r"regexp_extract(html, '(?is)<title\b[^>]*>(.*?)</title\s*>', 1)"
+    )
+    return f"""
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><title> ' || source || ' &amp; doc '
+    || CAST(doc_id AS VARCHAR)
+    || ' </title><style>p {{ color: red }}</style>'
+    || '<script>var s = <a href=/x>never text</a>;</script>'
+    || '</head><body><!-- <a href="/hidden">hidden</a> --><h1>'
+    || substring(text, 1, 20) || '</h1><p>' || substring(text, 21, 40)
+    || ' <a href="/d' || CAST(doc_id AS VARCHAR) || '">'
+    || substring(text, 61, CAST(1 + doc_id % 29 AS INT)) || '</a> '
+    || substring(text, CAST(62 + doc_id % 29 AS INT))
+    || '&nbsp;&lt;eof&gt;</p><noscript>js off</noscript>'
+    || '</body></html>' AS html
+  FROM documents
+), extracted AS (
+  SELECT doc_id,
+    trim(regexp_replace({decode(title_raw)}, '\\s+', ' ', 'g')) AS title,
+    {to_text('html')} AS text,
+    list_transform(
+      regexp_extract_all({strip_noncontent('html')}, '{_ANCHOR}', 1),
+      a -> length({to_text('a')})
+    ) AS anchor_lens
+  FROM page
+)
+SELECT doc_id, title,
+  substring(text, 1, 60) AS text_head,
+  CAST(length(text) AS BIGINT) AS n_text_chars,
+  CAST(list_reduce(list_prepend(0, anchor_lens), (a, b) -> a + b)
+       AS BIGINT) AS n_anchor_chars,
+  CASE WHEN length(text) > 0
+       THEN CAST(list_reduce(list_prepend(0, anchor_lens),
+                             (a, b) -> a + b) AS BIGINT)
+            * 1000000 // length(text)
+       ELSE 0 END AS link_density_ppm
+FROM extracted
+"""
+
+
 TEXT_QUERIES = {
+    "html_extract_quality": (html_extract_quality, _duck_html_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "lexicon_sentiment": (lexicon_sentiment, LEXICON_SENTIMENT_SQL),
     "ccnet_ppl_buckets": (ccnet_ppl_buckets, CCNET_PPL_BUCKETS_SQL),
