@@ -7,8 +7,9 @@ and a pixel array. Implementing both here makes the multimodal decode
 step REAL for those formats — ``decode_image`` (operators/
 multimodal.py) sniffs magic bytes and routes here before falling back
 to its deterministic stub. r6 extends the family with a from-scratch
-baseline JPEG codec (operators/jpegcodec.py); only genuinely exotic
-corners (progressive JPEG, arithmetic coding) remain behind the
+baseline JPEG codec (operators/jpegcodec.py); r7 adds progressive
+(SOF2) decode to it; only genuinely exotic corners (arithmetic
+coding, 12-bit precision, lossless/hierarchical) remain behind the
 cv2/PIL gate.
 
 Decoders return uint8 BGR (cv2 convention, matching the reference's

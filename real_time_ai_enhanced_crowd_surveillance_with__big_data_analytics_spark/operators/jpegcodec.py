@@ -161,6 +161,20 @@ _TABLES = {
     "ac1": _build_huffman(AC_CHROMA_BITS, AC_CHROMA_VALS),
 }
 
+# Progressive AC scans emit EOBn symbols ((r<<4)|0, r=1..14) that the
+# Annex K tables do not define, so the progressive ENCODER carries its
+# own complete AC table: all 256 (run, size) byte values, 255 at code
+# length 9 + 1 at length 10 (Kraft sum 255/512 + 1/1024 < 1; the
+# all-ones max-length code stays unused as T.81 requires). Flat-ish
+# and compression-poor, but always legal — the oracle encoder values
+# totality over ratio. The decoder needs nothing special: it reads
+# whatever DHT declares.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = list(range(256))
+_PROG_AC = _build_huffman(PROG_AC_BITS, PROG_AC_VALS)
+
+MAX_EOBRUN = 0x7FFF  # T.81 G.1.2.2: EOBn codes runs up to 2^15 - 1
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude category + amplitude bits for a signed value."""
@@ -465,6 +479,295 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive encoder (the decoder's round-trip oracle) ---------------------
+
+
+def _emit_eobrun(wr: _BitWriter, enc, eobrun: int, run_bits: list[int]) -> int:
+    """Flush an accumulated EOB run (T.81 G.1.2.2: symbol (nbits<<4) +
+    nbits extra bits) followed by the correction bits buffered behind
+    it (refinement scans only; empty list in first scans)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        ln, code = enc[nbits << 4]
+        wr.write(ln, code)
+        if nbits:
+            wr.write(nbits, eobrun - (1 << nbits))
+    for b in run_bits:
+        wr.write(1, b)
+    run_bits.clear()
+    return 0
+
+
+def _enc_ac_first_scan(
+    wr: _BitWriter, zz: np.ndarray, order, ss: int, se: int, al: int,
+    restart_interval: int,
+) -> None:
+    enc = _PROG_AC[0]
+    eobrun = 0
+    no_bits: list[int] = []
+    unit = 0
+    rst = 0
+    for bi in order:
+        if restart_interval and unit and unit % restart_interval == 0:
+            eobrun = _emit_eobrun(wr, enc, eobrun, no_bits)
+            wr.restart(rst)
+            rst = (rst + 1) % 8
+        row = zz[bi]
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(row[k])
+            t = -((-t) >> al) if t < 0 else t >> al  # point transform
+            if t == 0:
+                r += 1
+                continue
+            eobrun = _emit_eobrun(wr, enc, eobrun, no_bits)
+            while r > 15:
+                ln, code = enc[0xF0]
+                wr.write(ln, code)
+                r -= 16
+            size, bits = _magnitude(t)
+            ln, code = enc[(r << 4) | size]
+            wr.write(ln, code)
+            wr.write(size, bits)
+            r = 0
+        if r > 0:  # band ends in zeros: this block joins an EOB run
+            eobrun += 1
+            if eobrun == MAX_EOBRUN:
+                eobrun = _emit_eobrun(wr, enc, eobrun, no_bits)
+        unit += 1
+    _emit_eobrun(wr, enc, eobrun, no_bits)
+
+
+def _enc_ac_refine_scan(
+    wr: _BitWriter, zz: np.ndarray, order, ss: int, se: int, al: int,
+    restart_interval: int,
+) -> None:
+    enc = _PROG_AC[0]
+    eobrun = 0
+    run_bits: list[int] = []  # correction bits riding with the EOB run
+    unit = 0
+    rst = 0
+    for bi in order:
+        if restart_interval and unit and unit % restart_interval == 0:
+            eobrun = _emit_eobrun(wr, enc, eobrun, run_bits)
+            wr.restart(rst)
+            rst = (rst + 1) % 8
+        row = zz[bi]
+        absv = []
+        eob = ss - 1  # position of the last newly-significant coef
+        for k in range(ss, se + 1):
+            t = int(row[k])
+            a = (-t if t < 0 else t) >> al
+            absv.append(a)
+            if a == 1:
+                eob = k
+        r = 0
+        cur_bits: list[int] = []  # correction bits of this block so far
+        for k in range(ss, se + 1):
+            a = absv[k - ss]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                eobrun = _emit_eobrun(wr, enc, eobrun, run_bits)
+                ln, code = enc[0xF0]
+                wr.write(ln, code)
+                r -= 16
+                for b in cur_bits:
+                    wr.write(1, b)
+                cur_bits.clear()
+            if a > 1:  # history coefficient: buffer its correction bit
+                cur_bits.append(a & 1)
+                continue
+            # newly significant (a == 1): symbol, sign, then the bits
+            # of the history coefficients passed over
+            eobrun = _emit_eobrun(wr, enc, eobrun, run_bits)
+            ln, code = enc[(r << 4) | 1]
+            wr.write(ln, code)
+            wr.write(1, 1 if int(row[k]) > 0 else 0)
+            for b in cur_bits:
+                wr.write(1, b)
+            cur_bits.clear()
+            r = 0
+        if r > 0 or cur_bits:  # block ends inside an EOB run
+            eobrun += 1
+            run_bits.extend(cur_bits)
+            if eobrun == MAX_EOBRUN:
+                eobrun = _emit_eobrun(wr, enc, eobrun, run_bits)
+        unit += 1
+    _emit_eobrun(wr, enc, eobrun, run_bits)
+
+
+def encode_jpeg_progressive(
+    bgr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 BGR (h, w, 3) → PROGRESSIVE (SOF2) JFIF bytes carrying the
+    SAME quantized coefficients as ``encode_jpeg`` with the same
+    arguments — so ``decode_jpeg`` of both must be bit-identical,
+    which is the round-trip oracle for the progressive decode path.
+
+    Scan script (T.81 Annex G spectral selection + successive
+    approximation, the shape real encoders emit): interleaved DC first
+    scan at Al=1, DC refinement, then per component two AC bands
+    (1-5, 6-63) each as a first scan at Al=1 plus a refinement —
+    exercising EOBn run accumulation, ZRL-in-refinement, and
+    correction-bit buffering. AC scans use a complete 256-symbol
+    Huffman table (PROG_AC_BITS) because Annex K defines no EOBn
+    symbols. ``restart_interval`` applies per MCU in the DC scans and
+    per block in the AC scans, flushing EOB runs and resetting
+    predictors, per G.1.2."""
+    if bgr.ndim != 3 or bgr.shape[2] != 3 or bgr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8 (h, w, 3) BGR")
+    if grayscale and subsample:
+        raise ValueError("grayscale has a single component; no subsampling")
+    h, w = bgr.shape[:2]
+    qy, qc = _quality_tables(quality)
+    ycc = _bgr_to_ycbcr(bgr)
+    mult = 16 if subsample else 8
+    padded = np.stack(
+        [_pad_to(ycc[:, :, c], mult) for c in range(3)], axis=-1
+    )
+    ych = padded[:, :, 0]
+    if grayscale:
+        comps = [(ych, qy, 1, 1)]
+    elif subsample:
+        cb = padded[:, :, 1].reshape(
+            padded.shape[0] // 2, 2, padded.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        cr = padded[:, :, 2].reshape(
+            padded.shape[0] // 2, 2, padded.shape[1] // 2, 2
+        ).mean(axis=(1, 3))
+        comps = [(ych, qy, 2, 2), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+    else:
+        comps = [(ych, qy, 1, 1), (padded[:, :, 1], qc, 1, 1),
+                 (padded[:, :, 2], qc, 1, 1)]
+
+    # quantized coefficients in zigzag order, (nblocks, 64) per comp —
+    # numerically identical to encode_jpeg's blocks
+    qzz = []
+    for ch, qt, _hf, _vf in comps:
+        blocks = _blockify(ch - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _D, blocks, _D)
+        qb = np.floor(coef / qt.reshape(8, 8) + 0.5).astype(np.int32)
+        qzz.append(qb.reshape(-1, 64)[:, ZIGZAG])
+
+    nc = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = comps[0][0].shape[1] // (8 * hmax)
+    mcuy = comps[0][0].shape[0] // (8 * vmax)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in ((0, qy), (1, qc))[: 1 if grayscale else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(v) for v in qt.reshape(64)[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, (_ch, _qt, hf, vf) in enumerate(comps, start=1):
+        out += bytes([cid, (hf << 4) | vf, 0 if cid == 1 else 1])
+    huff_decls = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS)]
+    if not grayscale:
+        huff_decls.append((0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    huff_decls.append((0x10, PROG_AC_BITS, PROG_AC_VALS))
+    for marker_id, bits, vals in huff_decls:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([marker_id]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(specs, ss, se, ah, al):
+        out.extend(b"\xff\xda")
+        out.extend(struct.pack(">HB", 6 + 2 * len(specs), len(specs)))
+        for cs, td, ta in specs:
+            out.extend(bytes([cs, (td << 4) | ta]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def noninterleaved_order(ci):
+        _ch, _qt, hf, vf = comps[ci]
+        cw = -(-(w * hf) // hmax)
+        chh = -(-(h * vf) // vmax)
+        bwn, bhn, stride = -(-cw // 8), -(-chh // 8), mcux * hf
+        return [
+            by * stride + bx for by in range(bhn) for bx in range(bwn)
+        ]
+
+    # --- scan 1: DC first, all components interleaved, Al=1
+    dc_specs = [
+        (cid, 0 if cid == 1 else 1, 0) for cid in range(1, nc + 1)
+    ]
+    sos(dc_specs, 0, 0, 0, 1)
+    wr = _BitWriter()
+    preds = [0] * nc
+    unit = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                wr.restart(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * nc
+            for c in range(nc):
+                _ch, _qt, hf, vf = comps[c]
+                dc_enc = _TABLES["dc0" if c == 0 else "dc1"][0]
+                for dy in range(vf):
+                    for dx in range(hf):
+                        bi = (my * vf + dy) * (mcux * hf) + (mx * hf + dx)
+                        v = int(qzz[c][bi, 0]) >> 1
+                        size, bits = _magnitude(v - preds[c])
+                        preds[c] = v
+                        ln, code = dc_enc[size]
+                        wr.write(ln, code)
+                        wr.write(size, bits)
+            unit += 1
+    out += wr.flush()
+
+    # --- scan 2: DC refinement (raw bit 0 of each DC), interleaved
+    sos(dc_specs, 0, 0, 1, 0)
+    wr = _BitWriter()
+    unit = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                wr.restart(rst)
+                rst = (rst + 1) % 8
+            for c in range(nc):
+                _ch, _qt, hf, vf = comps[c]
+                for dy in range(vf):
+                    for dx in range(hf):
+                        bi = (my * vf + dy) * (mcux * hf) + (mx * hf + dx)
+                        wr.write(1, int(qzz[c][bi, 0]) & 1)
+            unit += 1
+    out += wr.flush()
+
+    # --- AC scans: two spectral bands per component, first then refine
+    bands = ((1, 5), (6, 63))
+    for ci in range(nc):
+        order = noninterleaved_order(ci)
+        for ss, se in bands:
+            sos([(ci + 1, 0, 0)], ss, se, 0, 1)
+            wr = _BitWriter()
+            _enc_ac_first_scan(wr, qzz[ci], order, ss, se, 1,
+                               restart_interval)
+            out += wr.flush()
+    for ci in range(nc):
+        order = noninterleaved_order(ci)
+        for ss, se in bands:
+            sos([(ci + 1, 0, 0)], ss, se, 1, 0)
+            wr = _BitWriter()
+            _enc_ac_refine_scan(wr, qzz[ci], order, ss, se, 0,
+                                restart_interval)
+            out += wr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ------------------------------------------------------------------
 
 
@@ -480,6 +783,233 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG: {type(ex).__name__}") from ex
 
 
+def _entropy_end(buf: bytes, start: int) -> int:
+    """Position of the marker terminating an entropy-coded segment:
+    stuffed 0xFF00 bytes and RSTn markers belong to the segment."""
+    p, n = start, len(buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF:
+            nxt = buf[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _noninterleaved_blocks(
+    frame, geom, hf: int, vf: int
+) -> tuple[int, int, int]:
+    """(blocks_wide, blocks_high, row_stride) of a component's
+    NON-INTERLEAVED scan grid (T.81 A.2.2: ceil of the component's own
+    scaled dimensions, NOT the MCU-padded grid — the padded fringe
+    blocks are coded only by interleaved scans)."""
+    h, w, _comps = frame
+    hmax, vmax, mcux, _mcuy = geom
+    cw = -(-(w * hf) // hmax)
+    chh = -(-(h * vf) // vmax)
+    return -(-cw // 8), -(-chh // 8), mcux * hf
+
+
+def _refine_nonzero(rd: _BitReader, row: np.ndarray, k: int, al: int) -> None:
+    """AC successive-approximation correction of an already-nonzero
+    coefficient (T.81 G.1.2.3): one bit; if set and bit `al` is still
+    clear, the magnitude grows by one unit toward its sign."""
+    if rd.read(1) and (int(row[k]) & (1 << al)) == 0:
+        row[k] += (1 << al) if int(row[k]) > 0 else -(1 << al)
+
+
+def _prog_ac_first_block(
+    rd: _BitReader, act, row: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """First AC scan of a band (T.81 G.1.2.2): run/size coding with
+    EOBn run accumulation; coefficients land point-transformed
+    (value << Al). Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn includes the current block
+            if r:
+                eobrun += rd.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        row[k] = _extend(rd.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine_block(
+    rd: _BitReader, act, row: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """Refinement AC scan of a band (T.81 G.1.2.3). Newly-significant
+    coefficients arrive as ±1<<Al; every already-nonzero coefficient
+    passed over (or covered by an EOB run) reads one correction bit.
+    Returns the remaining EOB run."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read(r)
+                    break
+                # r == 15: pass over sixteen zero-history coefficients
+            elif s == 1:
+                newval = (1 << al) if rd.read(1) else -(1 << al)
+            else:
+                raise ValueError("invalid JPEG refinement symbol")
+            while k <= se:
+                if row[k] != 0:
+                    _refine_nonzero(rd, row, k, al)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overflow")
+                row[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                _refine_nonzero(rd, row, k, al)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    buf: bytes,
+    start: int,
+    frame,
+    geom,
+    scan_comps,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables,
+    coefzz,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan's entropy data into the coefficient
+    store; returns the buffer position of the terminating marker."""
+    _h, _w, comps = frame
+    hmax, vmax, mcux, mcuy = geom
+    if not (0 <= ss <= se <= 63 and al <= 13 and ah <= 13):
+        raise ValueError("invalid JPEG spectral selection")
+    if ah and ah != al + 1:
+        raise ValueError("non-contiguous JPEG successive approximation")
+    idxs = []  # (frame comp index, Td, Ta)
+    for cs, td, ta in scan_comps:
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not match:
+            raise ValueError("JPEG scan/frame component mismatch")
+        idxs.append((match[0], td, ta))
+    rd = _BitReader(buf[start:])
+    rst_n = 0
+    unit = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+    def maybe_restart(reset):
+        nonlocal rst_n
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) % 8
+            reset()
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        preds = [0] * len(idxs)
+
+        def reset_dc():
+            nonlocal preds
+            preds = [0] * len(idxs)
+
+        def dc_one(j, ci, bi, dct):
+            if ah == 0:
+                size = rd.huff(dct)
+                preds[j] += _extend(rd.read(size), size)
+                coefzz[ci][bi, 0] = preds[j] << al
+            elif rd.read(1):
+                coefzz[ci][bi, 0] |= 1 << al
+
+        if len(idxs) > 1:  # interleaved over the MCU grid
+            tables = []
+            for j, (ci, td, _ta) in enumerate(idxs):
+                dct = htables.get((0, td)) if ah == 0 else None
+                if ah == 0 and dct is None:
+                    raise ValueError("JPEG Huffman table missing")
+                tables.append(dct)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(reset_dc)
+                    for j, (ci, _td, _ta) in enumerate(idxs):
+                        _cid, hf, vf, _tq = comps[ci]
+                        for dy in range(vf):
+                            for dx in range(hf):
+                                bi = (my * vf + dy) * (mcux * hf) + (
+                                    mx * hf + dx
+                                )
+                                dc_one(j, ci, bi, tables[j])
+                    unit += 1
+        else:  # single-component DC scan: the component's own grid
+            ci, td, _ta = idxs[0]
+            _cid, hf, vf, _tq = comps[ci]
+            dct = htables.get((0, td)) if ah == 0 else None
+            if ah == 0 and dct is None:
+                raise ValueError("JPEG Huffman table missing")
+            bwn, bhn, stride = _noninterleaved_blocks(frame, geom, hf, vf)
+            for by in range(bhn):
+                for bx in range(bwn):
+                    maybe_restart(reset_dc)
+                    dc_one(0, ci, by * stride + bx, dct)
+                    unit += 1
+    else:  # AC scan: single component, non-interleaved (T.81 B.2.3)
+        if len(idxs) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, _td, ta = idxs[0]
+        act = htables.get((1, ta))
+        if act is None:
+            raise ValueError("JPEG Huffman table missing")
+        _cid, hf, vf, _tq = comps[ci]
+        bwn, bhn, stride = _noninterleaved_blocks(frame, geom, hf, vf)
+        eobrun = 0
+
+        def reset_ac():
+            nonlocal eobrun
+            eobrun = 0
+
+        block_fn = _prog_ac_first_block if ah == 0 else _prog_ac_refine_block
+        for by in range(bhn):
+            for bx in range(bwn):
+                maybe_restart(reset_ac)
+                eobrun = block_fn(
+                    rd, act, coefzz[ci][by * stride + bx], ss, se, al,
+                    eobrun,
+                )
+                unit += 1
+    return _entropy_end(buf, start)
+
+
 def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
     if buf[:3] != JPEG_MAGIC[:3] or buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG buffer")
@@ -487,6 +1017,10 @@ def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, comps) comps = [(cid, hf, vf, tq)]
+    progressive = False
+    coefzz: list[np.ndarray] | None = None  # per comp (nblocks, 64) zigzag ints
+    geom = None  # (hmax, vmax, mcux, mcuy)
+    n_scans = 0
     restart_interval = 0
     scan = None
 
@@ -524,7 +1058,10 @@ def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables[(tc, th)] = _build_huffman(bits, vals)[1]
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (prog)
+            if frame is not None:
+                raise ValueError("multiple JPEG frames unsupported")
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -534,10 +1071,23 @@ def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+                raise ValueError("JPEG sampling factors beyond 2 unsupported")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geom = (hmax, vmax, mcux, mcuy)
+            coefzz = [
+                np.zeros((mcuy * vf * mcux * hf, 64), dtype=np.int32)
+                for _cid, hf, vf, _tq in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arith) unsupported")
+            raise ValueError(
+                "non-baseline JPEG (lossless/hierarchical/arith) unsupported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -546,85 +1096,111 @@ def _decode_jpeg_inner(buf: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cs, tdta >> 4, tdta & 0x0F))
+            if progressive:
+                if frame is None or len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("JPEG scan before frame header")
+                n_scans += 1
+                if n_scans > 512:
+                    raise ValueError("too many JPEG scans")
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    buf,
+                    pos + seglen,
+                    frame,
+                    geom,
+                    scan_comps,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    htables,
+                    coefzz,
+                    restart_interval,
+                )
+                continue
             scan = (scan_comps, pos + seglen)
             break
         # APPn/COM/etc: skip
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or (scan is None and n_scans == 0):
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = frame
-    scan_comps, data_start = scan
-    if len(scan_comps) != len(comps):
-        raise ValueError("JPEG partial scans unsupported")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
-        raise ValueError("JPEG sampling factors beyond 2 unsupported")
+    hmax, vmax, mcux, mcuy = geom
 
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component block grids (MCU-padded)
-    grids = []
-    for cid, hf, vf, tq in comps:
-        bw, bh = mcux * hf, mcuy * vf
-        if tq not in qtables:
-            raise ValueError("JPEG quant table missing")
-        grids.append(np.zeros((bh * bw, 8, 8), dtype=np.float64))
+    if scan is not None:  # sequential: one interleaved DC+AC scan
+        scan_comps, data_start = scan
+        if len(scan_comps) != len(comps):
+            raise ValueError("JPEG partial scans unsupported")
+        rd = _BitReader(buf[data_start:])
+        preds = [0] * len(comps)
+        mcu_count = 0
+        rst_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    rd.align_and_expect_rst(rst_n)
+                    rst_n = (rst_n + 1) % 8
+                    preds = [0] * len(comps)
+                for ci, (cid, hf, vf, tq) in enumerate(comps):
+                    matches = [s for s in scan_comps if s[0] == cid]
+                    if not matches:  # corrupted scan header: component
+                        # id mismatch must stay inside the ValueError
+                        # contract
+                        raise ValueError(
+                            "JPEG scan/frame component mismatch"
+                        )
+                    sc = matches[0]
+                    dct = htables.get((0, sc[1]))
+                    act = htables.get((1, sc[2]))
+                    if dct is None or act is None:
+                        raise ValueError("JPEG Huffman table missing")
+                    for dy in range(vf):
+                        for dx in range(hf):
+                            zz = np.zeros(64, dtype=np.int32)
+                            size = rd.huff(dct)
+                            preds[ci] += _extend(rd.read(size), size)
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = rd.huff(act)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC index overflow"
+                                    )
+                                s = rs & 0x0F
+                                zz[k] = _extend(rd.read(s), s)
+                                k += 1
+                            bi = (my * vf + dy) * (mcux * hf) + (
+                                mx * hf + dx
+                            )
+                            coefzz[ci][bi] = zz
+                mcu_count += 1
 
-    rd = _BitReader(buf[data_start:])
-    preds = [0] * len(comps)
-    mcu_count = 0
-    rst_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                rd.align_and_expect_rst(rst_n)
-                rst_n = (rst_n + 1) % 8
-                preds = [0] * len(comps)
-            for ci, (cid, hf, vf, tq) in enumerate(comps):
-                matches = [s for s in scan_comps if s[0] == cid]
-                if not matches:  # corrupted scan header: component id
-                    # mismatch must stay inside the ValueError contract
-                    raise ValueError("JPEG scan/frame component mismatch")
-                sc = matches[0]
-                dct = htables.get((0, sc[1]))
-                act = htables.get((1, sc[2]))
-                if dct is None or act is None:
-                    raise ValueError("JPEG Huffman table missing")
-                qt = qtables[tq]
-                for dy in range(vf):
-                    for dx in range(hf):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = rd.huff(dct)
-                        preds[ci] += _extend(rd.read(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(act)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            s = rs & 0x0F
-                            zz[k] = _extend(rd.read(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = zz * qt[ZIGZAG]
-                        bi = (my * vf + dy) * (mcux * hf) + (mx * hf + dx)
-                        grids[ci][bi] = blk.reshape(8, 8)
-            mcu_count += 1
-
-    # inverse DCT per component (all blocks at once), then upsample
+    # shared finish: dequantize + inverse DCT per component (all blocks
+    # at once), then upsample — identical for sequential and
+    # progressive frames, so a progressive stream of the same quantized
+    # coefficients decodes bit-identically to its baseline twin (the
+    # round-trip oracle test_jpegcodec relies on)
     planes = []
     for ci, (cid, hf, vf, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("JPEG quant table missing")
+        qt = qtables[tq]
         bw, bh = mcux * hf, mcuy * vf
-        spat = np.einsum("ji,njk,kl->nil", _D, grids[ci], _D) + 128.0
+        nat = np.zeros((bw * bh, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = coefzz[ci].astype(np.float64) * qt[ZIGZAG][None, :]
+        spat = np.einsum(
+            "ji,njk,kl->nil", _D, nat.reshape(-1, 8, 8), _D
+        ) + 128.0
         plane = _deblockify(spat, bh * 8, bw * 8)
         if hf < hmax or vf < vmax:
             plane = np.repeat(

@@ -8,10 +8,11 @@ Conventions:
 - metadata: plain columns (width/height/format), never packed blobs.
 
 Decode status (r6): PNG, BMP (r5, operators/imagecodec.py) AND
-baseline JPEG (r6, operators/jpegcodec.py — Annex K Huffman + IDCT)
-byte→pixel decode are REAL with zero external deps, selected by
-magic-byte sniffing; cv2/PIL are preferred when importable and remain
-the only path for exotic corners (progressive JPEG), whose absence
+baseline + progressive JPEG (r6/r7, operators/jpegcodec.py — Annex
+K Huffman + IDCT + T.81 Annex G successive approximation) byte→pixel
+decode are REAL with zero external deps, selected by magic-byte
+sniffing; cv2/PIL are preferred when importable and remain the only
+path for exotic corners (arithmetic coding, 12-bit), whose absence
 leaves the deterministic byte-level stub. The
 Spark-side plumbing (schema, Arrow batch shape, mapInPandas
 signature, partitioning) is real and tested either way.
@@ -84,10 +85,10 @@ def read_image_dir(
 def decode_image(buf: bytes) -> np.ndarray:
     """Real decode via cv2/PIL when importable; REAL pure-stdlib decode
     for PNG and BMP (operators/imagecodec.py — zlib + numpy, r5) and
-    baseline JPEG (operators/jpegcodec.py — Huffman + IDCT, r6)
-    regardless; deterministic fake only for genuinely unsupported
-    corners (progressive JPEG, exotic formats) when no lib is
-    present. Always returns a uint8 array in cv2's BGR channel order
+    baseline + progressive JPEG (operators/jpegcodec.py — Huffman +
+    IDCT, r6/r7) regardless; deterministic fake only for genuinely
+    unsupported corners (arithmetic coding, exotic formats) when no
+    lib is present. Always returns a uint8 array in cv2's BGR channel order
     so everything downstream (preprocess_blob, feature histograms) is
     convention-stable regardless of which decoder ran — matching the
     reference, whose frames are cv2 BGR (main.py:143-149) and whose
@@ -117,8 +118,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         if fmt == "bmp":
             return decode_bmp(bytes(buf))
         if fmt == "jpeg":
-            # r6: baseline JFIF decode is real too (jpegcodec.py);
-            # progressive/arithmetic still degrade to the stub here
+            # r6/r7: baseline AND progressive JFIF decode are real
+            # (jpegcodec.py); arithmetic/12-bit degrade to the stub
             return decode_jpeg(bytes(buf))
     except ValueError:
         # the no-lib seam stays TOTAL: a malformed/unsupported-corner

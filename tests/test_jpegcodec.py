@@ -93,13 +93,17 @@ def test_restart_marker_interval_equivalence():
         assert np.array_equal(base, with_rst)
 
 
-def test_progressive_and_bad_buffers_raise_valueerror():
+def test_mismarked_and_bad_buffers_raise_valueerror():
     img = _smooth(16, 16)
     buf = bytearray(encode_jpeg(img, quality=90))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must refuse loudly
+    # flip SOF0 (FFC0) to SOF2 (FFC2): the stream then claims to be
+    # progressive but carries a full-band interleaved scan, which is
+    # illegal in a progressive frame (T.81 G.1: DC-only first scan) —
+    # must still refuse loudly, never mis-decode (r7: SOF2 itself is
+    # now SUPPORTED; see test_progressive_roundtrip_*)
     i = bytes(buf).index(b"\xff\xc0")
     prog = bytes(buf[:i]) + b"\xff\xc2" + bytes(buf[i + 2 :])
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(prog)
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff")  # magic only
@@ -188,3 +192,84 @@ def test_spark_decode_image_routes_jpeg(spark):
     rows = {r.doc_id: r.fire_pixels for r in sdf.collect()}
     assert rows[1] >= 150
     assert rows[2] >= 0  # stub path still total
+
+
+# --- progressive (SOF2) decode, r7 ------------------------------------------
+
+def _noisy(h: int, w: int, seed: int = 7) -> np.ndarray:
+    """Textured image: dense AC coefficients exercise ZRL, multi-size
+    magnitudes, and refinement correction bits."""
+    rng = np.random.RandomState(seed)
+    base = _smooth(h, w, seed)
+    noise = rng.randint(-40, 41, size=base.shape)
+    return np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape,kw",
+    [
+        ((16, 16), dict()),
+        ((24, 40), dict()),
+        ((17, 23), dict()),                    # non-multiple-of-8
+        ((24, 40), dict(subsample=True)),
+        ((21, 35), dict(subsample=True)),      # padded-fringe blocks
+        ((16, 16), dict(grayscale=True)),
+        ((19, 30), dict(grayscale=True)),
+        ((24, 40), dict(restart_interval=3)),
+        ((24, 40), dict(subsample=True, restart_interval=2)),
+    ],
+)
+def test_progressive_roundtrip_bit_exact_with_baseline(shape, kw):
+    """encode_jpeg_progressive writes the SAME quantized coefficients
+    as encode_jpeg, so decoding both must agree PIXEL-FOR-PIXEL — the
+    strongest possible oracle for the progressive entropy path (DC
+    successive approximation, EOBn runs, ZRL-in-refinement,
+    correction-bit buffering, restart handling)."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    for quality in (90, 50):
+        img = _noisy(*shape)
+        base = decode_jpeg(encode_jpeg(img, quality=quality, **kw))
+        prog_buf = encode_jpeg_progressive(img, quality=quality, **kw)
+        assert b"\xff\xc2" in prog_buf  # really SOF2
+        prog = decode_jpeg(prog_buf)
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_eobn_run_accumulation():
+    """A flat image makes every AC band all-zero: the encoder folds
+    whole block columns into one EOBn with r>0 (symbols Annex K
+    doesn't even define) and the decoder must honor the run length."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((48, 48, 3), 119, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(base, prog)
+    assert np.all(prog == prog[0, 0])  # stays solid
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_flips=st.integers(1, 8))
+def test_corrupted_progressive_never_leaks_foreign_exceptions(seed, n_flips):
+    """Same total-degrade contract as the baseline fuzz: bit-flipped
+    progressive streams either decode to SOME image or ValueError —
+    never KeyError/IndexError/struct.error, never a hang."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    buf = bytearray(encode_jpeg_progressive(_noisy(16, 24), quality=80))
+    for _ in range(n_flips):
+        i = rng.randint(2, len(buf))
+        buf[i] ^= 1 << rng.randint(0, 8)
+    try:
+        out = decode_jpeg(bytes(buf))
+        assert out.dtype == np.uint8 and out.ndim == 3
+    except ValueError:
+        pass
