@@ -1,5 +1,6 @@
-"""Pure numpy+stdlib baseline JPEG codec (SURVEY.md P1 — the last
-gated format of the image-decode family made real).
+"""Pure numpy+stdlib JPEG codec, baseline (SOF0) + progressive (SOF2)
+(SURVEY.md P1 — the last gated format of the image-decode family made
+real).
 
 r5 made PNG/BMP decode real without cv2/PIL; JPEG stayed behind the
 native-lib gate ("out of scope, not out of principle"). This closes
@@ -10,12 +11,18 @@ it: a from-scratch JFIF baseline (SOF0) codec —
   DCT-III as two matrix products) → nearest-neighbor chroma upsample →
   YCbCr→BGR (JFIF/BT.601 full-range). Supports 1- and 3-component
   images with sampling factors 1 or 2 per axis (grayscale, 4:4:4,
-  4:2:2, 4:2:0). Progressive (SOF2), arithmetic coding, 12-bit
+  4:2:2, 4:2:0). r7: progressive (SOF2) decode per T.81 Annex G —
+  multi-scan spectral selection + successive approximation (DC/AC
+  first and refinement scans, EOBn runs, non-interleaved component
+  grids, restart markers), verified bit-exact against the baseline
+  twin of the same quantized coefficients. Arithmetic coding, 12-bit
   precision, and 16-bit quant tables raise ValueError — the same
   total-degrade contract as the PNG/BMP decoders (decode_image falls
   back to the deterministic stub; with cv2/PIL present the native
   path handles them).
-* **encode_jpeg**: the round-trip partner and test oracle — Annex K
+* **encode_jpeg** (+ **encode_jpeg_progressive**, the SOF2 oracle
+  emitting the SAME quantized coefficients): the round-trip partner
+  and test oracle — Annex K
   quant tables scaled by libjpeg's quality curve, Annex K Huffman
   tables, optional 4:2:0 subsampling, DC DPCM + AC run/size with
   ZRL/EOB, byte stuffing.
@@ -772,8 +779,9 @@ def encode_jpeg_progressive(
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 BGR (grayscale replicated to 3
-    channels). Raises ValueError on anything outside baseline support;
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF bytes → uint8 BGR
+    (grayscale replicated to 3 channels). Raises ValueError on
+    anything outside that support (arithmetic, 12-bit, lossless);
     never leaks struct/index errors (the decode_image seam contract)."""
     try:
         return _decode_jpeg_inner(buf)
