@@ -1419,9 +1419,193 @@ WHERE levenshtein(name_a, name_b) = 1
 """
 
 
+# --- winnowing fingerprints (Schleimer et al., SIGMOD 2003) ------------------
+
+WINNOW_K = 8  # char-gram length (noise threshold: matches < K chars ignored)
+WINNOW_W = 4  # window size in grams; guarantee length t = K + W - 1
+# position packing bound: selection key = h * M + (M-1-i) needs i < M.
+# h < 1e9+7 < 2^30, M = 2^21 → key < 2^51, safely inside int64. Docs
+# longer than 2M chars would need a larger M or per-chunk winnowing;
+# the corpus schema caps documents far below that.
+_WINNOW_POS_M = 1 << 21
+
+
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection over (doc_id, text): in every
+    window of WINNOW_W consecutive K-gram hashes, select the minimum
+    (rightmost on ties). Guarantee (Schleimer et al. §2): any exact
+    substring match of length ≥ K+W-1 shares at least one selected
+    fingerprint, while only ~2/(W+1) of grams are kept — the sampled
+    scale path for exact-substring dedup (Lee et al. 2022 use the same
+    idea to make ExactSubstr tractable).
+
+    The rightmost-min-per-window rule is one bounded window-min: pack
+    (hash, position) into a single int64 key = h*M + (M-1-i) so that
+    min(key) is (min h, rightmost i); a window ending at gram i is only
+    emitted for i ≥ W (full windows), with the single partial window
+    kept for docs shorter than W grams. Selected fingerprints are the
+    DISTINCT window minima. Per-doc windows parallelize across docs
+    (documents are KB-sized; no skew); nothing here is corpus-quadratic.
+
+    Returns (doc_id, n_grams, pos, fp_hash), one row per selected
+    fingerprint position.
+    """
+    eligible = docs.filter(F.length("text") >= WINNOW_K).select(
+        "doc_id", "text", (F.length("text") - WINNOW_K + 1).cast("long").alias("n_grams")
+    )
+    grams = eligible.select(
+        "doc_id",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams").cast("int"))).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        F.expr(f"substring(text, i, {WINNOW_K})").alias("gram"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "n_grams",
+        "i",
+        (
+            _str_hash(F.col("gram")) * _WINNOW_POS_M
+            + (F.lit(_WINNOW_POS_M - 1) - F.col("i"))
+        ).alias("k"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    selected = (
+        keyed.withColumn("mk", F.min("k").over(w))
+        .filter(F.col("i") >= F.least(F.lit(WINNOW_W), F.col("n_grams")))
+        .select("doc_id", "n_grams", "mk")
+        .distinct()
+    )
+    return selected.select(
+        "doc_id",
+        "n_grams",
+        (F.lit(_WINNOW_POS_M - 1) - F.col("mk") % _WINNOW_POS_M).alias("pos"),
+        F.expr(f"mk div {_WINNOW_POS_M}").alias("fp_hash"),
+    )
+
+
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc winnowing fingerprint profile + corpus-shared fraction:
+    how much of each document's sampled fingerprint set also appears in
+    at least one other document — the guarantee-bearing, sampled
+    counterpart of duplicate_span_fraction (which counts EVERY trigram
+    occurrence; winnowing touches ~2/(W+1) of grams yet still catches
+    every shared span of ≥ K+W-1 chars).
+
+    Scale shape: one explode to O(total chars) rows, one bounded
+    per-doc window-min, one distinct, then fingerprint-keyed df
+    counting (high-cardinality key, map-side combinable) and a
+    semi-join — no doc-pair join anywhere, so work is linear in the
+    corpus where pairwise ExactSubstr would be quadratic.
+
+    The ratio columns use the floor-of-exact-ints projection (the
+    event_cube pattern), not round(): n_selected/n_grams is a single
+    exact-int division, but dyadic ratios (e.g. 45/128) land EXACTLY
+    on 6dp rounding midpoints (tools/round_margin_audit.py measured
+    1.7e-11 quanta at sf0.01), where engines' round() tie rules must
+    not be trusted; floor(n*1e6/d + 0.5) is the same deterministic
+    double everywhere.
+    """
+    docs = load_table(spark, "documents", sf)
+    fps = _winnow_selected(docs.select("doc_id", "text"))
+    shared = (
+        fps.select("doc_id", "fp_hash")
+        .distinct()
+        .groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("fp_hash")
+    )
+    per_doc = fps.groupBy("doc_id", "n_grams").agg(
+        F.count("*").alias("n_selected")
+    )
+    n_shared = (
+        fps.join(shared, "fp_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        per_doc.join(n_shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_selected",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (
+                F.floor(
+                    F.col("n_selected") * F.lit(1000000.0) / F.col("n_grams")
+                    + F.lit(0.5)
+                ) / F.lit(1000000.0)
+            ).alias("selected_density"),
+            (
+                F.floor(
+                    F.coalesce("n_shared", F.lit(0))
+                    * F.lit(1000000.0) / F.col("n_selected")
+                    + F.lit(0.5)
+                ) / F.lit(1000000.0)
+            ).alias("shared_fraction"),
+        )
+    )
+
+
+WINNOWING_FINGERPRINTS_SQL = f"""
+WITH eligible AS (
+  SELECT doc_id, text, CAST(length(text) - {WINNOW_K} + 1 AS BIGINT) AS n_grams
+  FROM documents WHERE length(text) >= {WINNOW_K}
+), grams AS (
+  SELECT doc_id, n_grams, unnest(generate_series(1, n_grams)) AS i, text
+  FROM eligible
+), keyed AS (
+  SELECT doc_id, n_grams, i,
+         {_DUCK_STR_HASH.format(s=f"substr(text, CAST(i AS INT), {WINNOW_K})")}
+           * {_WINNOW_POS_M} + ({_WINNOW_POS_M - 1} - i) AS k
+  FROM grams
+), winmin AS (
+  SELECT doc_id, n_grams, i,
+         min(k) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS mk
+  FROM keyed
+), selected AS (
+  SELECT DISTINCT doc_id, n_grams, mk
+  FROM winmin WHERE i >= least({WINNOW_W}, n_grams)
+), fps AS (
+  SELECT doc_id, n_grams, mk // {_WINNOW_POS_M} AS fp_hash FROM selected
+), shared AS (
+  SELECT fp_hash FROM (SELECT DISTINCT doc_id, fp_hash FROM fps)
+  GROUP BY fp_hash HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, n_grams, count(*) AS n_selected
+  FROM fps GROUP BY doc_id, n_grams
+), ns AS (
+  SELECT f.doc_id, count(*) AS n_shared
+  FROM fps f JOIN shared s USING (fp_hash)
+  GROUP BY f.doc_id
+)
+SELECT p.doc_id, p.n_grams, p.n_selected,
+       coalesce(n.n_shared, 0) AS n_shared,
+       floor(p.n_selected * 1000000.0 / p.n_grams + 0.5) / 1000000.0
+         AS selected_density,
+       floor(coalesce(n.n_shared, 0) * 1000000.0 / p.n_selected + 0.5)
+         / 1000000.0 AS shared_fraction
+FROM per_doc p LEFT JOIN ns n USING (doc_id)
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
+    "winnowing_fingerprints": (
+        winnowing_fingerprints,
+        WINNOWING_FINGERPRINTS_SQL,
+    ),
     "duplicate_span_fraction": (
         duplicate_span_fraction,
         DUPLICATE_SPAN_FRACTION_SQL.format(postings=_DUCK_POSTINGS_OCC),

@@ -50,18 +50,21 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # Round-7 window (VERDICT r6 "Next round" #1 — the freshness rotation,
 # computed by tools/rotation_planner.py):
 # (a) the two canaries, every round;
-# (b) html_extract_quality — added this round (never driver-checked);
+# (b) html_extract_quality + winnowing_fingerprints — added this
+#     round (never driver-checked);
 # (c) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST: value_outliers (r2), the 23 r3-era rows, and the r4
 #     battery — after this round no registry query's latest verdict
 #     is older than r4, clearing the whole freshness debt VERDICT r6
-#     item #2 called out.
+#     item #2 called out (top_supplier, the lowest-priority r4 fill,
+#     yielded its slot to winnowing_fingerprints and stays r4-fresh).
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
     "revenue_by_nation",
     # (b) never checked
     "html_extract_quality",
+    "winnowing_fingerprints",
     # (c) oldest-verdict fill: r2, then the r3 battery
     "value_outliers",
     "alarm_rising_edges",
@@ -110,7 +113,6 @@ _PRIORITY: list[str] = [
     "event_grouping_sets",
     "small_quantity_revenue",
     "volume_shipping",
-    "top_supplier",
 ]
 
 
