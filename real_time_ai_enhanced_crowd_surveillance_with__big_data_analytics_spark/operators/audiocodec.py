@@ -92,13 +92,176 @@ def _decode_wav_inner(buf: bytes) -> tuple[np.ndarray, int]:
         if bits != 32:
             raise ValueError(f"unsupported WAV float bit depth {bits}")
         x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif audio_fmt == 0x11:  # IMA/DVI ADPCM (4-bit, pure-int spec)
+        if bits != 4:
+            raise ValueError(f"unsupported IMA ADPCM bit depth {bits}")
+        pcm = _decode_ima_adpcm(data, channels, _block)
+        if pcm.size > MAX_SAMPLES:
+            raise ValueError("WAV clip exceeds the decode sample cap")
+        return pcm.astype(np.float64) / 32768.0, rate
     else:
         raise ValueError(f"unsupported WAV audio format {audio_fmt} "
-                         "(compressed formats need a native decoder)")
+                         "(perceptual codecs need a native decoder)")
     n = len(x) - len(x) % channels
     if n > MAX_SAMPLES:
         raise ValueError("WAV clip exceeds the decode sample cap")
     return x[:n].reshape(-1, channels), rate
+
+
+# --- IMA/DVI ADPCM (WAV format 0x11) -----------------------------------------
+#
+# The one COMPRESSED WAV format a zero-dependency pipeline can own: the
+# IMA Digital Audio Compression spec is pure 16-bit integer arithmetic
+# (4:1 compression, 4-bit nibbles against an 89-entry step table), so
+# decode is exact and portable — no libm, no native codec, no float in
+# the reconstruction loop. Perceptual codecs (MP3/AAC/Opus) stay behind
+# the native gate; ADPCM moves from "gated" to "owned", the same
+# promotion baseline JPEG got in r6. Tables are public spec constants.
+#
+# Block layout (Microsoft WAVE mapping of IMA ADPCM): per block, one
+# 4-byte header per channel (int16 first sample, uint8 step index,
+# reserved), then 4-byte nibble groups round-robin across channels
+# (8 nibbles per group, low nibble first). The nibble recurrence is
+# serial by construction — the per-clip Python loop is the honest cost,
+# bounded by the same MAX_SAMPLES cap as PCM (clips are KB-to-MB cells;
+# parallelism comes from many clips per Arrow batch, not within one).
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM reconstruction step: (pred, index, nibble) →
+    (pred', index'). Shared verbatim by decoder and encoder (the
+    encoder must track the DECODER's reconstruction or the streams
+    drift)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM payload → int16 samples shaped (n, channels)."""
+    hdr = 4 * channels
+    if block_align < hdr or (block_align - hdr) % (4 * channels):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    out: list[list[int]] = [[] for _ in range(channels)]
+    for base in range(0, len(data) - hdr + 1, block_align):
+        block = data[base : base + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            pred = int.from_bytes(
+                block[4 * c : 4 * c + 2], "little", signed=True
+            )
+            index = block[4 * c + 2]
+            if index > 88:
+                raise ValueError(f"IMA ADPCM step index {index} > 88")
+            preds.append(pred)
+            idxs.append(index)
+            out[c].append(pred)  # the header sample is sample 0
+        # nibble groups: 4 bytes per channel, round-robin
+        for g in range(hdr, len(block) - 4 * channels + 1, 4 * channels):
+            for c in range(channels):
+                for b in block[g + 4 * c : g + 4 * c + 4]:
+                    for nib in (b & 0x0F, b >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        out[c].append(preds[c])
+    if not out[0]:
+        raise ValueError("IMA ADPCM payload shorter than one block header")
+    n = min(len(ch) for ch in out)
+    return np.stack(
+        [np.asarray(ch[:n], dtype=np.int16) for ch in out], axis=1
+    )
+
+
+def encode_ima_adpcm(
+    samples: np.ndarray, rate: int, samples_per_block: int = 505
+) -> bytes:
+    """(n, channels) float in [-1, 1] → WAV bytes (format 0x11).
+    Round-trip partner and test oracle: decode(encode(x)) equals the
+    encoder's own reconstruction track bit-for-bit. The final partial
+    block pads by repeating the last sample (a ``fact`` chunk records
+    the true frame count for players that honor it; our decoder is
+    deterministic from the payload alone)."""
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if n == 0:
+        raise ValueError("cannot encode an empty clip")
+    pcm = np.clip(
+        np.floor(samples * 32768.0 + 0.5), -32768, 32767
+    ).astype(np.int64)
+    pad = (-n) % samples_per_block or 0
+    if pad:
+        pcm = np.concatenate([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    block_align = 4 * channels + (samples_per_block - 1) // 8 * 4 * channels
+    idxs = [0] * channels
+    blocks = []
+    for base in range(0, len(pcm), samples_per_block):
+        chunk = pcm[base : base + samples_per_block]
+        preds = [int(chunk[0, c]) for c in range(channels)]
+        head = b"".join(
+            struct.pack("<hBB", preds[c], idxs[c], 0)
+            for c in range(channels)
+        )
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        for s in range(1, samples_per_block):
+            for c in range(channels):
+                step = int(_IMA_STEPS[idxs[c]])
+                delta = int(chunk[s, c]) - preds[c]
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        body = bytearray()
+        for g in range(0, samples_per_block - 1, 8):
+            for c in range(channels):
+                eight = nibs[c][g : g + 8]
+                for k in range(0, 8, 2):
+                    body.append(eight[k] | (eight[k + 1] << 4))
+        blocks.append(head + bytes(body))
+    payload = b"".join(blocks)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, channels, rate,
+        rate * block_align // samples_per_block or rate, block_align, 4,
+        2, samples_per_block,
+    )
+    fact = b"fact" + struct.pack("<II", 4, n)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        data += b"\x00"
+    body_all = WAVE_MAGIC + fmt + fact + data
+    return RIFF_MAGIC + struct.pack("<I", len(body_all)) + body_all
 
 
 def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
