@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .codec_parity import CODEC_PARITY_QUERIES
 from .dedup import DEDUP_QUERIES
 from .indexing import INDEXING_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
@@ -43,6 +44,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     TEXT_QUERIES,
     SURVEILLANCE_QUERIES,
     MULTIMODAL_QUERIES,
+    CODEC_PARITY_QUERIES,
 ]
 
 # The driver's correctness harness records only the FIRST 50 registry
