@@ -1,0 +1,266 @@
+"""Training-data selection plans: published-method curation operators.
+
+Two canonical LLM-corpus curation methods, Spark-first and fully
+oracle-verified:
+
+- ``dsir_select`` — Data Selection with Importance Resampling (Xie et
+  al., 2023): rank raw documents by how much their hashed-feature
+  distribution looks like a target stratum.  Features are token
+  buckets under the repo's portable rolling hash; per-bucket log
+  importance ratios are quantized ONCE to integer micro-nats (from
+  identical integer counts on both engines), so per-document weights
+  are exact int64 sums — the partition-order-proof design
+  embedding_covariance settled in r6.
+- ``c4_line_filter`` — the C4 cleaning rules (Raffel et al., 2020):
+  terminal-punctuation line filter, minimum words per line, minimum
+  retained lines per page, lorem-ipsum and curly-brace page drops.
+  The documents table is punctuation-free synthetic text, so — the
+  html_extract_quality pattern (VERDICT r6 #4) — both engines first
+  assemble the SAME deterministic lines (token chunks, a per-doc line
+  length, 1-in-3 lines left without terminal punctuation, lorem-ipsum
+  and brace lines injected on doc_id residues), then apply the REAL
+  rules; every rule sits inside the value hash.
+
+Scale shape: dsir is the two-pass DSIR posture — one token scan for
+the B-bucket corpus statistics (map-side combinable, B rows out), one
+token scan joined against the broadcast B-row quantized-ratio table,
+then a doc-keyed partial aggregate and a global top-k sort-limit.  At
+100 TB nothing shuffles except (bucket) and (doc_id) keys and the
+final k rows.  c4_line_filter is a pure per-row codegen pass — scan
+speed, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+    tokens,
+)
+from ..sources.tables import load_table
+
+# --- DSIR ---------------------------------------------------------------------
+
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 100
+
+_DUCK_TOKEN_FP = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split(token, ''),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    f" (acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD})"
+)
+
+
+def _token_bucket(token: Column) -> Column:
+    codes = F.transform(F.split(token, ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )
+    return (fp % DSIR_BUCKETS).alias("h")
+
+
+def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-DSIR_TOP_K raw documents by hashed-unigram importance weight
+    toward the DSIR_TARGET_LANG stratum.
+
+    Pass 1 aggregates per-bucket target/raw token counts (B=128 rows).
+    The Laplace-smoothed log ratio ln(((tgt+1)*(RAW+B)) /
+    ((raw+1)*(TGT+B))) is quantized to micro-nats as the ONLY
+    float step — both engines evaluate one ln of one exact-int ratio
+    (products < 2^53), so the quantized table is identical and the
+    per-document weight Sum(c_doc[h] * q[h]) is exact int64 in any
+    partitioning (tests pin the quantization margin off the half-grid).
+    Pass 2 joins tokens to the broadcast q table and ranks documents.
+    """
+    docs = load_table(spark, "documents", sf)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("doc_id", "lang", _token_bucket(F.col("token")))
+
+    buckets = tok.groupBy("h").agg(
+        F.count("*").alias("raw_h"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_h"),
+    )
+    totals = buckets.agg(
+        F.sum("raw_h").alias("raw_n"), F.sum("tgt_h").alias("tgt_n")
+    )
+    q = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "h",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (
+                        (F.col("tgt_h") + 1)
+                        * (F.col("raw_n") + DSIR_BUCKETS)
+                    ).cast("double")
+                    / (
+                        (F.col("raw_h") + 1)
+                        * (F.col("tgt_n") + DSIR_BUCKETS)
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(q), "h")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("q").alias("weight_micro"))
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+    )
+
+
+DSIR_SELECT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+), htok AS (
+  SELECT doc_id, lang, ({_DUCK_TOKEN_FP}) % {DSIR_BUCKETS} AS h FROM tok
+), buckets AS (
+  SELECT h, COUNT(*) AS raw_h,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_h
+  FROM htok GROUP BY h
+), tot AS (
+  SELECT SUM(raw_h) AS raw_n, SUM(tgt_h) AS tgt_n FROM buckets
+), q AS (
+  SELECT h,
+         CAST(round(1000000.0 * ln(
+           CAST((tgt_h + 1) * (raw_n + {DSIR_BUCKETS}) AS DOUBLE)
+           / CAST((raw_h + 1) * (tgt_n + {DSIR_BUCKETS}) AS DOUBLE)))
+              AS BIGINT) AS q
+  FROM buckets, tot
+)
+SELECT htok.doc_id, htok.lang, CAST(SUM(q.q) AS BIGINT) AS weight_micro
+FROM htok JOIN q USING (h)
+GROUP BY htok.doc_id, htok.lang
+ORDER BY weight_micro DESC, doc_id ASC
+LIMIT {DSIR_TOP_K}
+"""
+
+
+# --- C4 cleaning ----------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES_PER_PAGE = 3
+_C4_BASE_LINE_LEN = 6
+_C4_LINE_LEN_MOD = 4
+_LOREM_RESIDUE = 41
+_BRACE_RESIDUE = 43
+
+
+def c4_line_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 page cleaning over deterministically assembled lines.
+
+    Line assembly (identical in the oracle): tokens chunked into lines
+    of 6 + doc_id % 4 words; a line gets its terminal '.' only when
+    (doc_id + line_idx) % 3 != 0; docs on the lorem/brace residues gain
+    one poisoned line.  Rules applied (Raffel et al. 2020 §2.2): keep
+    lines ending in terminal punctuation AND with >= 5 words; drop the
+    whole page on 'lorem ipsum', on '{{', or when fewer than 3 lines
+    survive.  Emits per-page retention stats + the drop verdict.
+    """
+    docs = load_table(spark, "documents", sf)
+    line_len = (F.lit(_C4_BASE_LINE_LEN) + F.col("doc_id") % _C4_LINE_LEN_MOD)
+    toks = tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / line_len).cast("long")
+    body = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(toks, i * line_len.cast("int") + 1, line_len.cast("int")),
+                " ",
+            ),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    extra = F.when(
+        F.col("doc_id") % _LOREM_RESIDUE == 0,
+        F.array(F.lit("and now lorem ipsum dolor sit amet.")),
+    ).when(
+        F.col("doc_id") % _BRACE_RESIDUE == 0,
+        F.array(F.lit("function f() { return 1; } end of script.")),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.concat(body, extra)
+
+    kept = F.filter(
+        lines,
+        lambda ln: ln.endswith(".")
+        & (F.size(F.split(ln, " ")) >= C4_MIN_WORDS_PER_LINE),
+    )
+    page_text = F.array_join(lines, " ")
+    n_kept = F.size(kept).cast("long")
+    reason = (
+        F.when(page_text.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(page_text.contains("{"), F.lit("brace"))
+        .when(n_kept < C4_MIN_LINES_PER_PAGE, F.lit("too_few_lines"))
+        .otherwise(F.lit("kept"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.length(F.array_join(kept, " ")).cast("long").alias("kept_chars"),
+        reason.alias("verdict"),
+    )
+
+
+C4_LINE_FILTER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(text), ' ') AS toks,
+         {_C4_BASE_LINE_LEN} + doc_id % {_C4_LINE_LEN_MOD} AS line_len
+  FROM documents
+), assembled AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform(
+             generate_series(0, CAST(ceil(len(toks) / CAST(line_len AS DOUBLE))
+                                     AS BIGINT) - 1),
+             i -> array_to_string(
+                    list_slice(toks, i * line_len + 1, (i + 1) * line_len),
+                    ' ')
+                  || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END),
+           CASE WHEN doc_id % {_LOREM_RESIDUE} = 0
+                THEN ['and now lorem ipsum dolor sit amet.']
+                WHEN doc_id % {_BRACE_RESIDUE} = 0
+                THEN ['function f() {{ return 1; }} end of script.']
+                ELSE [] END) AS lines
+  FROM base
+), judged AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+           ln -> ln LIKE '%.'
+                 AND len(string_split(ln, ' ')) >= {C4_MIN_WORDS_PER_LINE}
+         ) AS kept,
+         array_to_string(lines, ' ') AS page_text
+  FROM assembled
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS kept_chars,
+       CASE WHEN page_text LIKE '%lorem ipsum%' THEN 'lorem_ipsum'
+            WHEN page_text LIKE '%{{%' THEN 'brace'
+            WHEN len(kept) < {C4_MIN_LINES_PER_PAGE} THEN 'too_few_lines'
+            ELSE 'kept' END AS verdict
+FROM judged
+"""
+
+
+DATA_SELECTION_QUERIES = {
+    "dsir_select": (dsir_select, DSIR_SELECT_SQL),
+    "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+}

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .codec_parity import CODEC_PARITY_QUERIES
+from .data_selection import DATA_SELECTION_QUERIES
 from .dedup import DEDUP_QUERIES
 from .indexing import INDEXING_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
@@ -45,6 +46,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     SURVEILLANCE_QUERIES,
     MULTIMODAL_QUERIES,
     CODEC_PARITY_QUERIES,
+    DATA_SELECTION_QUERIES,
 ]
 
 # The driver's correctness harness records only the FIRST 50 registry
