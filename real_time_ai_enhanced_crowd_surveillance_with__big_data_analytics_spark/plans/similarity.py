@@ -1191,7 +1191,143 @@ FROM exact e LEFT JOIN lsh l ON e.ia = l.ia AND e.ib = l.ib
 """
 
 
+# --- Matryoshka truncation recall (dimension-ablation audit) -----------------
+
+MATRYOSHKA_DIM = 32
+MATRYOSHKA_K = 5
+
+
+def matryoshka_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall of truncated-dimension cosine search against full-dim
+    search — the audit behind Matryoshka-style embedding truncation
+    (Kusupati et al., 2022): before shipping a cheaper d/2 index, a
+    pipeline measures how much of the full-dim top-k each query keeps.
+
+    Shape = knn_batch's partial-top-k discipline, doubled: every Arrow
+    batch scores the broadcast query matrix under BOTH metrics (full
+    64-dim cosine, first-MATRYOSHKA_DIM cosine) and emits only its
+    local top-k per (query, metric), so the rank shuffle stays
+    ≤ partitions × queries × k × 2 regardless of corpus size.  Global
+    rank, then per-query intersection count.  Cosines round to 6dp
+    before ranking with a vec_id tiebreak (both engines identical).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    qrows = (
+        emb.filter(F.col("vec_id") < KNN_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.asarray([r.vec_id for r in qrows], dtype="int64")
+    qmat = np.asarray([list(r.embedding) for r in qrows], dtype="float64")
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def partial_topk(batches):
+        qi, qm = bc.value
+        qt = qm[:, :MATRYOSHKA_DIM]
+        qn_f = np.linalg.norm(qm, axis=1)
+        qn_t = np.linalg.norm(qt, axis=1)
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            at = a[:, :MATRYOSHKA_DIM]
+            ids = pdf["vec_id"].to_numpy()
+            sims = {
+                0: np.round(
+                    a @ qm.T / (np.linalg.norm(a, axis=1)[:, None] * qn_f),
+                    6,
+                ),
+                1: np.round(
+                    at @ qt.T / (np.linalg.norm(at, axis=1)[:, None] * qn_t),
+                    6,
+                ),
+            }
+            out_q, out_m, out_v, out_c = [], [], [], []
+            for metric, sm in sims.items():
+                for j in range(len(qi)):
+                    top = np.lexsort((ids, -sm[:, j]))[:MATRYOSHKA_K]
+                    out_q.append(np.full(len(top), qi[j]))
+                    out_m.append(np.full(len(top), metric))
+                    out_v.append(ids[top])
+                    out_c.append(sm[top, j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "metric": np.concatenate(out_m),
+                    "vec_id": np.concatenate(out_v),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partial = (
+        emb.filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            partial_topk,
+            schema="qid long, metric int, vec_id long, cosine double",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid", "metric").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ranked = partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= MATRYOSHKA_K
+    )
+    return (
+        ranked.groupBy("qid", "vec_id")
+        .agg(
+            F.count_if(F.col("metric") == 0).alias("in_full"),
+            F.count_if(F.col("metric") == 1).alias("in_trunc"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.count_if(
+                (F.col("in_full") > 0) & (F.col("in_trunc") > 0)
+            ).alias("overlap")
+        )
+        .select(
+            "qid",
+            "overlap",
+            (F.col("overlap") * 1_000_000 / MATRYOSHKA_K)
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {KNN_BATCH_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id,
+         round({_duck_cosine('c.embedding', 'q.qv')}, 6) AS cf,
+         round({_duck_cosine(f'c.embedding[1:{MATRYOSHKA_DIM}]',
+                             f'q.qv[1:{MATRYOSHKA_DIM}]')}, 6) AS ct
+  FROM embeddings c, q
+  WHERE c.vec_id >= {KNN_BATCH_QUERIES}
+), ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id) AS rf,
+         row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id) AS rt
+  FROM scored
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN rf <= {MATRYOSHKA_K} AND rt <= {MATRYOSHKA_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+       CAST(SUM(CASE WHEN rf <= {MATRYOSHKA_K} AND rt <= {MATRYOSHKA_K}
+                     THEN 1 ELSE 0 END) * 1000000 // {MATRYOSHKA_K}
+            AS BIGINT) AS recall_ppm
+FROM ranked GROUP BY qid
+"""
+
+
 SIMILARITY_QUERIES = {
+    "matryoshka_recall": (matryoshka_recall, MATRYOSHKA_RECALL_SQL),
     "label_propagation": (
         label_propagation,
         LABEL_PROPAGATION_SQL_TEMPLATE.format(lsh_pairs=NEARDUP_LSH_SQL),

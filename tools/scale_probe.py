@@ -7,10 +7,18 @@ log terms); super-linear growth flags a candidate blowup (banding too
 coarse, df cap missing, quadratic verify leaking). Usage::
 
     python tools/scale_probe.py [amplification] [query ...]
+
+Set ``SCALE_PROBE_STRATUM=K`` to first restrict the base tables to a
+deterministic 1/K stratum (id % K == 0) before amplifying — this
+probes amplification DEPTH (replica-clique size, the dimension that
+times out for the LSH-graph queries at full-corpus 64×) while holding
+total row count near a K-times-smaller full probe.  The 1× leg uses
+the same stratum, so the ratio still reads against linear == N.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -49,8 +57,17 @@ def main() -> int:
     # amplified copies: ids shift per replica; text gets a replica tag
     # appended so replicas are near-dups (the hard case for banding —
     # candidate sets genuinely grow), not exact dups.
+    stratum = int(os.environ.get("SCALE_PROBE_STRATUM", "1"))
     base_docs = tables.load_table(spark, "documents", SF)
     base_emb = tables.load_table(spark, "embeddings", SF)
+    if stratum > 1:
+        base_docs = base_docs.filter(F.col("doc_id") % stratum == 0)
+        # keep the low-id asset window: several similarity plans treat
+        # the first vec_ids as fixed assets (sign-LSH hyperplanes,
+        # knn_batch query vectors) and break if the stratum starves it
+        base_emb = base_emb.filter(
+            (F.col("vec_id") % stratum == 0) | (F.col("vec_id") < 64)
+        )
     max_doc = base_docs.agg(F.max("doc_id")).first()[0] + 1
     max_vec = base_emb.agg(F.max("vec_id")).first()[0] + 1
 
