@@ -66,6 +66,39 @@ def _token_bucket(token: Column) -> Column:
     return (fp % DSIR_BUCKETS).alias("h")
 
 
+def dsir_q_table(docs: DataFrame) -> DataFrame:
+    """The DSIR corpus statistic: per-bucket quantized micro-nat log
+    importance ratios, (h, q) — B rows regardless of corpus size.
+    Shared by the batch ranking below and the streaming ingest screen
+    (streaming/dsir_screen.py), so the two paths cannot drift."""
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    ).select("lang", _token_bucket(F.col("token")))
+    buckets = tok.groupBy("h").agg(
+        F.count("*").alias("raw_h"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_h"),
+    )
+    totals = buckets.agg(
+        F.sum("raw_h").alias("raw_n"), F.sum("tgt_h").alias("tgt_n")
+    )
+    return buckets.crossJoin(F.broadcast(totals)).select(
+        "h",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                (
+                    (F.col("tgt_h") + 1) * (F.col("raw_n") + DSIR_BUCKETS)
+                ).cast("double")
+                / (
+                    (F.col("raw_h") + 1) * (F.col("tgt_n") + DSIR_BUCKETS)
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("q"),
+    )
+
+
 def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """Top-DSIR_TOP_K raw documents by hashed-unigram importance weight
     toward the DSIR_TARGET_LANG stratum.
@@ -83,35 +116,7 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
     ).select("doc_id", "lang", _token_bucket(F.col("token")))
-
-    buckets = tok.groupBy("h").agg(
-        F.count("*").alias("raw_h"),
-        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_h"),
-    )
-    totals = buckets.agg(
-        F.sum("raw_h").alias("raw_n"), F.sum("tgt_h").alias("tgt_n")
-    )
-    q = (
-        buckets.crossJoin(F.broadcast(totals))
-        .select(
-            "h",
-            F.round(
-                F.lit(1_000_000.0)
-                * F.log(
-                    (
-                        (F.col("tgt_h") + 1)
-                        * (F.col("raw_n") + DSIR_BUCKETS)
-                    ).cast("double")
-                    / (
-                        (F.col("raw_h") + 1)
-                        * (F.col("tgt_n") + DSIR_BUCKETS)
-                    ).cast("double")
-                )
-            )
-            .cast("long")
-            .alias("q"),
-        )
-    )
+    q = dsir_q_table(docs)
     return (
         tok.join(F.broadcast(q), "h")
         .groupBy("doc_id", "lang")
