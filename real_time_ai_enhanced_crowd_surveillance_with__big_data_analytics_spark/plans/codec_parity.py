@@ -159,6 +159,11 @@ def image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     hashes = docs.mapInPandas(
         _dhash_bands, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
+    # the self-join below references the sketch twice; without a
+    # barrier Spark re-runs the decode scan per side. The sketch is 5
+    # longs/doc — checkpoint IT and join the sketch, never re-decode
+    # (the _shingle_postings precedent; halves the probe wall-clock)
+    hashes = hashes.localCheckpoint(eager=True)
     exploded = hashes.select(
         "doc_id",
         "b0",

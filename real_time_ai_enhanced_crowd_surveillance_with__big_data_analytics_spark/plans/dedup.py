@@ -1453,26 +1453,54 @@ def _winnow_selected(docs: DataFrame) -> DataFrame:
     eligible = docs.filter(F.length("text") >= WINNOW_K).select(
         "doc_id", "text", (F.length("text") - WINNOW_K + 1).cast("long").alias("n_grams")
     )
-    grams = eligible.select(
+    # shuffle the RAW documents by the window key, not the grams: the
+    # explode multiplies rows ~|text|-fold, so hash-partitioning
+    # doc_id here (a) parallelizes the explode+hash even off a
+    # single-split scan and (b) already satisfies the window's
+    # ClusteredDistribution — the gram rows themselves never shuffle.
+    # At 100 TB this trades a chars-sized shuffle for a grams-sized
+    # one. The partition count is EXPLICIT: AQE sizes coalescing by the
+    # pre-explode bytes (KB-sized docs), folds the exchange back to one
+    # partition, and the ~|text|-fold explode+window then runs in a
+    # single task (measured 13 s vs 0.5 s at sf0.1); an explicit N
+    # pins the fan-out to the cluster width.
+    eligible = eligible.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    # ONE char-code extraction per position; the other K-1 codes of
+    # each gram arrive via lead() on the same (doc_id, i) sort the
+    # min-window needs anyway. The obvious alternatives both lost by an
+    # order of magnitude: _str_hash(substring(text,i,K)) builds a char
+    # ARRAY per gram and folds it interpreted (GC-bound, 42-728 s at
+    # the 8× probe), and even a flat K-substring expression allocates
+    # 8 UTF8Strings per gram (~18M tiny objects at sf0.1, 5-20 s warm
+    # with wild GC variance). This shape is 0.9 s warm at sf0.1.
+    chars = eligible.select(
         "doc_id",
         "n_grams",
-        F.explode(F.sequence(F.lit(1), F.col("n_grams").cast("int"))).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
         "text",
     ).select(
         "doc_id",
         "n_grams",
         "i",
-        F.expr(f"substring(text, i, {WINNOW_K})").alias("gram"),
+        F.ascii(F.expr("substring(text, i, 1)")).cast("long").alias("c"),
     )
-    keyed = grams.select(
+    w_lead = Window.partitionBy("doc_id").orderBy("i")
+    gram_hash = F.col("c")
+    for _j in range(1, WINNOW_K):
+        gram_hash = (
+            gram_hash * HASH_BASE + F.lead("c", _j).over(w_lead)
+        ) % HASH_MOD
+    keyed = chars.select(
         "doc_id",
         "n_grams",
         "i",
         (
-            _str_hash(F.col("gram")) * _WINNOW_POS_M
+            gram_hash * _WINNOW_POS_M
             + (F.lit(_WINNOW_POS_M - 1) - F.col("i"))
         ).alias("k"),
-    )
+    ).filter(F.col("i") <= F.col("n_grams"))
     w = (
         Window.partitionBy("doc_id")
         .orderBy("i")
@@ -1516,29 +1544,37 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf)
     fps = _winnow_selected(docs.select("doc_id", "text"))
-    shared = (
-        fps.select("doc_id", "fp_hash")
-        .distinct()
-        .groupBy("fp_hash")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("fp_hash")
-    )
-    per_doc = fps.groupBy("doc_id", "n_grams").agg(
-        F.count("*").alias("n_selected")
-    )
-    n_shared = (
-        fps.join(shared, "fp_hash", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    # ONE linear pass, no self-reference: referencing fps from three
+    # branches (df count, per-doc profile, shared semi-join) re-ran the
+    # whole explode+window pipeline per branch (728 s at the 8× probe),
+    # and a localCheckpoint barrier fixes the recompute only to pay the
+    # .rdd path's interpreted execution (13 s warm for work codegen
+    # does in 0.35 s). Window functions keep it a single pipeline: a
+    # row_number marks one row per (fp_hash, doc) so a second window
+    # over fp_hash counts DISTINCT sharing docs, and the final doc
+    # aggregate reads the shared flag per row. Three shuffles of the
+    # ~2/(W+1)-sampled selected rows; the gram stream is touched once.
+    w_docfp = Window.partitionBy("fp_hash", "doc_id").orderBy("pos")
+    w_fp = Window.partitionBy("fp_hash")
+    flagged = (
+        fps.withColumn("rn", F.row_number().over(w_docfp))
+        .withColumn(
+            "df_docs",
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).over(w_fp),
+        )
+        .withColumn("is_shared", F.col("df_docs") >= 2)
     )
     return (
-        per_doc.join(n_shared, "doc_id", "left")
+        flagged.groupBy("doc_id", "n_grams")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.count_if("is_shared").alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_grams",
             "n_selected",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "n_shared",
             (
                 F.floor(
                     F.col("n_selected") * F.lit(1000000.0) / F.col("n_grams")
@@ -1547,7 +1583,7 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("selected_density"),
             (
                 F.floor(
-                    F.coalesce("n_shared", F.lit(0))
+                    F.col("n_shared")
                     * F.lit(1000000.0) / F.col("n_selected")
                     + F.lit(0.5)
                 ) / F.lit(1000000.0)
