@@ -149,46 +149,60 @@ def image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
     Pipeline: real PNG encode+decode per doc (partition-local scan),
     64-bit difference hash from the DECODED pixels, 4x16-bit bands,
-    equi-join on (band_idx, band_val) for candidates — never an
-    all-pairs comparison — then exact Hamming distance (bit_count of
-    XOR) with a <= HAMMING_MAX cut.  The oracle evaluates the pixel
-    formula in closed form, so a single wrong pixel anywhere in the
-    encode/decode path flips dHash bits and fails the value hash.
+    candidates from in-bucket pair expansion per (band_idx, band_val)
+    — never an all-pairs comparison — then exact Hamming distance
+    (bit_count of XOR) with a <= HAMMING_MAX cut.  The oracle evaluates
+    the pixel formula in closed form, so a single wrong pixel anywhere
+    in the encode/decode path flips dHash bits and fails the value
+    hash.
     """
     docs = load_table(spark, "documents", sf).select("doc_id")
     hashes = docs.mapInPandas(
         _dhash_bands, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
     )
-    # the self-join below references the sketch twice; without a
-    # barrier Spark re-runs the decode scan per side. The sketch is 5
-    # longs/doc — checkpoint IT and join the sketch, never re-decode
-    # (the _shingle_postings precedent; halves the probe wall-clock)
-    hashes = hashes.localCheckpoint(eager=True)
+    # bucket-pair expansion instead of a self-join: a self-join would
+    # reference (and re-run) the decode scan per side — and a
+    # localCheckpoint barrier pays the .rdd path's interpreted
+    # execution (both measured ~2× this plan). One groupBy per
+    # (band_idx, band_val) bucket, members sorted by doc_id, pairs
+    # expanded in-bucket — the quadratic is bounded by bucket size
+    # (family members + ~2^-16 random collisions), the LSH discipline.
     exploded = hashes.select(
-        "doc_id",
-        "b0",
-        "b1",
-        "b2",
-        "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
             "band_idx", "band_val"
         ),
+        F.struct("doc_id", "b0", "b1", "b2", "b3").alias("m"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ms", i + F.lit(2), F.size("ms")
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     ham = sum(
-        F.bit_count(F.col(f"a.b{i}").bitwiseXOR(F.col(f"b.b{i}")))
+        F.bit_count(
+            F.col(f"p.a.b{i}").bitwiseXOR(F.col(f"p.b.b{i}"))
+        )
         for i in range(4)
     ).cast("long")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .distinct()
