@@ -92,6 +92,12 @@ def _decode_wav_inner(buf: bytes) -> tuple[np.ndarray, int]:
         if bits != 32:
             raise ValueError(f"unsupported WAV float bit depth {bits}")
         x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law (8-bit, pure-int spec)
+        if bits != 8:
+            raise ValueError(f"unsupported G.711 bit depth {bits}")
+        codes = np.frombuffer(data, dtype=np.uint8)
+        pcm = (_ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE)[codes]
+        x = pcm.astype(np.float64) / 32768.0
     elif audio_fmt == 0x11:  # IMA/DVI ADPCM (4-bit, pure-int spec)
         if bits != 4:
             raise ValueError(f"unsupported IMA ADPCM bit depth {bits}")
@@ -106,6 +112,83 @@ def _decode_wav_inner(buf: bytes) -> tuple[np.ndarray, int]:
     if n > MAX_SAMPLES:
         raise ValueError("WAV clip exceeds the decode sample cap")
     return x[:n].reshape(-1, channels), rate
+
+
+# --- G.711 mu-law / A-law (WAV formats 7 / 6) ---------------------------------
+#
+# The telephony companding pair, ITU-T G.711: pure 8-bit integer
+# logarithmic PCM, expanded through the canonical segment/mantissa
+# formulas (public spec; the constants 0x84/0x55/0x108 are the
+# standard bias, A-law toggle mask, and segment offset). Decode is a
+# 256-entry table lookup — exact, zero-dependency — moving WAV fmt 6/7
+# from "unsupported" to owned, the ADPCM/JPEG promotion pattern.
+
+
+def _ulaw_expand(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw_expand(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_TABLE = np.array([_ulaw_expand(c) for c in range(256)], dtype=np.int16)
+_ALAW_TABLE = np.array([_alaw_expand(c) for c in range(256)], dtype=np.int16)
+
+
+def _compress_g711(pcm: np.ndarray, law: str) -> np.ndarray:
+    """int16 → G.711 code bytes (encoder twin for round-trip tests and
+    pipeline sinks): pick the nearest segment/mantissa by the standard
+    search over the decode lattice — bit-exact with the tables above by
+    construction."""
+    table = _ULAW_TABLE if law == "u" else _ALAW_TABLE
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int32)
+    idx = np.searchsorted(sorted_vals, pcm.astype(np.int32))
+    idx = np.clip(idx, 0, 255)
+    lo = np.clip(idx - 1, 0, 255)
+    pick = np.where(
+        np.abs(sorted_vals[idx] - pcm) <= np.abs(sorted_vals[lo] - pcm),
+        idx,
+        lo,
+    )
+    return order[pick].astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "u") -> bytes:
+    """(n,) or (n, ch) float in [-1, 1] → G.711 WAV bytes (fmt 7 mu-law
+    or 6 A-law)."""
+    if law not in ("u", "a"):
+        raise ValueError("law must be 'u' or 'a'")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    pcm = np.clip(
+        np.floor(samples * 32768.0 + 0.5), -32768, 32767
+    ).astype(np.int16)
+    payload = _compress_g711(pcm.reshape(-1), law).tobytes()
+    fmt_code = 7 if law == "u" else 6
+    hdr = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, channels, rate,
+        rate * channels, channels, 8,
+    )
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        data += b"\x00"
+    body = WAVE_MAGIC + hdr + data
+    return RIFF_MAGIC + struct.pack("<I", len(body)) + body
 
 
 # --- IMA/DVI ADPCM (WAV format 0x11) -----------------------------------------

@@ -135,3 +135,64 @@ def test_spark_audio_feature_scan(spark):
 def test_decode_audio_seam_total():
     y, rate = decode_audio(b"")  # empty buffer → empty fake, no raise
     assert y.shape[1] == 1 and rate == 8000
+
+
+def test_g711_expand_spec_anchors():
+    """ITU-T G.711 anchor values: +/-0 codes and segment-0 steps."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.audiocodec import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert _ULAW_TABLE[0x00] == -32124 and _ULAW_TABLE[0x80] == 32124
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    assert _ALAW_TABLE[0x2A] == -32256 and _ALAW_TABLE[0xAA] == 32256
+    # companding is monotone within each sign half
+    for tbl in (_ULAW_TABLE, _ALAW_TABLE):
+        pos = sorted(int(v) for v in tbl if v > 0)
+        assert len(set(pos)) == len(pos)
+
+
+def test_g711_wav_roundtrip_both_laws():
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.operators.audiocodec import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        encode_wav_g711,
+    )
+
+    x = _sine(440, 8000, 0.1)
+    for law, tbl in (("u", _ULAW_TABLE), ("a", _ALAW_TABLE)):
+        buf = encode_wav_g711(x, 8000, law=law)
+        y, rate = decode_wav(buf)
+        assert rate == 8000 and y.shape == (len(x), 1)
+        # every decoded sample is ON the G.711 lattice and the nearest
+        # lattice point to the input (the encoder contract)
+        lattice = np.sort(np.unique(tbl.astype(np.int64)))
+        got = np.round(y[:, 0] * 32768.0).astype(np.int64)
+        assert set(got.tolist()) <= set(lattice.tolist())
+        want_pcm = np.clip(np.floor(x * 32768.0 + 0.5), -32768, 32767)
+        err = np.abs(got - want_pcm)
+        idx = np.searchsorted(lattice, want_pcm)
+        lo = np.clip(idx - 1, 0, len(lattice) - 1)
+        hi = np.clip(idx, 0, len(lattice) - 1)
+        best = np.minimum(
+            np.abs(lattice[lo] - want_pcm), np.abs(lattice[hi] - want_pcm)
+        )
+        assert np.array_equal(err, best)
+
+    with pytest.raises(ValueError, match="law"):
+        encode_wav_g711(x, 8000, law="x")
+
+
+def test_g711_rejects_wrong_depth():
+    import struct
+
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 16)
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="G.711 bit depth"):
+        decode_wav(buf)
