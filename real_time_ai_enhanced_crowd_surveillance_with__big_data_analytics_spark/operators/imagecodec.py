@@ -49,13 +49,15 @@ MAX_DIM = 32_768  # per-axis decode cap: past this a corrupted header is
 
 
 def sniff_format(buf: bytes) -> str | None:
-    """'png' | 'bmp' | 'jpeg' | None by magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | None by magic bytes."""
     if buf[:8] == PNG_MAGIC:
         return "png"
     if buf[:2] == BMP_MAGIC:
         return "bmp"
     if buf[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 

@@ -121,6 +121,10 @@ def decode_image(buf: bytes) -> np.ndarray:
             # r6/r7: baseline AND progressive JFIF decode are real
             # (jpegcodec.py); arithmetic/12-bit degrade to the stub
             return decode_jpeg(bytes(buf))
+        if fmt == "gif":
+            from .gifcodec import decode_gif
+
+            return decode_gif(bytes(buf))
     except ValueError:
         # the no-lib seam stays TOTAL: a malformed/unsupported-corner
         # buffer degrades to the deterministic stub (the container's
