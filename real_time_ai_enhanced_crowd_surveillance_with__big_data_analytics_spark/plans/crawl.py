@@ -1,0 +1,145 @@
+"""Crawl-frontier plans: URL canonicalization + frontier dedup.
+
+``url_canonicalize`` hash-verifies the RFC 3986 §6 normalization rules
+(functions/urls.py) end-to-end: both engines assemble the SAME messy
+URLs from table keys (the html_extract_quality in-query pattern — the
+documents table carries no URLs), each doc-family's two variants
+differing only in case, explicit default port, duplicate/trailing
+slashes, query-parameter order, and a fragment; the rules must
+collapse every family to one canonical form.  The dup count per
+canonical is the crawl-frontier "seen set" membership a 100 TB crawl
+runs before fetching.
+
+Scale shape: pure regexp/split/sort codegen per row, one
+canonical-keyed window count — the only shuffle, on the dedup key
+itself (exactly the shuffle a frontier dedup must do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonical_url, url_host
+from ..sources.tables import load_table
+
+
+def _messy_url() -> F.Column:
+    fam = F.col("doc_id") / 2
+    fam = F.floor(fam).cast("long")
+    var = F.col("doc_id") % 2
+    https = fam % 2 == 1
+    scheme = (
+        F.when(https & (var == 0), F.lit("HTTPS"))
+        .when(https, F.lit("https"))
+        .when(var == 0, F.lit("HTTP"))
+        .otherwise(F.lit("http"))
+    )
+    site = F.concat(F.lit("s"), (fam % 20).cast("string"))
+    host = F.when(
+        var == 0, F.concat(F.lit("WWW."), F.upper(site), F.lit(".Example.COM"))
+    ).otherwise(F.concat(F.lit("www."), site, F.lit(".example.com")))
+    port = F.when(var == 0, F.when(https, F.lit(":443")).otherwise(F.lit(":80"))).otherwise(F.lit(""))
+    path = F.when(var == 0, F.concat(F.lit("/p//"), fam.cast("string"))).otherwise(
+        F.concat(F.lit("/p/"), fam.cast("string"), F.lit("/"))
+    )
+    q = F.when(
+        var == 0, F.concat(F.lit("?b=1&a="), (fam % 5).cast("string"))
+    ).otherwise(F.concat(F.lit("?a="), (fam % 5).cast("string"), F.lit("&b=1")))
+    frag = F.when(var == 1, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, q, frag)
+
+
+def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf).select("doc_id")
+    with_url = docs.select(
+        "doc_id", _messy_url().alias("raw_url")
+    )
+    canon = with_url.select(
+        "doc_id",
+        "raw_url",
+        canonical_url(F.col("raw_url")).alias("canonical_url"),
+        url_host(F.col("raw_url")).alias("host"),
+    )
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        "host",
+        F.count("*")
+        .over(Window.partitionBy("canonical_url"))
+        .cast("long")
+        .alias("n_dups"),
+    )
+
+
+URL_CANONICALIZE_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN (doc_id // 2) % 2 = 1
+         THEN CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+         ELSE CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END END
+    || '://'
+    || CASE WHEN doc_id % 2 = 0
+            THEN 'WWW.' || upper('s' || CAST((doc_id // 2) % 20 AS VARCHAR))
+                 || '.Example.COM'
+            ELSE 'www.s' || CAST((doc_id // 2) % 20 AS VARCHAR)
+                 || '.example.com' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN CASE WHEN (doc_id // 2) % 2 = 1 THEN ':443' ELSE ':80' END
+            ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN '/p//' || CAST(doc_id // 2 AS VARCHAR)
+            ELSE '/p/' || CAST(doc_id // 2 AS VARCHAR) || '/' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN '?b=1&a=' || CAST((doc_id // 2) % 5 AS VARCHAR)
+            ELSE '?a=' || CAST((doc_id // 2) % 5 AS VARCHAR) || '&b=1' END
+    || CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END AS raw_url
+  FROM documents
+), parts AS (
+  SELECT doc_id, raw_url,
+    lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS authority,
+    regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(regexp_replace(raw_url, '#.*$', ''),
+          '\?([^#]*)', 1) AS rawq
+  FROM raw
+), normed AS (
+  SELECT doc_id,
+    scheme,
+    CASE WHEN scheme = 'http' AND authority LIKE '%:80'
+         THEN substring(authority, 1, length(authority) - 3)
+         WHEN scheme = 'https' AND authority LIKE '%:443'
+         THEN substring(authority, 1, length(authority) - 4)
+         ELSE authority END AS auth2,
+    regexp_replace(rawpath, '/{2,}', '/', 'g') AS collapsed,
+    rawq
+  FROM parts
+), pathed AS (
+  SELECT doc_id, scheme, auth2,
+    CASE WHEN length(p1) = 0 THEN '/' ELSE p1 END AS path,
+    CASE WHEN length(rawq) = 0 THEN ''
+         ELSE '?' || array_to_string(list_sort(string_split(rawq, '&')), '&')
+    END AS q
+  FROM (
+    SELECT doc_id, scheme, auth2, rawq,
+      CASE WHEN length(collapsed) > 1 AND collapsed LIKE '%/'
+           THEN substring(collapsed, 1, length(collapsed) - 1)
+           ELSE collapsed END AS p1
+    FROM normed
+  )
+)
+SELECT doc_id,
+  scheme || '://' || auth2 || path || q AS canonical_url,
+  regexp_replace(auth2, ':[0-9]+$', '') AS host,
+  count(*) OVER (PARTITION BY scheme || '://' || auth2 || path || q)
+    AS n_dups
+FROM pathed
+"""
+
+
+CRAWL_QUERIES = {
+    "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
+}

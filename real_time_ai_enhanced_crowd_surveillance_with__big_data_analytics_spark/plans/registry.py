@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .codec_parity import CODEC_PARITY_QUERIES
+from .crawl import CRAWL_QUERIES
 from .data_selection import DATA_SELECTION_QUERIES
 from .dedup import DEDUP_QUERIES
 from .indexing import INDEXING_QUERIES
@@ -47,6 +48,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     MULTIMODAL_QUERIES,
     CODEC_PARITY_QUERIES,
     DATA_SELECTION_QUERIES,
+    CRAWL_QUERIES,
 ]
 
 # The driver's correctness harness records only the FIRST 50 registry
