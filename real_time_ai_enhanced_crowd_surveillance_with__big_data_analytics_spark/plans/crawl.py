@@ -140,6 +140,117 @@ FROM pathed
 """
 
 
+# --- robots.txt gate (RFC 9309 longest-match) ---------------------------------
+
+
+def robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-permission gate with RFC 9309 §2.2.2 semantics: the rule
+    whose path prefix matches LONGEST wins; on an allow/disallow tie of
+    equal length, allow wins; no matching rule means allowed.
+
+    Both engines synthesize the same per-host rule set (a block-all
+    host every 7th site, a /p disallow every 3rd, an /p/1 allow
+    override everywhere — so the longest-match and tie rules are both
+    load-bearing) and gate the canonical frontier URLs from
+    ``url_canonicalize``.  Shape: the rules side is hosts × 3 rows —
+    broadcast — so the gate is a map-side join plus a per-URL window
+    over at most a handful of matched rules; at 100 TB the frontier
+    never shuffles.
+    """
+    urls = (
+        url_canonicalize(spark, sf)
+        .select("doc_id", "canonical_url", "host")
+        .withColumn(
+            "path",
+            F.regexp_extract("canonical_url", r"^[a-z+.-]+://[^/]*([^?#]*)", 1),
+        )
+    )
+    hosts = urls.select("host").distinct()
+    site_id = F.regexp_extract("host", r"www\.s(\d+)\.example\.com", 1).cast(
+        "long"
+    )
+    rules = hosts.select(
+        "host",
+        F.filter(
+            F.array(
+                F.when(
+                    site_id % 7 == 0,
+                    F.struct(
+                        F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+                    ),
+                ),
+                F.when(
+                    site_id % 3 == 0,
+                    F.struct(
+                        F.lit("/p").alias("prefix"), F.lit(False).alias("allow")
+                    ),
+                ),
+                F.struct(
+                    F.lit("/p/1").alias("prefix"), F.lit(True).alias("allow")
+                ),
+                # zero-length catch-all: RFC default is allowed when no
+                # rule matches; giving it the shortest prefix makes the
+                # default fall out of the same longest-match window
+                # (a left-join-then-filter default LOSES urls whose
+                # only host rules don't prefix-match)
+                F.struct(F.lit("").alias("prefix"), F.lit(True).alias("allow")),
+            ),
+            lambda r: r.isNotNull(),
+        ).alias("rules"),
+    ).select("host", F.explode("rules").alias("r"))
+
+    matched = urls.join(F.broadcast(rules), "host").filter(
+        F.col("path").startswith(F.col("r.prefix"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.length("r.prefix")), F.desc("r.allow")
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.col("r.allow").alias("allowed"),
+            F.col("r.prefix").alias("matched_rule"),
+        )
+    )
+
+
+ROBOTS_GATE_SQL = f"""
+WITH urls AS (
+  SELECT doc_id, canonical_url, host,
+         regexp_extract(canonical_url, '^[a-z+.-]+://[^/]*([^?#]*)', 1) AS path
+  FROM ({URL_CANONICALIZE_SQL})
+), hosts AS (
+  SELECT DISTINCT host,
+         CAST(regexp_extract(host, 'www\\.s(\\d+)\\.example\\.com', 1) AS BIGINT)
+           AS site_id
+  FROM urls
+), rules AS (
+  SELECT host, '/' AS prefix, FALSE AS allow FROM hosts WHERE site_id % 7 = 0
+  UNION ALL
+  SELECT host, '/p', FALSE FROM hosts WHERE site_id % 3 = 0
+  UNION ALL
+  SELECT host, '/p/1', TRUE FROM hosts
+  UNION ALL
+  SELECT host, '', TRUE FROM hosts
+), matched AS (
+  SELECT u.doc_id, u.host, u.path, r.prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC
+         ) AS rk
+  FROM urls u JOIN rules r
+    ON u.host = r.host AND u.path LIKE r.prefix || '%'
+)
+SELECT doc_id, host, path, allow AS allowed, prefix AS matched_rule
+FROM matched WHERE rk = 1
+"""
+
+
 CRAWL_QUERIES = {
     "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
+    "robots_gate": (robots_gate, ROBOTS_GATE_SQL),
 }

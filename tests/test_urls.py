@@ -56,3 +56,32 @@ def test_frontier_collapse(spark, sf_dir):
     for canon, ids in by_canon.items():
         assert len(ids) == 2 and ids[0] // 2 == ids[1] // 2, (canon, ids)
         assert "#" not in canon and "//" not in canon.split("://", 1)[1]
+
+
+def test_robots_gate_semantics(spark, sf_dir):
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.crawl import (
+        robots_gate,
+    )
+
+    rows = robots_gate(spark, sf_dir).collect()
+    assert rows
+    import re
+
+    seen_default = seen_block = seen_override = seen_disallow = False
+    for r in rows:
+        k = int(re.match(r"www\.s(\d+)\.example\.com", r.host).group(1))
+        if r.path.startswith("/p/1"):
+            # the allow override has the longest matching prefix on
+            # every host, including block-all ones
+            assert r.allowed and r.matched_rule == "/p/1", r
+            seen_override = True
+        elif k % 3 == 0:
+            assert not r.allowed and r.matched_rule == "/p", r
+            seen_disallow = True
+        elif k % 7 == 0:
+            assert not r.allowed and r.matched_rule == "/", r
+            seen_block = True
+        else:
+            assert r.allowed and r.matched_rule == "", r
+            seen_default = True
+    assert seen_default and seen_block and seen_override and seen_disallow
