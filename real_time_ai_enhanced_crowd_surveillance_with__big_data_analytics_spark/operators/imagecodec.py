@@ -49,7 +49,7 @@ MAX_DIM = 32_768  # per-axis decode cap: past this a corrupted header is
 
 
 def sniff_format(buf: bytes) -> str | None:
-    """'png' | 'bmp' | 'jpeg' | 'gif' | None by magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | 'tiff' | None by magic bytes."""
     if buf[:8] == PNG_MAGIC:
         return "png"
     if buf[:2] == BMP_MAGIC:
@@ -58,6 +58,8 @@ def sniff_format(buf: bytes) -> str | None:
         return "jpeg"
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 

@@ -125,6 +125,10 @@ def decode_image(buf: bytes) -> np.ndarray:
             from .gifcodec import decode_gif
 
             return decode_gif(bytes(buf))
+        if fmt == "tiff":
+            from .tiffcodec import decode_tiff
+
+            return decode_tiff(bytes(buf))
     except ValueError:
         # the no-lib seam stays TOTAL: a malformed/unsupported-corner
         # buffer degrades to the deterministic stub (the container's
