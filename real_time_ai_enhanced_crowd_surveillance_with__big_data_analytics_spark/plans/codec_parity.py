@@ -83,11 +83,16 @@ def _audio_samples(doc_id: int) -> np.ndarray:
 
 
 def _dhash_bands(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: doc_id → PNG encode → PNG decode → 64-bit
-    dHash packed as 4x16-bit bands.  The encode cycles the per-row PNG
-    filter through all five filter types ((doc_id + row) % 5), so every
-    encoder/decoder filter path sits inside the oracle hash."""
+    """mapInPandas worker: doc_id → lossless encode → decode → 64-bit
+    dHash packed as 4x16-bit bands.  The container rotates by doc_id
+    (PNG with all five per-row filter types cycled, GIF's LZW+palette,
+    TIFF PackBits in both byte orders), so every lossless codec's
+    encoder AND decoder sit inside the oracle hash — the closed-form
+    SQL twin never decodes, it recomputes the pixels, so one wrong bit
+    in any container fails the value hash."""
+    from ..operators.gifcodec import decode_gif, encode_gif
     from ..operators.imagecodec import decode_png, encode_png
+    from ..operators.tiffcodec import decode_tiff, encode_tiff
 
     rows = np.arange(IMG_H)
     for pdf in batches:
@@ -96,10 +101,21 @@ def _dhash_bands(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             doc_id = int(doc_id)
             gray = _image_pixels(doc_id)
             img = np.repeat(gray[:, :, None], 3, axis=2)
-            buf = encode_png(
-                img, filters=((doc_id + rows) % 5).astype(np.uint8), gray=True
-            )
-            dec = decode_png(buf)[:, :, 0].astype(np.int64)
+            route = doc_id % 4
+            if route == 2:
+                dec = decode_gif(encode_gif(img, interlace=bool(doc_id & 4)))
+            elif route == 3:
+                dec = decode_tiff(
+                    encode_tiff(img, big_endian=bool(doc_id & 4), gray=True)
+                )
+            else:
+                buf = encode_png(
+                    img,
+                    filters=((doc_id + rows) % 5).astype(np.uint8),
+                    gray=True,
+                )
+                dec = decode_png(buf)
+            dec = dec[:, :, 0].astype(np.int64)
             bits = (dec[:, 1:] > dec[:, :-1]).astype(np.int64).reshape(-1)
             weights = np.int64(1) << (np.arange(64, dtype=np.int64) % 16)
             bands = [
