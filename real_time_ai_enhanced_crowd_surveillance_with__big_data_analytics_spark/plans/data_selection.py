@@ -256,7 +256,9 @@ WITH base AS (
 SELECT doc_id,
        CAST(len(lines) AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept_lines,
-       CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS kept_chars,
+       -- duckdb array_to_string([]) is NULL where Spark array_join is ''
+       CAST(length(coalesce(array_to_string(kept, ' '), '')) AS BIGINT)
+         AS kept_chars,
        CASE WHEN page_text LIKE '%lorem ipsum%' THEN 'lorem_ipsum'
             WHEN page_text LIKE '%{{%' THEN 'brace'
             WHEN len(kept) < {C4_MIN_LINES_PER_PAGE} THEN 'too_few_lines'
