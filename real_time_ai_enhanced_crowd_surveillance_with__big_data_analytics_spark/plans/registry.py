@@ -21,6 +21,7 @@ from .pipeline_quality import PIPELINE_QUALITY_QUERIES
 from .pq import PQ_QUERIES_REG
 from .relational import RELATIONAL_QUERIES
 from .similarity import SIMILARITY_QUERIES
+from .spatial import SPATIAL_QUERIES
 from .stats import STATS_QUERIES
 from .surveillance import SURVEILLANCE_QUERIES
 from .text import TEXT_QUERIES
@@ -49,28 +50,39 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     CODEC_PARITY_QUERIES,
     DATA_SELECTION_QUERIES,
     CRAWL_QUERIES,
+    SPATIAL_QUERIES,
 ]
 
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
 # Round-7 window (VERDICT r6 "Next round" #1 — the freshness rotation,
-# computed by tools/rotation_planner.py):
+# computed by tools/rotation_planner.py --diff, re-run after the late-r7
+# additions so every never-driver-checked query ships with a verdict):
 # (a) the two canaries, every round;
-# (b) html_extract_quality + winnowing_fingerprints — added this
-#     round (never driver-checked);
+# (b) the twelve queries added this round (never driver-checked);
 # (c) fill to 50 with the queries whose latest driver verdict is
-#     OLDEST: value_outliers (r2), the 23 r3-era rows, and the r4
-#     battery — after this round no registry query's latest verdict
-#     is older than r4, clearing the whole freshness debt VERDICT r6
-#     item #2 called out (top_supplier, the lowest-priority r4 fill,
-#     yielded its slot to winnowing_fingerprints and stays r4-fresh).
+#     OLDEST: value_outliers (r2), the 23 r3-era rows, and the oldest
+#     r4 battery rows — after this round no registry query's latest
+#     verdict is older than r4, clearing the freshness debt VERDICT r6
+#     item #2 called out (the ten r4 rows displaced by (b) stay
+#     r4-fresh, within the planner's freshness bar).
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
     "revenue_by_nation",
     # (b) never checked
-    "html_extract_quality",
+    "matryoshka_recall",
     "winnowing_fingerprints",
+    "html_extract_quality",
+    "image_dhash_neardup",
+    "audio_pcm_features",
+    "dsir_select",
+    "c4_line_filter",
+    "url_canonicalize",
+    "robots_gate",
+    "spatial_neighbor_pairs",
+    "spatial_nearest_site",
+    "crowd_density_hotspots",
     # (c) oldest-verdict fill: r2, then the r3 battery
     "value_outliers",
     "alarm_rising_edges",
@@ -109,16 +121,6 @@ _PRIORITY: list[str] = [
     "session_window_stats",
     "asof_last_event",
     "asof_next_event",
-    "value_percentiles",
-    "distinct_stats",
-    "value_rank_profile",
-    "running_revenue",
-    "moving_revenue",
-    "revenue_deciles",
-    "event_cube",
-    "event_grouping_sets",
-    "small_quantity_revenue",
-    "volume_shipping",
 ]
 
 

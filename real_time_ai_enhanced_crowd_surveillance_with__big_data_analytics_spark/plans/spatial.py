@@ -1,0 +1,311 @@
+"""Spatial plans: grid-bucketed proximity join, bounded nearest
+neighbor, and crowd-density cells.
+
+The reference's surveillance domain is inherently spatial (cameras at
+sites, crowd density per location — main.py's crowd path counts people
+per frame; a deployment with many cameras asks the same question per
+PLACE). The test tables carry no coordinates, so — the
+html_extract_quality pattern (VERDICT r6 #4) — both engines derive the
+SAME deterministic integer site coordinates in-query and the real
+spatial operators run on top; every rule sits inside the value hash.
+
+Coordinates: one multiplicative hash ``H = (key * 2654435761) mod 2^32``
+(Knuth's 32-bit golden-ratio multiplier, a public constant), split into
+``x = H mod W`` and ``y = (H div W) mod W`` on a W=10,000 integer grid.
+A pair of independent linear-congruential maps was measured first and rejected:
+with ~1,500 keys the (x, y) points fall on a sparse torus lattice
+(the classic LCG spectral-test failure) and NO pair lands within any
+useful radius; splitting digit ranges of one wider hash scatters
+properly (1,595 pairs at r=150, sf0.01). All arithmetic is int64 with
+products < 2^46 — exact in both engines; distances compare squared
+(no sqrt, no floats anywhere).
+
+Operators (the epsilon-grid / PBSM posture every distributed spatial
+engine uses — GeoSpark/Sedona partition-join, DuckDB spatial's grid):
+
+- ``spatial_neighbor_pairs`` — all site pairs within radius r. Cell
+  size = r, the left side replicated to its 3x3 neighbor cells, the
+  right side keyed by home cell; an unordered pair is found EXACTLY
+  once (b's home cell appears once in a's 9-cell expansion; a<b keeps
+  one orientation), so no dedup pass. The join is an equi-join on
+  (cell_x, cell_y) — shuffle-partitioned by cell, never a cross join.
+- ``spatial_nearest_site`` — per site, the nearest other site within
+  R, via a two-phase escalation ladder (fine grid resolves almost
+  everyone; only fine-ring misses pay the full-R expansion) +
+  min(struct(dist2, site)) argmin (deterministic tiebreak on site
+  id). Bounded-NN semantics: sites with no neighbor inside R are
+  absent.
+- ``crowd_density_hotspots`` — events mapped to their user's site,
+  aggregated per coarse grid cell: event count, distinct users, exact
+  cent-sums of value (the round-margin-audit-proof idiom), error
+  count, and a hot flag. No global window — the "rank the hotspots"
+  step is a threshold predicate, keeping the registry's
+  no-unbounded-window contract.
+
+Scale: at 100 TB the only shuffles key on (cell_x, cell_y) — a
+world-bounded key space the planner can size; the 9x left replication
+is the standard grid-join cost and rides map-side. Density skew (a
+stadium cell) is AQE-skew-join territory; the per-cell aggregate is
+map-side combinable. Output of the pair join grows with true pair
+count (quadratic in point DENSITY by spec, like dedup_minhash_lsh's
+64x row) — the grid prunes candidates, not answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+WORLD = 10_000
+_MULT = 2_654_435_761  # Knuth multiplicative hash, public constant
+_MOD = 4_294_967_296  # 2^32
+PAIR_RADIUS = 150
+NN_RADIUS = 400
+NN_FINE = 50
+HOT_CELL = 500
+HOT_MIN_EVENTS = 40
+
+
+def _coords(key: Column) -> tuple[Column, Column]:
+    """Deterministic (x, y) on the W x W grid from one integer key.
+
+    ``(h - h % W) / W`` is exact: the dividend is a multiple of W and
+    the quotient (< 2^19) is a representable double, so the float
+    division returns the exact integer — no engine-specific integer
+    division semantics in play.
+    """
+    h = (key.cast("long") * F.lit(_MULT)) % F.lit(_MOD)
+    x = h % WORLD
+    y = ((h - h % WORLD) / WORLD).cast("long") % WORLD
+    return x, y
+
+
+def _cell(c: Column, size: int) -> Column:
+    return ((c - c % size) / size).cast("long")
+
+
+def _sites(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf)
+    x, y = _coords(F.col("c_custkey"))
+    return cust.select(
+        F.col("c_custkey").alias("site"), x.alias("x"), y.alias("y")
+    )
+
+
+def _ring_candidates(
+    left: DataFrame, right: DataFrame, radius: int
+) -> DataFrame:
+    """Ordered candidate pairs (site_a != site_b) whose cells are 3x3
+    adjacent at cell size = radius, with exact squared distance.
+
+    Ring guarantee (integer grid): every point within distance
+    ``radius`` of a left point is in the 3x3 ring, and every point
+    OUTSIDE the ring is strictly farther than ``radius`` (a
+    non-adjacent cell starts >= radius+1 away on at least one axis).
+    """
+    one_ring = F.sequence(F.lit(-1), F.lit(1))
+    a = (
+        left.select(
+            F.col("site").alias("site_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            _cell(F.col("x"), radius).alias("cxa"),
+            _cell(F.col("y"), radius).alias("cya"),
+        )
+        .withColumn("dx", F.explode(one_ring))
+        .withColumn("dy", F.explode(one_ring))
+    )
+    b = right.select(
+        F.col("site").alias("site_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        _cell(F.col("x"), radius).alias("cxb"),
+        _cell(F.col("y"), radius).alias("cyb"),
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    # spread the 9x-expanded probe side across the cluster by target
+    # cell BEFORE the join: a single-file site scan otherwise leaves
+    # the whole candidate evaluation on one task (the broadcast join's
+    # probe side never shuffles on its own), serializing the
+    # density-quadratic refine — measured 697 s -> ~20 s at the 8x
+    # density probe. Explicit N: AQE folds keyless small repartitions
+    # to one partition (verify-skill trap).
+    a = a.repartition(
+        left.sparkSession.sparkContext.defaultParallelism,
+        a.cxa + a.dx,
+        a.cya + a.dy,
+    )
+    return (
+        a.join(
+            b,
+            (a.cxa + a.dx == b.cxb)
+            & (a.cya + a.dy == b.cyb)
+            & (a.site_a != b.site_b),
+        )
+        .withColumn("dist2", dist2.cast("long"))
+        .where(F.col("dist2") <= radius * radius)
+    )
+
+
+_SITES_CTE = f"""
+s AS (
+  SELECT c_custkey AS site,
+         ((c_custkey * {_MULT}) % {_MOD}) % {WORLD} AS x,
+         (((c_custkey * {_MULT}) % {_MOD}) // {WORLD}) % {WORLD} AS y
+  FROM customer
+),
+offs AS (
+  SELECT dx, dy
+  FROM (SELECT unnest([-1, 0, 1]) AS dx)
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+)
+"""
+
+
+def spatial_neighbor_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All site pairs within PAIR_RADIUS, via the epsilon-grid join."""
+    s = _sites(spark, sf)
+    cands = _ring_candidates(s, s, PAIR_RADIUS)
+    return cands.where(F.col("site_a") < F.col("site_b")).select(
+        "site_a", "site_b", "dist2"
+    )
+
+
+SPATIAL_NEIGHBOR_PAIRS_SQL = f"""
+WITH {_SITES_CTE},
+g AS (SELECT site, x, y, x // {PAIR_RADIUS} AS cx, y // {PAIR_RADIUS} AS cy FROM s)
+SELECT a.site AS site_a, b.site AS site_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist2
+FROM g a
+CROSS JOIN offs o
+JOIN g b
+  ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy AND a.site < b.site
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {PAIR_RADIUS} * {PAIR_RADIUS}
+"""
+
+
+def _argmin(cands: DataFrame) -> DataFrame:
+    """argmin = min(struct(dist2, site_b)) — ties broken by smaller
+    site id, deterministically, in one map-side-combinable aggregate
+    (no per-site window sort)."""
+    return (
+        cands.groupBy(F.col("site_a").alias("site"))
+        .agg(F.min(F.struct("dist2", "site_b")).alias("nn"))
+        .select(
+            "site",
+            F.col("nn.site_b").alias("nn_site"),
+            F.col("nn.dist2").alias("nn_dist2"),
+        )
+    )
+
+
+def spatial_nearest_site(spark: SparkSession, sf: str) -> DataFrame:
+    """Per site, the nearest other site within NN_RADIUS (bounded NN).
+
+    Two-phase escalation ladder — the posture that keeps bounded NN
+    from going density-quadratic at scale. Phase 1 probes a FINE grid
+    (cell = NN_FINE): by the ring guarantee, a site with any candidate
+    at dist <= NN_FINE sees its entire global argmin tie-set inside
+    the fine ring (everything outside is strictly farther), so the
+    fine argmin IS the answer. Only sites with no fine hit — a
+    fraction that VANISHES as density grows (P ~ exp(-pi*density*
+    NN_FINE^2)) — escalate to the full NN_RADIUS ring. A single-ring
+    design was probed first and rejected: candidates per site grow
+    with density * NN_RADIUS^2 (9x the disc), 100M+ refines at the 8x
+    density probe; the ladder's phase-1 candidates grow with density *
+    NN_FINE^2 (64x fewer) while phase 2 empties out.
+    """
+    s = _sites(spark, sf)
+    fine = _ring_candidates(s, s, NN_FINE)  # already filtered <= NN_FINE^2
+    resolved = _argmin(fine)
+    unresolved = s.join(resolved.select("site"), "site", "left_anti")
+    coarse = _ring_candidates(unresolved, s, NN_RADIUS)
+    return resolved.unionByName(_argmin(coarse))
+
+
+SPATIAL_NEAREST_SITE_SQL = f"""
+WITH {_SITES_CTE},
+g AS (SELECT site, x, y, x // {NN_RADIUS} AS cx, y // {NN_RADIUS} AS cy FROM s),
+cand AS (
+  SELECT a.site AS site, b.site AS site_b,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+  FROM g a
+  CROSS JOIN offs o
+  JOIN g b
+    ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy AND a.site != b.site
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {NN_RADIUS} * {NN_RADIUS}
+)
+SELECT site, site_b AS nn_site, CAST(dist2 AS BIGINT) AS nn_dist2
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY site ORDER BY dist2, site_b) = 1
+"""
+
+
+def crowd_density_hotspots(spark: SparkSession, sf: str) -> DataFrame:
+    """Per coarse grid cell: event density at the cell's user sites.
+
+    Exact int64 everywhere: value is quantized to cents per row before
+    summing (round-margin-audit-proof); counts are counts. The hot
+    flag replaces a global rank — no unbounded window.
+    """
+    ev = load_table(spark, "events", sf)
+    x, y = _coords(F.col("user_id"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            _cell(x, HOT_CELL).alias("cell_x"),
+            _cell(y, HOT_CELL).alias("cell_y"),
+            "user_id",
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("value_cents"),
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        )
+        .withColumn("hot", F.col("n_events") >= HOT_MIN_EVENTS)
+    )
+
+
+CROWD_DENSITY_HOTSPOTS_SQL = f"""
+WITH mapped AS (
+  SELECT (((user_id * {_MULT}) % {_MOD}) % {WORLD}) // {HOT_CELL} AS cell_x,
+         ((((user_id * {_MULT}) % {_MOD}) // {WORLD}) % {WORLD})
+           // {HOT_CELL} AS cell_y,
+         user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT cell_x, cell_y,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS value_cents,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       COUNT(*) >= {HOT_MIN_EVENTS} AS hot
+FROM mapped
+GROUP BY cell_x, cell_y
+"""
+
+
+SPATIAL_QUERIES = {
+    "spatial_neighbor_pairs": (
+        spatial_neighbor_pairs,
+        SPATIAL_NEIGHBOR_PAIRS_SQL,
+    ),
+    "spatial_nearest_site": (spatial_nearest_site, SPATIAL_NEAREST_SITE_SQL),
+    "crowd_density_hotspots": (
+        crowd_density_hotspots,
+        CROWD_DENSITY_HOTSPOTS_SQL,
+    ),
+}

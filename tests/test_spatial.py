@@ -1,0 +1,108 @@
+"""Spatial plans (plans/spatial.py): grid join vs brute force, bounded
+NN semantics, density-cell exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.spatial import (
+    _MOD,
+    _MULT,
+    NN_RADIUS,
+    PAIR_RADIUS,
+    WORLD,
+    crowd_density_hotspots,
+    spatial_nearest_site,
+    spatial_neighbor_pairs,
+)
+
+
+def _xy(key: int) -> tuple[int, int]:
+    h = (key * _MULT) % _MOD
+    return h % WORLD, (h // WORLD) % WORLD
+
+
+def _brute_pairs(keys: list[int], radius: int) -> set[tuple[int, int, int]]:
+    pts = {k: _xy(k) for k in keys}
+    out = set()
+    for a in keys:
+        for b in keys:
+            if a >= b:
+                continue
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= radius * radius:
+                out.add((a, b, d2))
+    return out
+
+
+def _custkeys(spark, sf_dir) -> list[int]:
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return [r.c_custkey for r in df.select("c_custkey").collect()]
+
+
+def test_pairs_match_brute_force(spark, sf_dir):
+    """The 3x3 grid expansion finds every within-radius pair exactly
+    once — completeness AND no-dup, against an O(n^2) reference."""
+    keys = _custkeys(spark, sf_dir)
+    want = _brute_pairs(keys, PAIR_RADIUS)
+    got = {
+        (r.site_a, r.site_b, r.dist2)
+        for r in spatial_neighbor_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) == len(spatial_neighbor_pairs(spark, sf_dir).collect())
+
+
+def test_nearest_site_is_argmin_with_deterministic_ties(spark, sf_dir):
+    keys = _custkeys(spark, sf_dir)
+    pts = {k: _xy(k) for k in keys}
+    want = {}
+    for a in keys:
+        best = None
+        for b in keys:
+            if a == b:
+                continue
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= NN_RADIUS * NN_RADIUS and (
+                best is None or (d2, b) < best
+            ):
+                best = (d2, b)
+        if best is not None:
+            want[a] = (best[1], best[0])
+    got = {
+        r.site: (r.nn_site, r.nn_dist2)
+        for r in spatial_nearest_site(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_hotspot_cells_partition_the_events(spark, sf_dir):
+    """Cell stats re-aggregate to the table totals (nothing dropped or
+    double-counted) and cents sums are exact int64."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = crowd_density_hotspots(spark, sf_dir)
+    tot = cells.agg(
+        F.sum("n_events").alias("e"),
+        F.sum("value_cents").alias("c"),
+        F.sum("n_errors").alias("r"),
+    ).first()
+    want = ev.agg(
+        F.count("*").alias("e"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        F.count_if(F.col("event_type") == "error").alias("r"),
+    ).first()
+    assert (tot.e, tot.c, tot.r) == (want.e, want.c, want.r)
+    # each user maps to exactly one cell, so distinct users across
+    # cells must equal distinct users in the table
+    n_users = cells.agg(F.sum("n_users")).first()[0]
+    assert n_users == ev.select("user_id").distinct().count()
+
+
+def test_no_python_udf_in_plans(spark, sf_dir):
+    for fn in (
+        spatial_neighbor_pairs,
+        spatial_nearest_site,
+        crowd_density_hotspots,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -119,6 +119,28 @@ def main() -> int:
             )
         )
 
+    # customer amplification: replicas get disjoint key ranges, so the
+    # spatial plans' hash-derived sites land at NEW grid positions —
+    # point DENSITY multiplies (world size is fixed), which is the
+    # dimension the epsilon-grid join must absorb
+    base_cust = tables.load_table(spark, "customer", SF)
+    max_cust = base_cust.agg(F.max("c_custkey")).first()[0] + 1
+
+    def amplified_customer(n: int):
+        reps = spark.range(n).select(F.col("id").alias("rep"))
+        return (
+            base_cust.crossJoin(reps)
+            .select(
+                (F.col("c_custkey") + F.col("rep") * max_cust).alias(
+                    "c_custkey"
+                ),
+                "c_name",
+                "c_nationkey",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+
     results = {}
     for n in (1, amp):
         # monkey-patch the loader so queries read the amplified frames
@@ -131,6 +153,8 @@ def main() -> int:
                 return amplified_emb(_n)
             if name == "events":
                 return amplified_events(_n)
+            if name == "customer":
+                return amplified_customer(_n)
             return orig(spark_, name, sf_)
 
         tables.load_table = patched
