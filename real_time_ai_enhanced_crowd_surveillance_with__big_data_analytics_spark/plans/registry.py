@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "spatial_neighbor_pairs",
     "spatial_nearest_site",
     "crowd_density_hotspots",
+    "spatial_triangle_census",
     # (c) oldest-verdict fill: r2, then the r3 battery
     "value_outliers",
     "alarm_rising_edges",
@@ -120,7 +121,6 @@ _PRIORITY: list[str] = [
     "props_extract",
     "session_window_stats",
     "asof_last_event",
-    "asof_next_event",
 ]
 
 

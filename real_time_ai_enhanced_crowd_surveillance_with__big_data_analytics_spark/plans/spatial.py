@@ -64,6 +64,10 @@ _MOD = 4_294_967_296  # 2^32
 PAIR_RADIUS = 150
 NN_RADIUS = 400
 NN_FINE = 50
+TRI_RADIUS = 100  # census adjacency: tighter than the pair join —
+# triangle work grows ~cubically in within-radius density, so the
+# cohesion census runs on the tight-adjacency graph (and at real
+# scale on a bounded stratum, the neardup_lsh_recall discipline)
 HOT_CELL = 500
 HOT_MIN_EVENTS = 40
 
@@ -298,6 +302,168 @@ GROUP BY cell_x, cell_y
 """
 
 
+def spatial_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-site triangle census of the within-TRI_RADIUS adjacency
+    graph: degree, triangle count, wedge count, and an integer local
+    clustering coefficient (micro-units) — the cohesion signal that
+    separates a dense site CLUSTER (high closure: a crowd hotspot
+    zone) from a chain of pairwise-close sites.
+
+    Algorithm is degree-ordered compact-forward — THE distributed
+    triangle-counting posture (Suri & Vassilvitskii's MR-friendly
+    variant): orient every undirected edge from the lower-(degree, id)
+    endpoint to the higher, wedge-join arcs on their source, and close
+    each wedge against the arc set. Degree ordering bounds every
+    node's out-degree by O(sqrt(m)), so the wedge join is
+    O(m^{3/2}) worst-case instead of sum(d^2) — the skew-proofing
+    that matters when one site sits in a stadium cell. Each triangle
+    is produced exactly once (its vertices are totally ordered), then
+    credited to all three corners. All arithmetic int64:
+    wedges = d*(d-1)/2 exact, lcc_micro = triangles*1e6 div wedges
+    (floor in both engines); sites with degree < 2 carry NULL.
+    """
+    # materialize the grid-join edge set once: it is referenced by the
+    # degree count, both orientation joins, both wedge sides, and the
+    # closure join — without truncation the whole epsilon-grid join
+    # re-executes per reference (the label_propagation discipline;
+    # output-sized frame, so the .rdd-path cost is bounded)
+    s = _sites(spark, sf)
+    pairs = (
+        _ring_candidates(s, s, TRI_RADIUS)
+        .where(F.col("site_a") < F.col("site_b"))
+        .select(F.col("site_a").alias("ia"), F.col("site_b").alias("ib"))
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    )
+    deg = edges.groupBy(F.col("ia").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    p = (
+        pairs.join(
+            deg.select(F.col("node").alias("ia"), F.col("d").alias("da")),
+            "ia",
+        )
+        .join(
+            deg.select(F.col("node").alias("ib"), F.col("d").alias("db")),
+            "ib",
+        )
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ia") < F.col("ib"))
+    )
+    # arcs enter the wedge join twice and the closure once — same
+    # materialize-once reasoning (|arcs| == |pairs|)
+    arcs = p.select(
+        F.when(fwd, F.col("ia")).otherwise(F.col("ib")).alias("u"),
+        F.when(fwd, F.col("ib")).otherwise(F.col("ia")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint()
+    a1 = arcs.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("dv").alias("dw1")
+    )
+    a2 = arcs.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("dv").alias("dw2")
+    )
+    wedge = a1.join(a2, "u").where(
+        (F.col("dw1") < F.col("dw2"))
+        | ((F.col("dw1") == F.col("dw2")) & (F.col("w1") < F.col("w2")))
+    )
+    tri = wedge.join(
+        arcs.select(F.col("u").alias("w1"), F.col("v").alias("w2")),
+        ["w1", "w2"],
+    ).select("u", "w1", "w2")
+    tcnt = (
+        tri.select(
+            F.explode(F.array("u", "w1", "w2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    sites = s.select(F.col("site"))
+    d = F.coalesce(F.col("d"), F.lit(0))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    wedges = (d * (d - 1) / 2).cast("long")
+    return (
+        sites.join(deg, sites.site == deg.node, "left")
+        .drop("node")
+        .join(tcnt, sites.site == tcnt.node, "left")
+        .drop("node")
+        .select(
+            "site",
+            d.alias("degree"),
+            t.alias("triangles"),
+            wedges.alias("wedges"),
+        )
+        .select(
+            "site",
+            "degree",
+            "triangles",
+            "wedges",
+            F.expr(
+                "CASE WHEN degree >= 2"
+                " THEN (triangles * 1000000) div wedges"
+                " ELSE NULL END"
+            ).alias("lcc_micro"),
+        )
+    )
+
+
+SPATIAL_TRIANGLE_CENSUS_SQL = f"""
+WITH {_SITES_CTE},
+g AS (SELECT site, x, y, x // {TRI_RADIUS} AS cx, y // {TRI_RADIUS} AS cy FROM s),
+p AS (
+  SELECT a.site AS ia, b.site AS ib
+  FROM g a
+  CROSS JOIN offs o
+  JOIN g b
+    ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy AND a.site < b.site
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {TRI_RADIUS} * {TRI_RADIUS}
+),
+edges AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+deg AS (SELECT ia AS node, count(*) AS d FROM edges GROUP BY ia),
+arcs AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.ia < p.ib)
+              THEN p.ia ELSE p.ib END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.ia < p.ib)
+              THEN p.ib ELSE p.ia END AS v,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND p.ia < p.ib)
+              THEN db.d ELSE da.d END AS dv
+  FROM p JOIN deg da ON p.ia = da.node JOIN deg db ON p.ib = db.node
+),
+wedge AS (
+  SELECT a1.u, a1.v AS w1, a2.v AS w2
+  FROM arcs a1 JOIN arcs a2 ON a1.u = a2.u
+  WHERE a1.dv < a2.dv OR (a1.dv = a2.dv AND a1.v < a2.v)
+),
+tri AS (
+  SELECT w.u, w.w1, w.w2
+  FROM wedge w JOIN arcs a ON a.u = w.w1 AND a.v = w.w2
+),
+tcnt AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT w1 FROM tri
+    UNION ALL SELECT w2 FROM tri
+  ) GROUP BY node
+)
+SELECT s.site,
+       CAST(coalesce(d.d, 0) AS BIGINT) AS degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       CAST(coalesce(d.d, 0) * (coalesce(d.d, 0) - 1) // 2 AS BIGINT)
+         AS wedges,
+       CASE WHEN coalesce(d.d, 0) >= 2
+            THEN CAST(coalesce(t.t, 0) * 1000000
+                      // (d.d * (d.d - 1) // 2) AS BIGINT)
+            ELSE NULL END AS lcc_micro
+FROM s
+LEFT JOIN deg d ON s.site = d.node
+LEFT JOIN tcnt t ON s.site = t.node
+"""
+
+
 SPATIAL_QUERIES = {
     "spatial_neighbor_pairs": (
         spatial_neighbor_pairs,
@@ -307,5 +473,9 @@ SPATIAL_QUERIES = {
     "crowd_density_hotspots": (
         crowd_density_hotspots,
         CROWD_DENSITY_HOTSPOTS_SQL,
+    ),
+    "spatial_triangle_census": (
+        spatial_triangle_census,
+        SPATIAL_TRIANGLE_CENSUS_SQL,
     ),
 }

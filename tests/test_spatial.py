@@ -11,9 +11,11 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
     NN_RADIUS,
     PAIR_RADIUS,
     WORLD,
+    TRI_RADIUS,
     crowd_density_hotspots,
     spatial_nearest_site,
     spatial_neighbor_pairs,
+    spatial_triangle_census,
 )
 
 
@@ -96,6 +98,37 @@ def test_hotspot_cells_partition_the_events(spark, sf_dir):
     # cells must equal distinct users in the table
     n_users = cells.agg(F.sum("n_users")).first()[0]
     assert n_users == ev.select("user_id").distinct().count()
+
+
+def test_triangle_census_matches_brute_force(spark):
+    """Degree-ordered compact-forward vs an O(n*d^2) adjacency-set
+    count. sf0.01, not the smoke fixture: the sf0.001 site set has
+    ZERO within-radius pairs, which would make this test vacuous."""
+    sf = "/root/testdata/sf0.01"
+    keys = _custkeys(spark, sf)
+    adj = {k: set() for k in keys}
+    for a, b, _ in _brute_pairs(keys, TRI_RADIUS):
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in keys:
+        nbrs = adj[v]
+        d = len(nbrs)
+        t = sum(
+            1
+            for u in nbrs
+            for w in nbrs
+            if u < w and w in adj[u]
+        )
+        wedges = d * (d - 1) // 2
+        lcc = t * 1_000_000 // wedges if d >= 2 else None
+        want[v] = (d, t, wedges, lcc)
+    got = {
+        r.site: (r.degree, r.triangles, r.wedges, r.lcc_micro)
+        for r in spatial_triangle_census(spark, sf).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values()), "no triangles = vacuous"
 
 
 def test_no_python_udf_in_plans(spark, sf_dir):
