@@ -124,6 +124,8 @@ def main() -> int:
     # point DENSITY multiplies (world size is fixed), which is the
     # dimension the epsilon-grid join must absorb
     base_cust = tables.load_table(spark, "customer", SF)
+    if stratum > 1:
+        base_cust = base_cust.filter(F.col("c_custkey") % stratum == 0)
     max_cust = base_cust.agg(F.max("c_custkey")).first()[0] + 1
 
     def amplified_customer(n: int):
