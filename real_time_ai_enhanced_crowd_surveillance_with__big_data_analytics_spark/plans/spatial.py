@@ -40,7 +40,11 @@ engine uses — GeoSpark/Sedona partition-join, DuckDB spatial's grid):
   cent-sums of value (the round-margin-audit-proof idiom), error
   count, and a hot flag. No global window — the "rank the hotspots"
   step is a threshold predicate, keeping the registry's
-  no-unbounded-window contract.
+  no-unbounded-window contract. Streaming twin + alarm-once alert in
+  ``streaming/crowd_density.py`` and ``streaming/hot_cell_alert.py``.
+- ``spatial_triangle_census`` — per-site cohesion of the tight
+  adjacency graph via degree-ordered compact-forward triangle
+  counting (see its docstring for the O(m^1.5) argument).
 
 Scale: at 100 TB the only shuffles key on (cell_x, cell_y) — a
 world-bounded key space the planner can size; the 9x left replication
