@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "spatial_nearest_site",
     "crowd_density_hotspots",
     "spatial_triangle_census",
+    "colocation_encounters",
     # (c) oldest-verdict fill: r2, then the r3 battery
     "value_outliers",
     "alarm_rising_edges",
@@ -120,7 +121,6 @@ _PRIORITY: list[str] = [
     "returned_revenue",
     "props_extract",
     "session_window_stats",
-    "asof_last_event",
 ]
 
 

@@ -468,6 +468,112 @@ LEFT JOIN tcnt t ON s.site = t.node
 """
 
 
+COLOC_CELL = 1_000
+COLOC_BAND_US = 30 * 60 * 1_000_000  # 30 minutes, integer microseconds
+
+
+def colocation_encounters(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-location contact graph: distinct-user event pairs in the
+    same COLOC_CELL grid cell within COLOC_BAND_US of each other —
+    who was at the same place at the same time, how often, and when
+    first/last. The surveillance question behind contact tracing and
+    tailgating detection, and the canonical SPATIO-TEMPORAL band
+    join: the equi-join key is (cell_x, cell_y, time_bucket), so the
+    shuffle is bounded by place x time, never a per-user or global
+    cross join.
+
+    Band-join exactness: with bucket size = band, two events within
+    the band are at most one bucket apart, so expanding ONE side to
+    buckets {b-1, b, b+1} and keying the other by home bucket finds
+    every qualifying event pair exactly once (home bucket appears
+    once in the expansion; user_a < user_b fixes orientation). The
+    |delta| <= band refine runs on exact int64 microseconds
+    (unix_micros / epoch_us — identical in both engines; no float
+    seconds anywhere).
+
+    At 100 TB: time buckets shard the stream axis (the timeseries.py
+    discipline), cells shard space; a skewed (stadium, rush-hour)
+    bucket is AQE-skew-join territory. Encounter counts grow with
+    true co-presence BY SPEC — the join prunes candidates to the
+    3-bucket band, not answers.
+    """
+    ev = load_table(spark, "events", sf)
+    x, y = _coords(F.col("user_id"))
+    us = F.unix_micros(F.col("ts"))
+    m = ev.select(
+        "user_id",
+        "ts",
+        us.alias("us"),
+        _cell(x, COLOC_CELL).alias("cx"),
+        _cell(y, COLOC_CELL).alias("cy"),
+        _cell(us, COLOC_BAND_US).alias("bkt"),
+    )
+    a = (
+        m.select(
+            F.col("user_id").alias("user_a"),
+            F.col("ts").alias("ts_a"),
+            F.col("us").alias("us_a"),
+            "cx",
+            "cy",
+            "bkt",
+        )
+        .withColumn("shift", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("bkt", F.col("bkt") + F.col("shift"))
+        .drop("shift")
+    )
+    b = m.select(
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("us").alias("us_b"),
+        "cx",
+        "cy",
+        "bkt",
+    )
+    pairs = a.join(b, ["cx", "cy", "bkt"]).where(
+        (F.col("user_a") < F.col("user_b"))
+        & (
+            F.abs(F.col("us_a") - F.col("us_b"))
+            <= F.lit(COLOC_BAND_US)
+        )
+    )
+    return pairs.groupBy("user_a", "user_b", "cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_encounters"),
+        F.date_format(
+            F.min(F.least("ts_a", "ts_b")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_ts"),
+        F.date_format(
+            F.max(F.greatest("ts_a", "ts_b")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_ts"),
+    )
+
+
+COLOCATION_ENCOUNTERS_SQL = f"""
+WITH m AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         (((user_id * {_MULT}) % {_MOD}) % {WORLD}) // {COLOC_CELL} AS cx,
+         ((((user_id * {_MULT}) % {_MOD}) // {WORLD}) % {WORLD})
+           // {COLOC_CELL} AS cy,
+         epoch_us(ts) // {COLOC_BAND_US} AS bkt
+  FROM events
+),
+a AS (
+  SELECT user_id AS user_a, ts AS ts_a, us AS us_a, cx, cy,
+         bkt + s.shift AS bkt
+  FROM m CROSS JOIN (SELECT unnest([-1, 0, 1]) AS shift) s
+),
+b AS (
+  SELECT user_id AS user_b, ts AS ts_b, us AS us_b, cx, cy, bkt FROM m
+)
+SELECT user_a, user_b, cx, cy,
+       count(*) AS n_encounters,
+       strftime(min(least(ts_a, ts_b)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(greatest(ts_a, ts_b)), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM a JOIN b USING (cx, cy, bkt)
+WHERE user_a < user_b AND abs(us_a - us_b) <= {COLOC_BAND_US}
+GROUP BY user_a, user_b, cx, cy
+"""
+
+
 SPATIAL_QUERIES = {
     "spatial_neighbor_pairs": (
         spatial_neighbor_pairs,
@@ -481,5 +587,9 @@ SPATIAL_QUERIES = {
     "spatial_triangle_census": (
         spatial_triangle_census,
         SPATIAL_TRIANGLE_CENSUS_SQL,
+    ),
+    "colocation_encounters": (
+        colocation_encounters,
+        COLOCATION_ENCOUNTERS_SQL,
     ),
 }

@@ -11,7 +11,10 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
     NN_RADIUS,
     PAIR_RADIUS,
     WORLD,
+    COLOC_BAND_US,
+    COLOC_CELL,
     TRI_RADIUS,
+    colocation_encounters,
     crowd_density_hotspots,
     spatial_nearest_site,
     spatial_neighbor_pairs,
@@ -129,6 +132,45 @@ def test_triangle_census_matches_brute_force(spark):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values()), "no triangles = vacuous"
+
+
+def test_colocation_matches_brute_force(spark):
+    """Banded spatio-temporal join vs a per-cell O(k^2) reference.
+    sf0.01: the smoke tables have zero qualifying pairs."""
+    from collections import defaultdict
+    from datetime import timezone
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, "events", sf).select("user_id", "ts")
+    by_cell = defaultdict(list)
+    for r in ev.collect():
+        x, y = _xy(r.user_id)
+        us = round(
+            r.ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
+        by_cell[(x // COLOC_CELL, y // COLOC_CELL)].append(
+            (r.user_id, us)
+        )
+    want = defaultdict(lambda: [0, None, None])
+    for (cx, cy), rows in by_cell.items():
+        for ua, ta in rows:
+            for ub, tb in rows:
+                if ua < ub and abs(ta - tb) <= COLOC_BAND_US:
+                    e = want[(ua, ub, cx, cy)]
+                    e[0] += 1
+                    lo, hi = min(ta, tb), max(ta, tb)
+                    e[1] = lo if e[1] is None else min(e[1], lo)
+                    e[2] = hi if e[2] is None else max(e[2], hi)
+    got = {
+        (r.user_a, r.user_b, r.cx, r.cy): r.n_encounters
+        for r in colocation_encounters(spark, sf).collect()
+    }
+    assert got == {k: v[0] for k, v in want.items()}
+    assert got, "zero encounters would make this vacuous"
 
 
 def test_no_python_udf_in_plans(spark, sf_dir):
