@@ -99,6 +99,11 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     for req in (_WIDTH, _HEIGHT, _STRIP_OFFSETS, _STRIP_COUNTS):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {req}")
+    for tag, vals in tags.items():
+        # a present tag with count 0 (seen from single-bit corruption
+        # of the count field) would IndexError every `[0]` read below
+        if not vals:
+            raise ValueError(f"TIFF tag {tag} has zero values")
     w, h = tags[_WIDTH][0], tags[_HEIGHT][0]
     if not (0 < w <= MAX_DIM and 0 < h <= MAX_DIM) or w * h > MAX_PIXELS:
         raise ValueError(f"refusing TIFF dimensions {w}x{h}")
