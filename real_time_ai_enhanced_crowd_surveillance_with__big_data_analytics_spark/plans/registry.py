@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "crowd_density_hotspots",
     "spatial_triangle_census",
     "colocation_encounters",
+    "spatial_two_hop_reach",
     # (c) oldest-verdict fill: r2, then the r3 battery
     "value_outliers",
     "alarm_rising_edges",
@@ -120,7 +121,6 @@ _PRIORITY: list[str] = [
     "shipping_priority",
     "returned_revenue",
     "props_extract",
-    "session_window_stats",
 ]
 
 

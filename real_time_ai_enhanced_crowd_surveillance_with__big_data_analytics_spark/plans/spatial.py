@@ -45,6 +45,9 @@ engine uses — GeoSpark/Sedona partition-join, DuckDB spatial's grid):
 - ``spatial_triangle_census`` — per-site cohesion of the tight
   adjacency graph via degree-ordered compact-forward triangle
   counting (see its docstring for the O(m^1.5) argument).
+- ``spatial_two_hop_reach`` — fixed-depth BFS neighborhood size over
+  the PAIR_RADIUS graph (exact; see its docstring for the
+  sum(deg^2) lower bound and the HyperBall-at-scale note).
 
 Scale: at 100 TB the only shuffles key on (cell_x, cell_y) — a
 world-bounded key space the planner can size; the 9x left replication
@@ -468,6 +471,101 @@ LEFT JOIN tcnt t ON s.site = t.node
 """
 
 
+def spatial_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Per site: distinct sites reachable in exactly <=1 and <=2 hops
+    of the PAIR_RADIUS adjacency graph (self excluded) — the bounded-
+    depth BFS that estimates how far a disturbance at one site can
+    propagate through chained proximity. Complements the triangle
+    census (closure) with REACH: a site in a long corridor has low
+    closure but high 2-hop reach.
+
+    Shape: one self-join of the symmetrized edge set on the middle
+    node + a distinct count — the standard 2-hop neighborhood plan.
+    Fixed depth keeps it oracle-expressible; deeper reach belongs to
+    the iterative CC/PageRank operators.
+
+    Scale honesty: EXACT distinct reach counts have an intrinsic work
+    lower bound of sum(deg^2) (every 2-hop path must be witnessed),
+    so the 8x density probe reads ~2x linear-in-that-work (122x vs
+    the 64x deg^2 growth) — this is the spec's cost, not a plan
+    defect, and it is why neighborhood functions at web scale are
+    estimated with mergeable sketches (HyperBall/HyperANF's HLL per
+    hop) instead of enumerated. At 100 TB this exact form runs on a
+    bounded stratum (the neardup_lsh_recall discipline) or swaps the
+    distinct for approx_count_distinct, trading oracle hash parity
+    for the sketch.
+    """
+    s = _sites(spark, sf)
+    pairs = (
+        _ring_candidates(s, s, PAIR_RADIUS)
+        .where(F.col("site_a") < F.col("site_b"))
+        .select(F.col("site_a").alias("ia"), F.col("site_b").alias("ib"))
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    )
+    one = edges.groupBy(F.col("ia").alias("site")).agg(
+        F.countDistinct("ib").alias("n_1hop")
+    )
+    e2 = edges.select(F.col("ia").alias("src"), F.col("ib").alias("mid"))
+    hop2 = (
+        e2.join(
+            edges.select(
+                F.col("ia").alias("mid"), F.col("ib").alias("dst")
+            ),
+            "mid",
+        )
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .union(e2.select(F.col("src"), F.col("mid").alias("dst")))
+        .groupBy(F.col("src").alias("site"))
+        .agg(F.countDistinct("dst").alias("n_2hop"))
+    )
+    return (
+        s.select("site")
+        .join(one, "site", "left")
+        .join(hop2, "site", "left")
+        .select(
+            "site",
+            F.coalesce("n_1hop", F.lit(0)).alias("n_1hop"),
+            F.coalesce("n_2hop", F.lit(0)).alias("n_2hop"),
+        )
+    )
+
+
+SPATIAL_TWO_HOP_REACH_SQL = f"""
+WITH {_SITES_CTE},
+g AS (SELECT site, x, y, x // {PAIR_RADIUS} AS cx, y // {PAIR_RADIUS} AS cy FROM s),
+p AS (
+  SELECT a.site AS ia, b.site AS ib
+  FROM g a
+  CROSS JOIN offs o
+  JOIN g b
+    ON a.cx + o.dx = b.cx AND a.cy + o.dy = b.cy AND a.site < b.site
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {PAIR_RADIUS} * {PAIR_RADIUS}
+),
+edges AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+one AS (SELECT ia AS site, count(DISTINCT ib) AS n_1hop FROM edges GROUP BY ia),
+two AS (
+  SELECT src AS site, count(DISTINCT dst) AS n_2hop FROM (
+    SELECT e1.ia AS src, e2.ib AS dst
+    FROM edges e1 JOIN edges e2 ON e1.ib = e2.ia
+    WHERE e1.ia != e2.ib
+    UNION
+    SELECT ia AS src, ib AS dst FROM edges
+  ) GROUP BY src
+)
+SELECT s.site,
+       CAST(coalesce(one.n_1hop, 0) AS BIGINT) AS n_1hop,
+       CAST(coalesce(two.n_2hop, 0) AS BIGINT) AS n_2hop
+FROM s
+LEFT JOIN one ON s.site = one.site
+LEFT JOIN two ON s.site = two.site
+"""
+
+
 COLOC_CELL = 1_000
 COLOC_BAND_US = 30 * 60 * 1_000_000  # 30 minutes, integer microseconds
 
@@ -591,5 +689,9 @@ SPATIAL_QUERIES = {
     "colocation_encounters": (
         colocation_encounters,
         COLOCATION_ENCOUNTERS_SQL,
+    ),
+    "spatial_two_hop_reach": (
+        spatial_two_hop_reach,
+        SPATIAL_TWO_HOP_REACH_SQL,
     ),
 }

@@ -19,6 +19,7 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
     spatial_nearest_site,
     spatial_neighbor_pairs,
     spatial_triangle_census,
+    spatial_two_hop_reach,
 )
 
 
@@ -132,6 +133,33 @@ def test_triangle_census_matches_brute_force(spark):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values()), "no triangles = vacuous"
+
+
+def test_two_hop_reach_matches_brute_force(spark):
+    """Fixed-depth BFS vs python set expansion over the same
+    adjacency (sf0.01 — the smoke site set has no edges). The reach
+    graph uses PAIR_RADIUS: at TRI_RADIUS the hash blobs are pure
+    cliques and the 2nd hop adds nothing (measured), which would make
+    the operator vacuous."""
+    sf = "/root/testdata/sf0.01"
+    keys = _custkeys(spark, sf)
+    adj = {k: set() for k in keys}
+    for a, b, _ in _brute_pairs(keys, PAIR_RADIUS):
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in keys:
+        two = set(adj[v])
+        for m in adj[v]:
+            two |= adj[m]
+        two.discard(v)
+        want[v] = (len(adj[v]), len(two))
+    got = {
+        r.site: (r.n_1hop, r.n_2hop)
+        for r in spatial_two_hop_reach(spark, sf).collect()
+    }
+    assert got == want
+    assert any(v[1] > v[0] for v in want.values()), "2-hop adds nothing?"
 
 
 def test_colocation_matches_brute_force(spark):
