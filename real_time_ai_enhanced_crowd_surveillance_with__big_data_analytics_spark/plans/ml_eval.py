@@ -1,0 +1,484 @@
+"""ML evaluation / training primitives: rank-based AUC, KS score
+separation, histogram split finding, and out-of-fold target encoding.
+
+The reference pitches "AI-enhanced" surveillance (README; main.py runs
+a detector and thresholds its scores at 0.5) but ships no way to ask
+whether that threshold — or the model behind it — is any good. These
+are the evaluation/feature primitives a team training the quality or
+detection models in this engine's pipelines would run over the lake:
+ROC-AUC and KS to grade a scorer, histogram split finding (the
+XGBoost/LightGBM approximate-split step) to grow trees on aggregates
+instead of rows, and leakage-safe out-of-fold target encoding to build
+categorical features for those models.
+
+All four are pure Column expressions over fixed-point integer grids —
+no UDFs, no floats until (at most) a final declared-scale ratio — so
+both engines bucket, rank, and divide identically.
+
+Scale posture (the common trick): every per-row value is first snapped
+to a BOUNDED integer grid (score microunits, value cents, bins), so the
+one corpus-cardinality shuffle is a partial-aggregated groupBy onto a
+grid whose size is bounded by the VALUE RANGE, not the row count. The
+windows that follow run over grid-sized frames. BIGINT scaled products
+are exact up to ~1e18; the 100 TB path swaps those columns to
+DECIMAL(38,0) (same expressions — Spark decimal arithmetic is exact),
+which is noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_CLASSES = 10         # embeddings.label ∈ [0, 9]
+SCORE_SCALE = 1_000_000  # score microunits: grid ≤ (range × 1e6) cells
+
+
+def auc_evaluation(spark: SparkSession, sf: str) -> DataFrame:
+    """One-vs-rest ROC-AUC per class: class c's "classifier head" is
+    embedding component c (a deterministic stand-in for a trained
+    head's logit), positives are rows with ``label = c``.
+
+    AUC is computed exactly as the Mann-Whitney U statistic over the
+    microunit score grid: group scores to (class, score_fp) histogram
+    cells, one cumulative window per class, then
+    ``U×2 = Σ pos_at · (2·cum_neg_below + neg_at)`` — the doubled form
+    keeps the tie term (½ per tied pair) in integers. ``auc_e6`` is the
+    integer-scaled ratio, exact on both engines.
+
+    Scale: the explode is a fixed ×N_CLASSES fanout of a 2-column
+    projection; the groupBy lands on the (class, score_fp) grid —
+    bounded by score range × 1e6 cells per class, NOT by corpus rows —
+    and partial-aggregates map-side. The per-class cumulative window
+    sorts only grid cells (≤ ~740k for unit-norm components). U×2 ≤
+    n_pos·n_neg → BIGINT-exact below ~3e9 rows/class; beyond that the
+    u2/auc columns move to DECIMAL(38,0), same expressions.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    scored = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, N_CLASSES)).alias("cls", "score"),
+    ).select(
+        "cls",
+        F.floor(F.col("score").cast("double") * SCORE_SCALE)
+        .cast("long")
+        .alias("s_fp"),
+        (F.col("label") == F.col("cls")).cast("long").alias("pos"),
+    )
+    g = scored.groupBy("cls", "s_fp").agg(
+        F.sum("pos").alias("pos_at"),
+        (F.count("*") - F.sum("pos")).alias("neg_at"),
+    )
+    below = (
+        Window.partitionBy("cls")
+        .orderBy("s_fp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "cls",
+        "pos_at",
+        "neg_at",
+        F.coalesce(F.sum("neg_at").over(below), F.lit(0)).alias("cum_neg_below"),
+    )
+    return (
+        cum.groupBy("cls")
+        .agg(
+            F.sum("pos_at").alias("n_pos"),
+            F.sum("neg_at").alias("n_neg"),
+            F.sum(
+                F.col("pos_at") * (2 * F.col("cum_neg_below") + F.col("neg_at"))
+            ).alias("u2"),
+        )
+        .select(
+            "cls",
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.expr("(1000000 * u2) DIV (2 * n_pos * n_neg)").alias("auc_e6"),
+        )
+    )
+
+
+AUC_EVALUATION_SQL = f"""
+WITH classes AS (
+  SELECT unnest(range({N_CLASSES})) AS cls
+), scored AS (
+  SELECT c.cls,
+         CAST(floor(CAST(e.embedding[c.cls + 1] AS DOUBLE) * {SCORE_SCALE})
+              AS BIGINT) AS s_fp,
+         CASE WHEN e.label = c.cls THEN 1 ELSE 0 END AS pos
+  FROM embeddings e CROSS JOIN classes c
+), g AS (
+  SELECT cls, s_fp,
+         CAST(sum(pos) AS BIGINT) AS pos_at,
+         CAST(count(*) - sum(pos) AS BIGINT) AS neg_at
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT cls, pos_at, neg_at,
+         CAST(coalesce(sum(neg_at) OVER (
+           PARTITION BY cls ORDER BY s_fp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_neg_below
+  FROM g
+), agg AS (
+  SELECT cls,
+         CAST(sum(pos_at) AS BIGINT) AS n_pos,
+         CAST(sum(neg_at) AS BIGINT) AS n_neg,
+         CAST(sum(pos_at * (2 * cum_neg_below + neg_at)) AS BIGINT) AS u2
+  FROM cum GROUP BY cls
+)
+SELECT cls, n_pos, n_neg, u2,
+       (1000000 * u2) // (2 * n_pos * n_neg) AS auc_e6
+FROM agg
+"""
+
+
+# --- Kolmogorov-Smirnov separation per event type ----------------------------
+
+def ks_score_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per event type: exact two-sample Kolmogorov-Smirnov distance
+    between this type's ``value`` distribution and all OTHER types' —
+    the standard "is this segment's score distribution shifted?" check
+    (model monitoring, cohort drift).
+
+    Values snap to the cents grid (``round(value·100)``, exact two-
+    decimal data), the sup is taken over the observed grid, and the
+    CDF difference is cross-multiplied — ``|cum_this·n_rest −
+    cum_rest·n_this|`` — so no division happens before the argmax.
+    ``ks_e6`` is the integer-scaled statistic; ``at_cents`` the grid
+    point attaining it (earliest on ties).
+
+    Scale: one corpus shuffle onto the (type, cents) grid (bounded by
+    value range × 100 cells), then a types × grid spine (≤ 5 × 49k
+    rows here — bounded by the grid, never by corpus rows) carries the
+    cumulative windows. Cross-products are BIGINT-exact below ~3e9
+    rows/type; DECIMAL(38,0) beyond.
+    """
+    events = load_table(spark, "events", sf)
+    cents = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_type = cents.groupBy("event_type", "cents").agg(
+        F.count("*").alias("n_at")
+    )
+    grid = per_type.select("cents").distinct()
+    types = per_type.select("event_type").distinct()
+    totals = per_type.groupBy("event_type").agg(F.sum("n_at").alias("n_this"))
+    grand = totals.agg(F.sum("n_this").alias("n_all"))  # 1-row dim, stays lazy
+    spine = (
+        types.crossJoin(grid)
+        .join(per_type, ["event_type", "cents"], "left")
+        .select(
+            "event_type",
+            "cents",
+            F.coalesce("n_at", F.lit(0)).alias("own_at"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the spine is COMPLETE (every type × every grid point), so the
+    # global CDF at a grid point is the sum of the per-type cumulatives
+    # there — a window partitioned by cents (5 rows/partition), never a
+    # single-partition global ordering
+    gall = Window.partitionBy("cents")
+    cum = (
+        spine.withColumn("cum_own", F.sum("own_at").over(w))
+        .withColumn("cum_all", F.sum("cum_own").over(gall))
+        .join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_this"))
+        .withColumn(
+            "dev",
+            F.abs(
+                F.col("cum_own") * F.col("n_rest")
+                - (F.col("cum_all") - F.col("cum_own")) * F.col("n_this")
+            ),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), F.col("cents").asc()
+    )
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_this",
+            "n_rest",
+            F.col("dev").alias("ks_num"),
+            F.expr("(1000000 * dev) DIV (n_this * n_rest)").alias("ks_e6"),
+            F.col("cents").alias("at_cents"),
+        )
+    )
+
+
+KS_SCORE_SEPARATION_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), per_type AS (
+  SELECT event_type, cents, count(*) AS n_at FROM cents GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT cents FROM per_type
+), types AS (
+  SELECT event_type, CAST(sum(n_at) AS BIGINT) AS n_this
+  FROM per_type GROUP BY 1
+), grand AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM cents
+), spine AS (
+  SELECT t.event_type, g.cents, coalesce(p.n_at, 0) AS own_at
+  FROM types t CROSS JOIN grid g
+  LEFT JOIN per_type p ON p.event_type = t.event_type AND p.cents = g.cents
+), cumo AS (
+  SELECT event_type, cents,
+         CAST(sum(own_at) OVER (
+           PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_own
+  FROM spine
+), cum AS (
+  SELECT c.event_type, c.cents, c.cum_own,
+         CAST(sum(c.cum_own) OVER (PARTITION BY c.cents) AS BIGINT) AS cum_all,
+         t.n_this, (SELECT n_all FROM grand) - t.n_this AS n_rest
+  FROM cumo c
+  JOIN types t ON t.event_type = c.event_type
+), dev AS (
+  SELECT event_type, cents, n_this, n_rest,
+         abs(cum_own * n_rest - (cum_all - cum_own) * n_this) AS dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(cum_own * n_rest -
+                                         (cum_all - cum_own) * n_this) DESC,
+                                     cents ASC) AS rn
+  FROM cum
+)
+SELECT event_type, n_this, n_rest, dev AS ks_num,
+       (1000000 * dev) // (n_this * n_rest) AS ks_e6,
+       cents AS at_cents
+FROM dev WHERE rn = 1
+"""
+
+
+# --- histogram-based best-split finding --------------------------------------
+
+VALUE_BIN_W = 10.0
+VALUE_BIN_MAX = 48
+USER_MOD = 16
+GINI_SCALE = 1_000_000
+
+
+def tree_split_finder(spark: SparkSession, sf: str) -> DataFrame:
+    """Best binary split per feature for the target ``event_type =
+    'error'`` — the histogram (approximate-split) step every
+    distributed GBDT trainer runs per node: aggregate rows into
+    per-feature bins ONCE, then evaluate all candidate thresholds on
+    the bin histogram, never touching rows again.
+
+    Features: ``value`` binned at width 10 (capped bin 48), hour of
+    day, ``user_id mod 16``. Split candidates are "bin ≤ b" for every
+    non-terminal bin; the criterion is weighted Gini impurity in e6
+    fixed point — ``(2·posL·negL·1e6) DIV nL + (2·posR·negR·1e6) DIV
+    nR`` — integer-exact per term on both engines. Winner per feature
+    = min score, earliest bin on ties.
+
+    Scale: one scan with a ×3 (n_features) explode of a 2-column
+    projection, partial-aggregated onto the (feature, bin) histogram —
+    ≤ 49+24+16 cells total regardless of corpus size; everything after
+    is window math over those cells. The scaled products are
+    BIGINT-exact below ~2e9 rows; DECIMAL(38,0) beyond (same DIV
+    expressions — this is LightGBM's int64 histogram bound, hit the
+    same way).
+    """
+    events = load_table(spark, "events", sf)
+    vbin = F.least(
+        F.lit(VALUE_BIN_MAX), F.floor(F.col("value") / VALUE_BIN_W)
+    ).cast("long")
+    stacked = events.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("value_bin").alias("feature"), vbin.alias("bin")
+                ),
+                F.struct(
+                    F.lit("hour").alias("feature"),
+                    F.hour("ts").cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("user_mod").alias("feature"),
+                    (F.col("user_id") % USER_MOD).alias("bin"),
+                ),
+            )
+        ).alias("fb"),
+        (F.col("event_type") == "error").cast("long").alias("pos"),
+    ).select("fb.feature", "fb.bin", "pos")
+    hist = stacked.groupBy("feature", "bin").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("p")
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("n").over(w).alias("n_left"),
+        F.sum("p").over(w).alias("pos_left"),
+        (F.sum("n").over(tot) - F.sum("n").over(w)).alias("n_right"),
+        (F.sum("p").over(tot) - F.sum("p").over(w)).alias("pos_right"),
+    ).filter(F.col("n_right") > 0)
+    scored = cum.withColumn(
+        "gini_e6",
+        F.expr(
+            f"(2 * pos_left * (n_left - pos_left) * {GINI_SCALE}) DIV n_left"
+            f" + (2 * pos_right * (n_right - pos_right) * {GINI_SCALE})"
+            f" DIV n_right"
+        ),
+    )
+    pick = Window.partitionBy("feature").orderBy(
+        F.col("gini_e6").asc(), F.col("bin").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("bin").alias("split_bin"),
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            "gini_e6",
+        )
+    )
+
+
+TREE_SPLIT_FINDER_SQL = f"""
+WITH stacked AS (
+  SELECT f.feature, f.bin,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+  FROM events, LATERAL (VALUES
+    ('value_bin', CAST(least({VALUE_BIN_MAX}, floor(value / {VALUE_BIN_W}))
+                       AS BIGINT)),
+    ('hour', CAST(extract(hour FROM ts) AS BIGINT)),
+    ('user_mod', user_id % {USER_MOD})
+  ) AS f(feature, bin)
+), hist AS (
+  SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS p
+  FROM stacked GROUP BY 1, 2
+), cum AS (
+  SELECT feature, bin,
+         CAST(sum(n) OVER cw AS BIGINT) AS n_left,
+         CAST(sum(p) OVER cw AS BIGINT) AS pos_left,
+         CAST(sum(n) OVER tw - sum(n) OVER cw AS BIGINT) AS n_right,
+         CAST(sum(p) OVER tw - sum(p) OVER cw AS BIGINT) AS pos_right
+  FROM hist
+  WINDOW cw AS (PARTITION BY feature ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         tw AS (PARTITION BY feature)
+), scored AS (
+  SELECT *,
+         (2 * pos_left * (n_left - pos_left) * {GINI_SCALE}) // n_left
+         + (2 * pos_right * (n_right - pos_right) * {GINI_SCALE}) // n_right
+           AS gini_e6
+  FROM cum WHERE n_right > 0
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY feature
+                               ORDER BY gini_e6 ASC, bin ASC) AS rn
+  FROM scored
+)
+SELECT feature, bin AS split_bin, n_left, pos_left, n_right, pos_right,
+       gini_e6
+FROM best WHERE rn = 1
+"""
+
+
+# --- leakage-safe out-of-fold target encoding --------------------------------
+
+N_FOLDS = 5
+PRIOR_W = 20
+
+
+def target_encode_oof(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-fold smoothed mean-target encoding of ``event_type``
+    against the cents-grid target — the leakage-safe categorical
+    feature construction (fold f's encoding never sees fold f's rows;
+    folds are ``user_id mod 5`` so a user never leaks into their own
+    feature).
+
+    ``enc_e6 = 1e6·(sum_other + W·prior) DIV (cnt_other + W)`` with
+    the prior the integer global mean (cents) and W=20 pseudo-counts —
+    the standard smoothing that keeps rare keys near the prior. All
+    integers: sums are exact cents, divisions are declared-floor.
+
+    Scale: one corpus shuffle partial-aggregated onto (key, fold) — 25
+    cells here, bounded by |keys|×folds — then per-key totals come
+    from a window over those cells and the global prior broadcasts as
+    one row. Scaled sums are BIGINT-exact below ~1e13 cents of total
+    value; DECIMAL(38,0) beyond.
+    """
+    events = load_table(spark, "events", sf)
+    base = events.select(
+        "event_type",
+        (F.col("user_id") % N_FOLDS).alias("fold"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    kf = base.groupBy("event_type", "fold").agg(
+        F.count("*").alias("cnt_f"), F.sum("cents").alias("sum_f")
+    )
+    tot = Window.partitionBy("event_type")
+    g = base.agg(
+        F.expr("sum(cents) DIV count(*)").alias("prior_cents")
+    )
+    return (
+        kf.withColumn("cnt_k", F.sum("cnt_f").over(tot))
+        .withColumn("sum_k", F.sum("sum_f").over(tot))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "fold",
+            (F.col("cnt_k") - F.col("cnt_f")).alias("n_other"),
+            "prior_cents",
+            F.expr(
+                f"(1000000 * (sum_k - sum_f + {PRIOR_W} * prior_cents))"
+                f" DIV (cnt_k - cnt_f + {PRIOR_W})"
+            ).alias("enc_e6"),
+        )
+    )
+
+
+TARGET_ENCODE_OOF_SQL = f"""
+WITH base AS (
+  SELECT event_type, user_id % {N_FOLDS} AS fold,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), kf AS (
+  SELECT event_type, fold, CAST(count(*) AS BIGINT) AS cnt_f,
+         CAST(sum(cents) AS BIGINT) AS sum_f
+  FROM base GROUP BY 1, 2
+), g AS (
+  SELECT CAST(sum(cents) AS BIGINT) // count(*) AS prior_cents FROM base
+), tot AS (
+  SELECT *, CAST(sum(cnt_f) OVER (PARTITION BY event_type) AS BIGINT) AS cnt_k,
+         CAST(sum(sum_f) OVER (PARTITION BY event_type) AS BIGINT) AS sum_k
+  FROM kf
+)
+SELECT event_type, fold, cnt_k - cnt_f AS n_other, g.prior_cents,
+       (1000000 * (sum_k - sum_f + {PRIOR_W} * g.prior_cents))
+         // (cnt_k - cnt_f + {PRIOR_W}) AS enc_e6
+FROM tot CROSS JOIN g
+"""
+
+
+ML_EVAL_QUERIES = {
+    "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
+    "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),
+    "tree_split_finder": (tree_split_finder, TREE_SPLIT_FINDER_SQL),
+    "target_encode_oof": (target_encode_oof, TARGET_ENCODE_OOF_SQL),
+}

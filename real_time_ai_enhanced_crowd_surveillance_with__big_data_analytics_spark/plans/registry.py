@@ -16,6 +16,7 @@ from .crawl import CRAWL_QUERIES
 from .data_selection import DATA_SELECTION_QUERIES
 from .dedup import DEDUP_QUERIES
 from .indexing import INDEXING_QUERIES
+from .ml_eval import ML_EVAL_QUERIES
 from .multimodal import MULTIMODAL_QUERIES
 from .pipeline_quality import PIPELINE_QUALITY_QUERIES
 from .pq import PQ_QUERIES_REG
@@ -44,6 +45,7 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
     PIPELINE_QUALITY_QUERIES,
     TIMESERIES_QUERIES,
     STATS_QUERIES,
+    ML_EVAL_QUERIES,
     TEXT_QUERIES,
     SURVEILLANCE_QUERIES,
     MULTIMODAL_QUERIES,

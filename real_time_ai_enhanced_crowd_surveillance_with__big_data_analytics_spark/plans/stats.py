@@ -530,7 +530,97 @@ FROM days
 """
 
 
+# --- Benford first-digit forensics audit -------------------------------------
+
+# log10(1 + 1/d) in e6 fixed point — the nine constants sum to exactly
+# 1,000,000, so the expected distribution is itself a valid e6 pmf.
+BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """First-significant-digit distribution of order totals per
+    priority class vs Benford's law — the standard fabricated-numbers
+    forensics screen (synthetic or tampered monetary data fails it).
+
+    The first digit comes from the integer cents rendered as a string
+    (integer→string is portable; float→string is not, and log10-based
+    digit extraction misclassifies exact powers of ten under 1-ulp libm
+    drift). Observed shares are e6-scaled integer ratios; the per-group
+    statistic is the total variation distance ``tvd_e6 = Σ|obs−exp|/2``
+    — integer-exact end to end, no chi-square float.
+
+    Scale: one scan partial-aggregated onto the (priority, digit) grid
+    (≤ 5×9 cells regardless of row count); everything else is window
+    math over those 45 cells.
+    """
+    orders = load_table(spark, "orders", sf)
+    digit = (
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("string")
+        .substr(1, 1)
+        .cast("int")
+    )
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"), digit.alias("digit")
+    ).agg(F.count("*").alias("n_obs"))
+    expected = spark.createDataFrame(
+        [(d, e) for d, e in BENFORD_E6.items()], "digit int, expected_e6 long"
+    )
+    grp = Window.partitionBy("priority")
+    full = (
+        counts.join(F.broadcast(expected), "digit")
+        .withColumn("n_grp", F.sum("n_obs").over(grp))
+        .withColumn("obs_e6", F.expr("(1000000 * n_obs) DIV n_grp"))
+        .withColumn("dev_e6", F.abs(F.col("obs_e6") - F.col("expected_e6")))
+    )
+    return full.select(
+        "priority",
+        "digit",
+        "n_obs",
+        "obs_e6",
+        "expected_e6",
+        "dev_e6",
+        F.expr(
+            "sum(dev_e6) OVER (PARTITION BY priority) DIV 2"
+        ).alias("tvd_e6"),
+    )
+
+
+_BENFORD_VALUES = ", ".join(f"({d}, {e})" for d, e in BENFORD_E6.items())
+
+BENFORD_AUDIT_SQL = f"""
+WITH expected(digit, expected_e6) AS (
+  VALUES {_BENFORD_VALUES}
+), counts AS (
+  SELECT o_orderpriority AS priority,
+         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1, 2
+), full_grid AS (
+  SELECT c.priority, c.digit, c.n_obs,
+         CAST(e.expected_e6 AS BIGINT) AS expected_e6,
+         CAST(sum(c.n_obs) OVER (PARTITION BY c.priority) AS BIGINT) AS n_grp
+  FROM counts c JOIN expected e ON e.digit = c.digit
+), scored AS (
+  SELECT priority, digit, n_obs,
+         (1000000 * n_obs) // n_grp AS obs_e6,
+         expected_e6,
+         abs((1000000 * n_obs) // n_grp - expected_e6) AS dev_e6
+  FROM full_grid
+)
+SELECT priority, digit, n_obs, obs_e6, expected_e6, dev_e6,
+       CAST(sum(dev_e6) OVER (PARTITION BY priority) AS BIGINT) // 2 AS tvd_e6
+FROM scored
+"""
+
+
 STATS_QUERIES = {
+    "benford_audit": (benford_audit, BENFORD_AUDIT_SQL),
     "sketch_rollup": (sketch_rollup, SKETCH_ROLLUP_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_SQL),

@@ -1091,6 +1091,187 @@ GROUP BY day, event_type
 """
 
 
+# --- exact EWMA forecast (alpha = 1/2 over the trailing day) ----------------
+
+EWMA_HOURS = 24  # trailing window; alpha=1/2 makes every weight a power of 2
+
+
+def ewma_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Next-hour revenue forecast per type: exponentially weighted
+    moving average with α = 1/2 over the trailing 24 dense hours (gap
+    hours contribute 0, zero-padded history beyond the window).
+
+    α = 1/2 makes every EWMA weight an exact power of two, so the
+    whole forecast is integer arithmetic: ``num = Σ cents_h ·
+    2^(23−j)`` (j = hours back from the series end) and
+    ``forecast_cents = num DIV 2^24`` — the closed form of
+    ``s_t = α·x_t + (1−α)·s_{t−1}`` with s_0 = 0, no recurrence and no
+    floats anywhere.
+
+    Scale: the hourly aggregate is the one corpus shuffle (partial
+    map-side); the dense spine is calendar-bounded; the trailing-24
+    filter and weighted sum run over ≤24 rows/type. Cents sums keep
+    ``num`` BIGINT-exact below ~5e14 cents/hour of revenue.
+    """
+    events = load_table(spark, "events", sf)
+    dense = _dense_hourly(
+        events, F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).select("event_type", "bucket", F.coalesce("c", F.lit(0)).alias("cents"))
+    per_type = Window.partitionBy("event_type")
+    tail = (
+        dense.withColumn("t_end", F.max("bucket").over(per_type))
+        .withColumn(
+            "j",
+            (
+                (F.unix_timestamp("t_end") - F.unix_timestamp("bucket")) / 3600
+            ).cast("long"),
+        )
+        .filter(F.col("j") < EWMA_HOURS)
+    )
+    return tail.groupBy("event_type").agg(
+        F.count("*").alias("hours_used"),
+        _ts_str(F.max("bucket")).alias("last_hour"),
+        F.expr(
+            f"sum(cents * shiftleft(1, {EWMA_HOURS} - 1 - CAST(j AS INT)))"
+        ).alias("ewma_num"),
+        F.expr(
+            f"sum(cents * shiftleft(1, {EWMA_HOURS} - 1 - CAST(j AS INT)))"
+            f" DIV shiftleft(1, {EWMA_HOURS})"
+        ).alias("forecast_cents"),
+    )
+
+
+EWMA_FORECAST_SQL = f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT t.event_type, s.bucket, coalesce(h.c, 0) AS cents,
+         date_diff('hour', s.bucket, (SELECT h1 FROM bounds)) AS j
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.bucket = s.bucket
+), tail AS (
+  SELECT * FROM dense WHERE j < {EWMA_HOURS}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS hours_used,
+       strftime(max(bucket), '%Y-%m-%d %H:%M:%S') AS last_hour,
+       CAST(sum(cents * (1::BIGINT << ({EWMA_HOURS} - 1 - j))) AS BIGINT)
+         AS ewma_num,
+       CAST(sum(cents * (1::BIGINT << ({EWMA_HOURS} - 1 - j))) AS BIGINT)
+         // (1::BIGINT << {EWMA_HOURS}) AS forecast_cents
+FROM tail GROUP BY event_type
+"""
+
+
+# --- CUSUM single-changepoint estimate ---------------------------------------
+
+def cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-changepoint estimate per type over the dense hourly count
+    series: the hour t maximizing the CUSUM deviation
+    ``|Σ_{i≤t} x_i − (t/N)·Σx|`` — the classic mean-shift location
+    statistic, here cross-multiplied to ``|N·cum_t − t·total|`` so the
+    argmax is over exact integers (earliest hour on ties; the split
+    must leave both sides non-empty).
+
+    The scaled before/after means (``DIV``-floored e6 ratios) quantify
+    the shift the argmax found.
+
+    Scale: one corpus shuffle (the hourly aggregate), then windows over
+    the calendar-bounded spine. ``N·cum`` is BIGINT-exact below ~1e14
+    total events per type-month.
+    """
+    events = load_table(spark, "events", sf)
+    dense = _dense_hourly(events, F.count("*").alias("n")).select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    per_type = Window.partitionBy("event_type")
+    ordered = Window.partitionBy("event_type").orderBy("bucket")
+    run = (
+        dense.withColumn("t", F.row_number().over(ordered))
+        .withColumn(
+            "cum",
+            F.sum("x").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n_hours", F.count("*").over(per_type))
+        .withColumn("total", F.sum("x").over(per_type))
+        .filter(F.col("t") < F.col("n_hours"))
+        .withColumn(
+            "dev",
+            F.abs(
+                F.col("n_hours") * F.col("cum") - F.col("t") * F.col("total")
+            ),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), F.col("bucket").asc()
+    )
+    return (
+        run.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            "total",
+            _ts_str(F.col("bucket")).alias("change_hour"),
+            F.col("dev").alias("cusum_num"),
+            F.expr("(1000000 * cum) DIV t").alias("mean_before_e6"),
+            F.expr(
+                "(1000000 * (total - cum)) DIV (n_hours - t)"
+            ).alias("mean_after_e6"),
+        )
+    )
+
+
+CUSUM_CHANGEPOINTS_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT t.event_type, s.bucket, coalesce(h.n, 0) AS x
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.bucket = s.bucket
+), run AS (
+  SELECT event_type, bucket,
+         row_number() OVER tw AS t,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(count(*) OVER pw AS BIGINT) AS n_hours,
+         CAST(sum(x) OVER pw AS BIGINT) AS total
+  FROM dense
+  WINDOW tw AS (PARTITION BY event_type ORDER BY bucket),
+         pw AS (PARTITION BY event_type)
+), dev AS (
+  SELECT *, abs(n_hours * cum - t * total) AS dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n_hours * cum - t * total) DESC,
+                                     bucket ASC) AS rn
+  FROM run WHERE t < n_hours
+)
+SELECT event_type, n_hours, total,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS change_hour,
+       dev AS cusum_num,
+       (1000000 * cum) // t AS mean_before_e6,
+       (1000000 * (total - cum)) // (n_hours - t) AS mean_after_e6
+FROM dev WHERE rn = 1
+"""
+
+
 TIMESERIES_QUERIES = {
     "state_merge_rollup": (state_merge_rollup, STATE_MERGE_ROLLUP_SQL),
     "scd2_tier_join": (scd2_tier_join, SCD2_TIER_JOIN_SQL),
@@ -1106,6 +1287,8 @@ TIMESERIES_QUERIES = {
     "alarm_episodes": (alarm_episodes, ALARM_EPISODES_SQL),
     "alarm_concurrency_daily": (alarm_concurrency_daily, ALARM_CONCURRENCY_SQL),
     "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
+    "ewma_forecast": (ewma_forecast, EWMA_FORECAST_SQL),
+    "cusum_changepoints": (cusum_changepoints, CUSUM_CHANGEPOINTS_SQL),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
     "robust_outliers": (robust_outliers, ROBUST_OUTLIERS_SQL),
