@@ -73,6 +73,13 @@ _PRIORITY: list[str] = [
     "crowded_frames",
     "revenue_by_nation",
     # (b) never checked
+    "auc_evaluation",
+    "ks_score_separation",
+    "tree_split_finder",
+    "target_encode_oof",
+    "ewma_forecast",
+    "cusum_changepoints",
+    "benford_audit",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -113,16 +120,11 @@ _PRIORITY: list[str] = [
     "multimodal_meta",
     "multimodal_features",
     "video_frame_sample",
-    # (c) oldest-verdict fill: the r4 battery (registry-order tiebreak)
+    # (c) oldest-verdict fill: the r4 battery (registry-order tiebreak;
+    # seven rows displaced by the late-r7 ML-eval/forecast/forensics
+    # additions stay r4-fresh, within the planner's freshness bar)
     "pricing_summary",
     "top_orders_per_customer",
-    "argmax_event",
-    "customers_without_events",
-    "customers_with_errors",
-    "event_trend_rollup",
-    "shipping_priority",
-    "returned_revenue",
-    "props_extract",
 ]
 
 

@@ -1,4 +1,8 @@
 from .crowd_density import streaming_crowd_density  # noqa: F401
+from .cusum_monitor import (  # noqa: F401
+    batch_cusum_monitor,
+    streaming_cusum_monitor,
+)
 from .hot_cell_alert import streaming_hot_cell_alerts  # noqa: F401
 from .runner import stream_events, windowed_trend  # noqa: F401
 from .stateful import streaming_rising_edges  # noqa: F401
