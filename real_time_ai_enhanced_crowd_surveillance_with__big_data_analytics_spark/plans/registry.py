@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "ewma_forecast",
     "cusum_changepoints",
     "benford_audit",
+    "kn_bigram_lm",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -124,7 +125,6 @@ _PRIORITY: list[str] = [
     # seven rows displaced by the late-r7 ML-eval/forecast/forensics
     # additions stay r4-fresh, within the planner's freshness bar)
     "pricing_summary",
-    "top_orders_per_customer",
 ]
 
 

@@ -10,7 +10,7 @@ small-key groupBys; per-document work is embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -935,7 +935,123 @@ FROM extracted
 """
 
 
+# --- discounted bigram language-model training --------------------------------
+
+KN_TOP_K = 5          # continuations kept per context
+KN_DISCOUNT4 = 3      # absolute discount D = 3/4, carried as 4-scaled ints
+
+
+def kn_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Train a Kneser-Ney-style discounted bigram LM over the corpus —
+    the canonical MapReduce n-gram job (Brants et al., EMNLP 2007,
+    trained exactly this shape at 2T tokens): count bigrams, discount,
+    redistribute the held-out mass through the continuation
+    distribution, emit the top-K continuations per context.
+
+    ``p_KN(w2|w1) = max(c−D,0)/c(w1·) + λ(w1)·p_cont(w2)`` with
+    D = 3/4, λ(w1) = D·N1+(w1·)/c(w1·), p_cont(w2) = N1+(·w2)/N1+(··).
+    Carried 4-scaled so D is an integer; the two fractions combine over
+    the common denominator ``4·c(w1·)·N1+(··)`` and divide ONCE into
+    e9 fixed point — integer-exact on both engines, and the mass
+    identity Σ_w2 p_KN = 1 holds exactly in the rationals (pinned by
+    the test over the full continuation set).
+
+    Scale: bigram counting is one corpus-cardinality shuffle keyed by
+    (w1, w2), partial-aggregated map-side; everything downstream is
+    keyed on the vocabulary (context totals, continuation counts) or
+    vocab² at worst — the grid the LM itself is made of, not the
+    corpus. The top-K per context is a bounded window over each
+    context's continuations. e9-scaled products stay BIGINT-exact
+    while ``4·c·N1+(··) < ~9e9`` — per-shard LMs + a merge pass (the
+    Brants architecture) beyond that.
+    """
+    from ..functions.text import tokens
+
+    docs = load_table(spark, "documents", sf)
+    # size >= 2 guard: Spark's sequence(1, 0) DESCENDS instead of being
+    # empty, which would index element_at(t, 0) and error on 1-token docs
+    toks = docs.select(tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS w1, "
+                "element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    ctx = Window.partitionBy("w1")
+    cont = Window.partitionBy("w2")
+    scored = (
+        big.withColumn("c_ctx", F.sum("c").over(ctx))
+        .withColumn("n1p_fw", F.count("*").over(ctx))
+        .withColumn("n1p_bw", F.count("*").over(cont))
+    )
+    # N1+(··) = total distinct bigram types: a 1-row dim, broadcast back
+    npp = big.agg(F.count("*").alias("npp"))
+    ranked = (
+        scored.crossJoin(F.broadcast(npp))
+        .withColumn(
+            "p_kn_e9",
+            F.expr(
+                f"(1000000000 * ((4 * c - {KN_DISCOUNT4}) * npp"
+                f" + {KN_DISCOUNT4} * n1p_fw * n1p_bw))"
+                f" DIV (4 * c_ctx * npp)"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(
+                    F.col("p_kn_e9").desc(), F.col("w2").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= KN_TOP_K)
+    )
+    return ranked.select(
+        "w1", "w2", "c", "c_ctx", "n1p_fw", "n1p_bw", "p_kn_e9", "rank"
+    )
+
+
+KN_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+), bigrams AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bigrams GROUP BY 1, 2
+), scored AS (
+  SELECT w1, w2, c,
+         CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c_ctx,
+         CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_fw,
+         CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p_bw
+  FROM big
+), npp AS (
+  SELECT CAST(count(*) AS BIGINT) AS npp FROM big
+), ranked AS (
+  SELECT s.*,
+         (1000000000 * ((4 * s.c - {KN_DISCOUNT4}) * n.npp
+            + {KN_DISCOUNT4} * s.n1p_fw * s.n1p_bw))
+           // (4 * s.c_ctx * n.npp) AS p_kn_e9,
+         row_number() OVER (PARTITION BY s.w1
+                            ORDER BY (1000000000 * ((4 * s.c - {KN_DISCOUNT4}) * n.npp
+                                        + {KN_DISCOUNT4} * s.n1p_fw * s.n1p_bw))
+                                       // (4 * s.c_ctx * n.npp) DESC,
+                                     s.w2 ASC) AS rank
+  FROM scored s CROSS JOIN npp n
+)
+SELECT w1, w2, c, c_ctx, n1p_fw, n1p_bw, p_kn_e9, rank
+FROM ranked WHERE rank <= {KN_TOP_K}
+"""
+
+
 TEXT_QUERIES = {
+    "kn_bigram_lm": (kn_bigram_lm, KN_BIGRAM_LM_SQL),
     "html_extract_quality": (html_extract_quality, _duck_html_sql()),
     "text_normalize": (text_normalize, TEXT_NORMALIZE_SQL),
     "lexicon_sentiment": (lexicon_sentiment, LEXICON_SENTIMENT_SQL),
