@@ -314,7 +314,75 @@ FROM t GROUP BY doc_id
 """
 
 
+# --- XML ingestion parity (Spark 4 native XML, the wiki-dump shape) ----------
+
+_XML_SCHEMA = (
+    "title STRING, ns INT, id BIGINT, "
+    "revision STRUCT<id: BIGINT, text: STRING>"
+)
+
+
+def xml_pages_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """XML ingestion through Spark 4's NATIVE XML parser, hash-verified
+    — the MediaWiki-dump shape (``<page><title/><ns/><id/><revision>``)
+    that every Wikipedia-derived pretraining corpus starts from.
+
+    Both engines derive the same deterministic page markup from the
+    documents table; Spark genuinely serializes it and parses it back
+    with ``from_xml`` (nested struct schema, numeric coercion, XML
+    entity decoding — the body embeds ``&amp;``/``&lt;`` so entity
+    handling lands in the value hash); DuckDB evaluates the generator
+    in closed form. Any field the parser mis-extracts, mis-casts, or
+    mis-unescapes hash-mismatches.
+
+    Scale: pure per-row codegen + the parser — zero shuffles, the
+    partition-local posture of every ingestion scan here; a real dump
+    splits on the <page> rowTag via format("xml"), same parser
+    (exercised in test_xml_ingest)."""
+    docs = load_table(spark, "documents", sf)
+    xml = F.concat(
+        F.lit("<page><title>doc_"),
+        F.col("doc_id"),
+        F.lit("</title><ns>"),
+        F.col("doc_id") % 4,
+        F.lit("</ns><id>"),
+        F.col("doc_id"),
+        F.lit("</id><revision><id>"),
+        (F.col("doc_id") * 7 + 13) % 1000,
+        F.lit("</id><text>"),
+        F.col("text"),
+        F.lit(" &amp; &lt;end_"),
+        F.col("doc_id"),
+        F.lit("&gt;</text></revision></page>"),
+    )
+    parsed = docs.select(
+        "doc_id", F.from_xml(xml, _XML_SCHEMA).alias("p")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.title").alias("title"),
+        F.col("p.ns").alias("ns"),
+        (F.col("p.id") == F.col("doc_id")).alias("id_ok"),
+        F.col("p.revision.id").alias("rev_id"),
+        F.col("p.revision.text").alias("body"),
+        F.length("p.revision.text").alias("body_chars"),
+    )
+
+
+XML_PAGES_EXTRACT_SQL = """
+SELECT doc_id,
+       'doc_' || doc_id AS title,
+       CAST(doc_id % 4 AS INT) AS ns,
+       TRUE AS id_ok,
+       (doc_id * 7 + 13) % 1000 AS rev_id,
+       text || ' & <end_' || doc_id || '>' AS body,
+       CAST(length(text || ' & <end_' || doc_id || '>') AS INT) AS body_chars
+FROM documents
+"""
+
+
 CODEC_PARITY_QUERIES = {
+    "xml_pages_extract": (xml_pages_extract, XML_PAGES_EXTRACT_SQL),
     "image_dhash_neardup": (image_dhash_neardup, IMAGE_DHASH_NEARDUP_SQL),
     "audio_pcm_features": (audio_pcm_features, AUDIO_PCM_FEATURES_SQL),
 }

@@ -476,7 +476,125 @@ FROM tot CROSS JOIN g
 """
 
 
+# --- two-arm experiment report ------------------------------------------------
+
+AB_SIGMA = 2  # 2σ decision rule for both the effect test and the SRM check
+
+
+def ab_test_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Experimentation readout per event type: users split into two
+    arms by ``user_id mod 2``, the per-event value (cents) compared
+    with a Welch-style two-sample test, plus the sample-ratio-mismatch
+    (SRM) guard every experimentation platform runs before trusting an
+    effect.
+
+    The significance tests are EXACT integer comparisons — the 2σ rule
+    cross-multiplied until no division remains:
+    ``(s_t·n_c − s_c·n_t)²·(n_t−1)(n_c−1) > 4·[(n_t·q_t−s_t²)·n_c²·(n_c−1)
+    + (n_c·q_c−s_c²)·n_t²·(n_t−1)]`` for the effect (μ, s², and the
+    Welch variance all cleared), and ``(n_c−n_t)² > 4·(n_c+n_t)`` for
+    SRM. The cleared products exceed int64, so BOTH engines evaluate
+    them in exact 128-bit integer arithmetic (Spark DECIMAL(38,0),
+    DuckDB HUGEINT) — never a float; only the scalar-sized booleans
+    and e6 means are emitted.
+
+    Scale: one corpus shuffle partial-aggregated onto the (type, arm)
+    grid (≤ 10 cells); the wide-integer test runs on those cells.
+    128-bit stays exact while ``(Σcents·n)² < 10^38`` — beyond that,
+    the co-moments are already tiny per cell and the test moves to
+    arbitrary-precision on the driver.
+    """
+    events = load_table(spark, "events", sf)
+    cells = (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2).alias("arm"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents") * F.col("cents")).alias("q"),
+        )
+    )
+    c = cells.filter(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_c"),
+        F.col("s").alias("s_c"),
+        F.col("q").alias("q_c"),
+    )
+    t = cells.filter(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_t"),
+        F.col("s").alias("s_t"),
+        F.col("q").alias("q_t"),
+    )
+    # widen the BASE aggregates before any product — casting after an
+    # int64 multiply would overflow before the decimal ever saw it
+    wide = (
+        "(CAST(s_t AS DECIMAL(38,0)) * n_c - CAST(s_c AS DECIMAL(38,0)) * n_t)"
+    )
+    vt = "(CAST(q_t AS DECIMAL(38,0)) * n_t - CAST(s_t AS DECIMAL(38,0)) * s_t)"
+    vc = "(CAST(q_c AS DECIMAL(38,0)) * n_c - CAST(s_c AS DECIMAL(38,0)) * s_c)"
+    joined = c.join(t, "event_type")
+    return joined.select(
+        "event_type",
+        "n_c",
+        "n_t",
+        F.expr("(1000000 * s_c) DIV n_c").alias("mean_c_e6"),
+        F.expr("(1000000 * s_t) DIV n_t").alias("mean_t_e6"),
+        F.expr(
+            "(1000000 * s_t) DIV n_t - (1000000 * s_c) DIV n_c"
+        ).alias("effect_e6"),
+        F.expr(
+            f"({wide} * {wide} * (n_t - 1) * (n_c - 1))"
+            f" > {AB_SIGMA * AB_SIGMA} * ("
+            f"{vt} * n_c * n_c * (n_c - 1)"
+            f" + {vc} * n_t * n_t * (n_t - 1)"
+            ")"
+        ).alias("significant"),
+        (
+            (F.col("n_c") - F.col("n_t")) * (F.col("n_c") - F.col("n_t"))
+            > AB_SIGMA * AB_SIGMA * (F.col("n_c") + F.col("n_t"))
+        ).alias("srm_flag"),
+    )
+
+
+AB_TEST_REPORT_SQL = f"""
+WITH cells AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, n AS n_c, s AS s_c, q AS q_c FROM cells WHERE arm = 0
+), t AS (
+  SELECT event_type, n AS n_t, s AS s_t, q AS q_t FROM cells WHERE arm = 1
+)
+SELECT c.event_type, n_c, n_t,
+       (1000000 * s_c) // n_c AS mean_c_e6,
+       (1000000 * s_t) // n_t AS mean_t_e6,
+       (1000000 * s_t) // n_t - (1000000 * s_c) // n_c AS effect_e6,
+       ((CAST(s_t AS HUGEINT) * n_c - CAST(s_c AS HUGEINT) * n_t)
+          * (CAST(s_t AS HUGEINT) * n_c - CAST(s_c AS HUGEINT) * n_t)
+          * (n_t - 1) * (n_c - 1))
+         > {AB_SIGMA * AB_SIGMA} * (
+             (CAST(q_t AS HUGEINT) * n_t - CAST(s_t AS HUGEINT) * s_t)
+               * n_c * n_c * (n_c - 1)
+             + (CAST(q_c AS HUGEINT) * n_c - CAST(s_c AS HUGEINT) * s_c)
+               * n_t * n_t * (n_t - 1)
+           ) AS significant,
+       (n_c - n_t) * (n_c - n_t)
+         > {AB_SIGMA * AB_SIGMA} * (n_c + n_t) AS srm_flag
+FROM c JOIN t USING (event_type)
+"""
+
+
 ML_EVAL_QUERIES = {
+    "ab_test_report": (ab_test_report, AB_TEST_REPORT_SQL),
     "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
     "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),
     "tree_split_finder": (tree_split_finder, TREE_SPLIT_FINDER_SQL),

@@ -81,6 +81,10 @@ _PRIORITY: list[str] = [
     "cusum_changepoints",
     "benford_audit",
     "kn_bigram_lm",
+    "ab_test_report",
+    "theil_sen_trend",
+    "frequent_paths",
+    "xml_pages_extract",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -118,13 +122,9 @@ _PRIORITY: list[str] = [
     "token_stats",
     "trigram_profile",
     "crowd_alerts_pipeline",
-    "multimodal_meta",
-    "multimodal_features",
-    "video_frame_sample",
-    # (c) oldest-verdict fill: the r4 battery (registry-order tiebreak;
-    # seven rows displaced by the late-r7 ML-eval/forecast/forensics
-    # additions stay r4-fresh, within the planner's freshness bar)
-    "pricing_summary",
+    # (c) oldest-verdict fill is now fully displaced by the late-r7
+    # additions (nine never-checked queries outrank the r4-fresh
+    # battery, which stays within the planner's freshness bar)
 ]
 
 

@@ -770,6 +770,105 @@ FROM counts
 """
 
 
+def frequent_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Path mining one order above ``markov_transitions``: every
+    observed 3-step event-type path per user (consecutive in
+    (ts, event_id) order) with its count and its LIFT over the
+    first-order Markov expectation — ``lift = n_abc·n_b /
+    (n_ab·n_bc)`` — the "is this journey more common than its steps
+    predict" product-analytics readout (lift ≫ 1 = a real funnel,
+    lift ≪ 1 = an avoided path).
+
+    The lift is one e6-scaled integer division; counts are exact. The
+    middle-state count n_b uses interior positions (events with both a
+    predecessor and a successor), so the identity Σ_ac n_abc = n_b
+    holds exactly per b — pinned in the test.
+
+    Scale: one user-keyed shuffle builds the lead-chain (the
+    sessionize posture); all aggregations land on the |types|³ ≤ 125
+    path grid and the |types|² pair grid — corpus-independent.
+    """
+    events = load_table(spark, "events", sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chain = (
+        events.select("user_id", "ts", "event_id", F.col("event_type").alias("a"))
+        .withColumn("b", F.lead("a").over(w))
+        .withColumn("c", F.lead("a", 2).over(w))
+    )
+    tri = (
+        chain.filter(F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("n_abc"))
+    )
+    pairs = (
+        chain.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    mids = (
+        chain.filter(F.col("c").isNotNull())
+        .groupBy("b")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        tri.join(
+            F.broadcast(pairs.select(F.col("a"), F.col("b"), F.col("n_pair").alias("n_ab"))),
+            ["a", "b"],
+        )
+        .join(
+            F.broadcast(
+                pairs.select(
+                    F.col("a").alias("b"),
+                    F.col("b").alias("c"),
+                    F.col("n_pair").alias("n_bc"),
+                )
+            ),
+            ["b", "c"],
+        )
+        .join(F.broadcast(mids), "b")
+        .select(
+            "a",
+            "b",
+            "c",
+            "n_abc",
+            "n_ab",
+            "n_bc",
+            "n_b",
+            F.expr("(1000000 * n_abc * n_b) DIV (n_ab * n_bc)").alias("lift_e6"),
+        )
+    )
+
+
+FREQUENT_PATHS_SQL = """
+WITH chain AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER uw AS b,
+         lead(event_type, 2) OVER uw AS c
+  FROM events
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT a, b, c, count(*) AS n_abc
+  FROM chain WHERE c IS NOT NULL GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a, b, count(*) AS n_pair
+  FROM chain WHERE b IS NOT NULL GROUP BY 1, 2
+), mids AS (
+  SELECT b, count(*) AS n_b FROM chain WHERE c IS NOT NULL GROUP BY 1
+)
+SELECT t.a, t.b, t.c,
+       CAST(t.n_abc AS BIGINT) AS n_abc,
+       CAST(ab.n_pair AS BIGINT) AS n_ab,
+       CAST(bc.n_pair AS BIGINT) AS n_bc,
+       CAST(m.n_b AS BIGINT) AS n_b,
+       (1000000 * CAST(t.n_abc AS BIGINT) * m.n_b)
+         // (CAST(ab.n_pair AS BIGINT) * bc.n_pair) AS lift_e6
+FROM tri t
+JOIN pairs ab ON ab.a = t.a AND ab.b = t.b
+JOIN pairs bc ON bc.a = t.b AND bc.b = t.c
+JOIN mids m ON m.b = t.b
+"""
+
+
 SESSION_GAP_MIN = 60
 
 
@@ -1580,6 +1679,7 @@ RELATIONAL_QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_COHORTS_SQL),
     "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
     "markov_transitions": (markov_transitions, MARKOV_TRANSITIONS_SQL),
+    "frequent_paths": (frequent_paths, FREQUENT_PATHS_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),

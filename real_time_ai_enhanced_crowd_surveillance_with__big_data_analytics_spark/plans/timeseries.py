@@ -1272,6 +1272,111 @@ FROM dev WHERE rn = 1
 """
 
 
+# --- Theil-Sen robust trend ---------------------------------------------------
+
+def theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen trend per type: the MEDIAN of all pairwise slopes of
+    the dense hourly count series — the robust trend estimator (up to
+    ~29% outlier contamination cannot move it, unlike OLS, which one
+    spike hour drags).
+
+    Slopes are exact rationals ``(dy, dt)``; the median is selected by
+    ORDER BY the double quotient with an exact (dy, dt, t1) tiebreak —
+    legitimate here because hourly-count rationals are separated by at
+    least 1/dt_max² ≈ 2e-6 while the double quotient of small ints is
+    accurate to ~1e-12 relative, so the float order IS the rational
+    order (the docstring-pinned argument; a general engine would
+    compare cross-multiplied). ``slope_e6`` is sign-split before DIV —
+    the engines disagree on negative integer-division rounding, so the
+    floor runs on |dy| and the sign multiplies back.
+
+    Scale: one corpus shuffle (the hourly aggregate); the pair
+    expansion is a self-equi-join on event_type over the
+    calendar-bounded spine — ≤ C(hours, 2) pairs per type regardless
+    of corpus rows (720h month → 259k pairs/type), then one per-type
+    median window over those pairs.
+    """
+    events = load_table(spark, "events", sf)
+    dense = _dense_hourly(events, F.count("*").alias("n")).select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).alias("x")
+    )
+    a = dense.select(
+        "event_type", F.col("bucket").alias("t1"), F.col("x").alias("x1")
+    )
+    b = dense.select(
+        "event_type", F.col("bucket").alias("t2"), F.col("x").alias("x2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("t1") < F.col("t2"))
+        .select(
+            "event_type",
+            "t1",
+            (F.col("x2") - F.col("x1")).alias("dy"),
+            (
+                (F.unix_timestamp("t2") - F.unix_timestamp("t1")) / 3600
+            ).cast("long").alias("dt"),
+        )
+    )
+    ordered = Window.partitionBy("event_type").orderBy(
+        (F.col("dy").cast("double") / F.col("dt")).asc(),
+        F.col("dy").asc(),
+        F.col("dt").asc(),
+        F.col("t1").asc(),
+    )
+    per_type = Window.partitionBy("event_type")
+    ranked = pairs.withColumn("rn", F.row_number().over(ordered)).withColumn(
+        "n_pairs", F.count("*").over(per_type)
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            "n_pairs",
+            F.col("dy").alias("med_dy"),
+            F.col("dt").alias("med_dt"),
+            F.expr(
+                "CAST(sign(dy) AS BIGINT) * ((1000000 * abs(dy)) DIV dt)"
+            ).alias("slope_e6"),
+        )
+    )
+
+
+THEIL_SEN_TREND_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), dense AS (
+  SELECT t.event_type, s.bucket, coalesce(h.n, 0) AS x
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.bucket = s.bucket
+), pairs AS (
+  SELECT a.event_type, a.bucket AS t1,
+         CAST(b.x - a.x AS BIGINT) AS dy,
+         CAST(date_diff('hour', a.bucket, b.bucket) AS BIGINT) AS dt
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND a.bucket < b.bucket
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(dy AS DOUBLE) / dt ASC,
+                                     dy ASC, dt ASC, t1 ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT event_type, n_pairs, dy AS med_dy, dt AS med_dt,
+       CAST(sign(dy) AS BIGINT) * ((1000000 * abs(dy)) // dt) AS slope_e6
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
 TIMESERIES_QUERIES = {
     "state_merge_rollup": (state_merge_rollup, STATE_MERGE_ROLLUP_SQL),
     "scd2_tier_join": (scd2_tier_join, SCD2_TIER_JOIN_SQL),
@@ -1289,6 +1394,7 @@ TIMESERIES_QUERIES = {
     "gap_fill_hourly": (gap_fill_hourly, GAP_FILL_HOURLY_SQL),
     "ewma_forecast": (ewma_forecast, EWMA_FORECAST_SQL),
     "cusum_changepoints": (cusum_changepoints, CUSUM_CHANGEPOINTS_SQL),
+    "theil_sen_trend": (theil_sen_trend, THEIL_SEN_TREND_SQL),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
     "robust_outliers": (robust_outliers, ROBUST_OUTLIERS_SQL),
