@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "theil_sen_trend",
     "frequent_paths",
     "xml_pages_extract",
+    "bom_subtree_rollup",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "token_stats",
     "trigram_profile",
-    "crowd_alerts_pipeline",
     # (c) oldest-verdict fill is now fully displaced by the late-r7
     # additions (nine never-checked queries outrank the r4-fresh
     # battery, which stays within the planner's freshness bar)

@@ -869,6 +869,64 @@ JOIN mids m ON m.b = t.b
 """
 
 
+def bom_subtree_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bill-of-materials subtree rollup via a RECURSIVE CTE — Spark 4's
+    recursive-query surface exercised end to end (SPARK-24497), the
+    hierarchy workload (org charts, BOM explosion, category trees)
+    that previously forced a driver-side loop.
+
+    The containment forest is derived deterministically from part
+    keys: ``parent(p) = p DIV 10`` for p ≥ 10, roots are parts 0-9
+    (root 0 is a legitimate singleton — no key 10-19 divides to 0).
+    Per root: subtree part count, exact cents value, and max depth.
+    Both engines run the structurally identical recursive SQL.
+
+    Scale: recursion depth is log₁₀(max key) (4 here, bounded by the
+    KEY WIDTH, not row count); each step is one equi-join of the
+    frontier against the part table on the derived parent key — the
+    same per-level BFS shape as spatial_two_hop_reach, now expressed
+    in the engine's own recursion operator instead of a Python loop.
+    """
+    load_table(spark, "part", sf).createOrReplaceTempView("bom_part_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(root, node, depth, cents) AS (
+          SELECT p_partkey, p_partkey, 0,
+                 CAST(round(p_retailprice * 100) AS BIGINT)
+          FROM bom_part_v WHERE p_partkey < 10
+          UNION ALL
+          SELECT r.root, c.p_partkey, r.depth + 1,
+                 CAST(round(c.p_retailprice * 100) AS BIGINT)
+          FROM reach r JOIN bom_part_v c
+            ON c.p_partkey DIV 10 = r.node AND c.p_partkey >= 10
+        )
+        SELECT root,
+               count(*) AS n_parts,
+               sum(cents) AS total_cents,
+               CAST(max(depth) AS INT) AS max_depth
+        FROM reach GROUP BY root
+        """
+    )
+
+
+BOM_SUBTREE_ROLLUP_SQL = """
+WITH RECURSIVE reach(root, node, depth, cents) AS (
+  SELECT p_partkey, p_partkey, 0, CAST(round(p_retailprice * 100) AS BIGINT)
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT r.root, c.p_partkey, r.depth + 1,
+         CAST(round(c.p_retailprice * 100) AS BIGINT)
+  FROM reach r JOIN part c
+    ON c.p_partkey // 10 = r.node AND c.p_partkey >= 10
+)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(max(depth) AS INT) AS max_depth
+FROM reach GROUP BY root
+"""
+
+
 SESSION_GAP_MIN = 60
 
 
@@ -1680,6 +1738,7 @@ RELATIONAL_QUERIES = {
     "user_event_paths": (user_event_paths, USER_EVENT_PATHS_SQL),
     "markov_transitions": (markov_transitions, MARKOV_TRANSITIONS_SQL),
     "frequent_paths": (frequent_paths, FREQUENT_PATHS_SQL),
+    "bom_subtree_rollup": (bom_subtree_rollup, BOM_SUBTREE_ROLLUP_SQL),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
