@@ -1261,6 +1261,71 @@ GROUP BY event_type
 """
 
 
+def grid_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p95/p99 per type WITHOUT the per-group memory
+    concentration of ``percentile`` and WITHOUT t-digest error — the
+    third rung of the quantile ladder this repo ships: when values
+    snap to a bounded grid (cents), exact quantiles are one histogram
+    aggregate plus a cumulative window over GRID CELLS. ``percentile``
+    buffers every group value in executor memory (the 100 TB failure
+    mode value_percentiles' docstring punts on); this form's state is
+    the cents grid (≤ 49k cells/type here), corpus-size-independent.
+
+    Lower-quantile spec (type-1 / SQL ``quantile_disc``): the smallest
+    grid value whose cumulative count reaches ``ceil(p·n)`` — integer
+    arithmetic all the way (``k = (p_num·n + 99) DIV 100``).
+    """
+    events = load_table(spark, "events", sf)
+    hist = (
+        events.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per = Window.partitionBy("event_type")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(per))
+    )
+
+    def q(p_num: int):
+        k = F.expr(f"({p_num} * n + 99) DIV 100")
+        return F.min(F.when(F.col("cum") >= k, F.col("cents"))).alias(
+            f"p{p_num}_cents"
+        )
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n"), q(50), q(95), q(99)
+    )
+
+
+GRID_EXACT_PERCENTILES_SQL = """
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hist
+)
+SELECT event_type,
+       max(n) AS n,
+       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS p50_cents,
+       min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS p95_cents,
+       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS p99_cents
+FROM cum GROUP BY event_type
+"""
+
+
 # --- rank-family ordered analytics -------------------------------------------
 
 def value_rank_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -1739,6 +1804,10 @@ RELATIONAL_QUERIES = {
     "markov_transitions": (markov_transitions, MARKOV_TRANSITIONS_SQL),
     "frequent_paths": (frequent_paths, FREQUENT_PATHS_SQL),
     "bom_subtree_rollup": (bom_subtree_rollup, BOM_SUBTREE_ROLLUP_SQL),
+    "grid_exact_percentiles": (
+        grid_exact_percentiles,
+        GRID_EXACT_PERCENTILES_SQL,
+    ),
     "asof_last_event": (asof_last_event, ASOF_LAST_EVENT_SQL),
     "asof_next_event": (asof_next_event, ASOF_NEXT_EVENT_SQL),
     "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
