@@ -210,3 +210,33 @@ def click_purchase_pairs(
     return p.join(c, cond).select(
         "user_id", "purchase_id", "click_id", "p_ts", "c_ts"
     )
+
+
+def click_purchase_pairs_outer(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits — paired
+    rows as they match, and a NULL-click row once the watermark proves
+    no click can still arrive for it (purchase state older than
+    watermark − window expires unmatched → the null row is emitted
+    exactly then, never early). The "which conversions had no
+    attributable click" readout that an inner join silently drops.
+
+    Same watermark + time-bound requirements as the inner form — outer
+    joins additionally REQUIRE them (Structured Streaming rejects an
+    unbounded outer stream-stream join outright), because the null
+    side can only be decided when state provably expires.
+    """
+    p = purchases.withWatermark("p_ts", watermark)
+    c = clicks.withWatermark("c_ts", watermark)
+    cond = (
+        (p["user_id"] == c["c_user_id"])
+        & (c["c_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (c["c_ts"] <= p["p_ts"] + F.expr(f"INTERVAL {window_s} SECONDS"))
+    )
+    return p.join(c, cond, "left_outer").select(
+        "user_id", "purchase_id", "click_id", "p_ts", "c_ts"
+    )
