@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "xml_pages_extract",
     "bom_subtree_rollup",
     "grid_exact_percentiles",
+    "revenue_gini",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
-    "token_stats",
     # (c) oldest-verdict fill is now fully displaced by the late-r7
     # additions (nine never-checked queries outrank the r4-fresh
     # battery, which stays within the planner's freshness bar)

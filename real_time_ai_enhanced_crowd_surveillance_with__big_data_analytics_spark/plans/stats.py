@@ -619,8 +619,110 @@ FROM scored
 """
 
 
+# --- revenue concentration (Gini / Lorenz) ------------------------------------
+
+def revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration per event type: the exact Gini coefficient
+    of the cents distribution — ``G = (2·Σ i·x_(i) − (n+1)·Σx) /
+    (n·Σx)`` over ascending ranks — plus the Lorenz "top 10% share".
+    The inequality readout behind "does 1% of traffic carry 90% of
+    value" capacity planning and skew triage.
+
+    All integers until one declared-floor division: ranks are
+    deterministic (value, event_id) row_numbers, Σ i·x is an exact
+    BIGINT sum, the top-decile share re-uses the grid-quantile
+    machinery (rank > n − n DIV 10).
+
+    Scale: one shuffle onto event_type with a per-type ordered rank —
+    the value_rank_profile posture (per-type sort; at 100 TB the rank
+    comes from the cents-grid cumulative, the grid_exact_percentiles
+    trick, since Σ i·x_(i) = Σ_grid x·(cum_before + (c+1)/2·...) — the
+    grid rewrite is documented, the exact-rank form IS the oracle
+    anchor here).
+    """
+    events = load_table(spark, "events", sf)
+    cents = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    per = Window.partitionBy("event_type")
+    ranked = (
+        cents.withColumn("i", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(per))
+        .withColumn("s", F.sum("cents").over(per))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).alias("rank_weighted"),
+            F.sum(
+                F.when(F.col("i") > F.col("n") - F.expr("n DIV 10"), F.col("cents"))
+            ).alias("top_decile_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "total_cents",
+            # floor(1e6·num/den) without the 1e21 overflow of the naive
+            # product: exact three-step long division — each step scales
+            # the REMAINDER by 1000 (≤ 1000·den < 2^63), so
+            # q1·1e6 + q2·1000 + q3 ≡ the true floored e6 quotient
+            F.expr(
+                "2 * rank_weighted - (n + 1) * total_cents"
+            ).alias("num"),
+            F.expr("n * total_cents").alias("den"),
+            F.expr(
+                "(1000000 * top_decile_cents) DIV total_cents"
+            ).alias("top10_share_e6"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "total_cents",
+            F.expr(
+                "(num DIV den) * 1000000"
+                " + ((1000 * (num % den)) DIV den) * 1000"
+                " + (1000 * ((1000 * (num % den)) % den)) DIV den"
+            ).alias("gini_e6"),
+            "top10_share_e6",
+        )
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH cents AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM cents
+), agg AS (
+  SELECT event_type, max(n) AS n, max(s) AS total_cents,
+         CAST(sum(i * cents) AS BIGINT) AS rank_weighted,
+         CAST(sum(CASE WHEN i > n - n // 10 THEN cents END) AS BIGINT)
+           AS top_decile_cents
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n, total_cents,
+       CAST((1000000 * CAST(2 * rank_weighted - (n + 1) * total_cents
+                            AS HUGEINT))
+            // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_e6,
+       (1000000 * top_decile_cents) // total_cents AS top10_share_e6
+FROM agg
+"""
+
+
 STATS_QUERIES = {
     "benford_audit": (benford_audit, BENFORD_AUDIT_SQL),
+    "revenue_gini": (revenue_gini, REVENUE_GINI_SQL),
     "sketch_rollup": (sketch_rollup, SKETCH_ROLLUP_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_SQL),
