@@ -12,17 +12,11 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
     AB_SIGMA,
     ab_test_report,
 )
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.ab_monitor import (
+    decide as _int_rule,  # the ONE Python definition of the cleared rule
+)
 
 SF = "/root/testdata/sf0.001"
-
-
-def _int_rule(n_c, s_c, q_c, n_t, s_t, q_t) -> bool:
-    lhs = (s_t * n_c - s_c * n_t) ** 2 * (n_t - 1) * (n_c - 1)
-    rhs = AB_SIGMA * AB_SIGMA * (
-        (q_t * n_t - s_t * s_t) * n_c * n_c * (n_c - 1)
-        + (q_c * n_c - s_c * s_c) * n_t * n_t * (n_t - 1)
-    )
-    return lhs > rhs
 
 
 def _welch_z(n_c, s_c, q_c, n_t, s_t, q_t) -> float:
