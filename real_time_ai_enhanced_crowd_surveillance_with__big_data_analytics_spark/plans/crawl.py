@@ -250,7 +250,103 @@ FROM matched WHERE rk = 1
 """
 
 
+# --- per-source crawl budget apportionment ------------------------------------
+
+CRAWL_BUDGET = 9_973  # global fetch slots per round; prime, so the
+                      # largest-remainder path actually runs (a round
+                      # budget divisible by the corpus total would zero
+                      # every remainder and never exercise the tiebreak)
+
+
+def crawl_budget_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Apportion a global fetch budget across sources proportionally to
+    their document mass — Hamilton's largest-remainder method, the
+    classic exact-integer apportionment (every crawl scheduler's
+    per-domain pacing step): floor shares first, then the leftover
+    slots go to the largest remainders (source name breaks ties), so
+    ``Σ allocated = budget`` EXACTLY — no float shares to drift and no
+    slot lost or invented.
+
+    Everything is integers: floor share ``(budget·n_i) DIV N``,
+    remainder ``(budget·n_i) mod N``, leftover ``budget − Σ floors``,
+    one rank over the |sources| dim.
+
+    Scale: one corpus shuffle onto the source key (partial-aggregated);
+    the apportionment itself runs on the |sources|-row dim. budget·n_i
+    stays BIGINT-exact below ~9e14 docs/source at this budget.
+    """
+    docs = load_table(spark, "documents", sf)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # totals come from keyless (1-row) aggregates broadcast back, and
+    # the remainder rank from a bounded dim×dim self-join — no global
+    # window, so nothing ever funnels the frame to one task even if
+    # |sources| grows to web scale
+    grand = counts.agg(F.sum("n_docs").alias("n_total"))
+    shares = (
+        counts.crossJoin(F.broadcast(grand))
+        .withColumn("floor_share", F.expr(f"({CRAWL_BUDGET} * n_docs) DIV n_total"))
+        .withColumn("remainder", F.expr(f"({CRAWL_BUDGET} * n_docs) % n_total"))
+    )
+    floors = shares.agg(
+        (F.lit(CRAWL_BUDGET) - F.sum("floor_share")).alias("leftover")
+    )
+    other = shares.select(
+        F.col("source").alias("o_source"), F.col("remainder").alias("o_rem")
+    )
+    before = (
+        (F.col("o_rem") > F.col("remainder"))
+        | (
+            (F.col("o_rem") == F.col("remainder"))
+            & (F.col("o_source") < F.col("source"))
+        )
+    )
+    ranked = (
+        shares.join(F.broadcast(other), before, "left")
+        .groupBy("source", "n_docs", "floor_share", "remainder")
+        .agg(F.count("o_source").alias("n_before"))
+    )
+    return ranked.crossJoin(F.broadcast(floors)).select(
+        "source",
+        "n_docs",
+        "floor_share",
+        "remainder",
+        (
+            F.col("floor_share")
+            + (F.col("n_before") < F.col("leftover")).cast("long")
+        ).alias("allocated"),
+    )
+
+
+CRAWL_BUDGET_ALLOCATION_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), base AS (
+  SELECT source, n_docs,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS n_total
+  FROM counts
+), shares AS (
+  SELECT source, n_docs,
+         ({CRAWL_BUDGET} * n_docs) // n_total AS floor_share,
+         ({CRAWL_BUDGET} * n_docs) % n_total AS remainder
+  FROM base
+), ranked AS (
+  SELECT *,
+         {CRAWL_BUDGET} - CAST(sum(floor_share) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY remainder DESC, source ASC) AS rk
+  FROM shares
+)
+SELECT source, n_docs, floor_share, remainder,
+       floor_share + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS allocated
+FROM ranked
+"""
+
+
 CRAWL_QUERIES = {
+    "crawl_budget_allocation": (
+        crawl_budget_allocation,
+        CRAWL_BUDGET_ALLOCATION_SQL,
+    ),
     "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "robots_gate": (robots_gate, ROBOTS_GATE_SQL),
 }
