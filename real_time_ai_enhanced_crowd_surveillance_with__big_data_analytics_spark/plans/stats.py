@@ -720,9 +720,133 @@ FROM agg
 """
 
 
+# --- RFM customer segmentation ------------------------------------------------
+
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic RFM segmentation over the event stream: per user,
+    recency (days since last event, against the global max), frequency
+    (event count) and monetary (exact cents), each scored 1-5 against
+    the population's quintile cuts — the standard CRM/lifecycle
+    segmentation.
+
+    Scores come from comparisons against interpolated quintile cuts
+    computed ONCE on the user dim and broadcast back (the winsorized-
+    stats posture): ``score = 1 + Σ (v > q_k)`` (recency inverted —
+    recent is better). Both engines interpolate quantiles with the
+    same (n−1)·p rule, and a value exactly ON a cut compares False on
+    both, so the scores are deterministic. The segment label is the
+    concatenated digit triple.
+
+    Scale: one corpus shuffle onto user_id (partial-aggregated); the
+    quintile agg runs over the USER dim — at 100 TB (1e9 users) the
+    cuts move to approx_percentile, same comparisons.
+    """
+    events = load_table(spark, "events", sf)
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = events.agg(F.max("ts").alias("t_max"))
+    base = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("t_max"), F.col("last_ts")).cast("long"),
+    )
+    cuts = base.agg(
+        *[
+            F.expr(f"percentile(recency_days, {p})").alias(f"r{int(p*100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+        *[
+            F.expr(f"percentile(frequency, {p})").alias(f"f{int(p*100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+        *[
+            F.expr(f"percentile(monetary_cents, {p})").alias(f"m{int(p*100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+    )
+
+    def score(col: str, prefix: str, invert: bool) -> F.Column:
+        s = F.lit(1)
+        for p in (20, 40, 60, 80):
+            cmp = (
+                F.col(col) < F.col(f"{prefix}{p}")
+                if invert
+                else F.col(col) > F.col(f"{prefix}{p}")
+            )
+            s = s + cmp.cast("int")
+        return s
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("recency_days", "r", True).alias("r_score"),
+        score("frequency", "f", False).alias("f_score"),
+        score("monetary_cents", "m", False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM events GROUP BY user_id
+), anchor AS (SELECT max(ts) AS t_max FROM events),
+base AS (
+  SELECT p.*, CAST(date_diff('day',
+         CAST(date_trunc('day', last_ts) AS DATE),
+         CAST(date_trunc('day', t_max) AS DATE)) AS BIGINT) AS recency_days
+  FROM per_user p CROSS JOIN anchor
+), cuts AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r20,
+         quantile_cont(recency_days, 0.4) AS r40,
+         quantile_cont(recency_days, 0.6) AS r60,
+         quantile_cont(recency_days, 0.8) AS r80,
+         quantile_cont(frequency, 0.2) AS f20,
+         quantile_cont(frequency, 0.4) AS f40,
+         quantile_cont(frequency, 0.6) AS f60,
+         quantile_cont(frequency, 0.8) AS f80,
+         quantile_cont(monetary_cents, 0.2) AS m20,
+         quantile_cont(monetary_cents, 0.4) AS m40,
+         quantile_cont(monetary_cents, 0.6) AS m60,
+         quantile_cont(monetary_cents, 0.8) AS m80
+  FROM base
+), scored AS (
+  SELECT user_id, recency_days, frequency, monetary_cents,
+         1 + CAST(recency_days < r20 AS INT) + CAST(recency_days < r40 AS INT)
+           + CAST(recency_days < r60 AS INT) + CAST(recency_days < r80 AS INT)
+           AS r_score,
+         1 + CAST(frequency > f20 AS INT) + CAST(frequency > f40 AS INT)
+           + CAST(frequency > f60 AS INT) + CAST(frequency > f80 AS INT)
+           AS f_score,
+         1 + CAST(monetary_cents > m20 AS INT) + CAST(monetary_cents > m40 AS INT)
+           + CAST(monetary_cents > m60 AS INT) + CAST(monetary_cents > m80 AS INT)
+           AS m_score
+  FROM base CROSS JOIN cuts
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
 STATS_QUERIES = {
     "benford_audit": (benford_audit, BENFORD_AUDIT_SQL),
     "revenue_gini": (revenue_gini, REVENUE_GINI_SQL),
+    "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
     "sketch_rollup": (sketch_rollup, SKETCH_ROLLUP_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_SQL),
