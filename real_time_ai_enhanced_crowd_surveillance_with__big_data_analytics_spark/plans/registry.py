@@ -90,6 +90,7 @@ _PRIORITY: list[str] = [
     "revenue_gini",
     "crawl_budget_allocation",
     "rfm_segments",
+    "hour_value_gamma",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "label_centroids",
     "embedding_neardup_lsh",
     "ivf_knn",
-    "dedup_ngram_jaccard",
     # (c) oldest-verdict fill is now fully displaced by the late-r7
     # additions (nine never-checked queries outrank the r4-fresh
     # battery, which stays within the planner's freshness bar)

@@ -843,10 +843,189 @@ FROM scored
 """
 
 
+# --- ordinal association: Goodman-Kruskal gamma -------------------------------
+
+GAMMA_BIN_W = 10.0
+GAMMA_BIN_MAX = 49
+
+
+def hour_value_gamma(spark: SparkSession, sf: str) -> DataFrame:
+    """Does time of day order spend? Goodman-Kruskal gamma between
+    hour-of-day and the value bin, per event type — the ordinal
+    association statistic whose ``(C − D)/(C + D)`` form needs no
+    square root (unlike Kendall's tau-b), so it stays integer-exact.
+
+    Concordant/discordant pair counts come from 2D PREFIX SUMS over
+    the dense (hour × bin) grid: ``T_ij = N − R_i − C_j + P_ij`` counts
+    the strictly-greater quadrant and ``U_ij = C_{j−1} − P_{i,j−1}``
+    the discordant one — so the classically O(n²) pair statistic is
+    two window passes over a ≤ 24×50 grid per type, independent of
+    corpus rows. Tied pairs (same hour or same bin) are excluded by
+    construction, exactly gamma's definition.
+
+    Scale: one corpus shuffle onto the (type, hour, bin) grid; the
+    dense spine is 1 200 cells/type. C and D are BIGINT-exact below
+    ~3e9 rows/type (C ≤ n²/2); DECIMAL(38,0) beyond.
+    """
+    events = load_table(spark, "events", sf)
+    binned = events.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.least(
+            F.lit(GAMMA_BIN_MAX), F.floor(F.col("value") / GAMMA_BIN_W)
+        ).cast("long").alias("b"),
+    )
+    cells = binned.groupBy("event_type", "h", "b").agg(
+        F.count("*").alias("n")
+    )
+    types = cells.select("event_type").distinct()
+    hours = spark.range(24).select(F.col("id").alias("h"))
+    bins = spark.range(GAMMA_BIN_MAX + 1).select(F.col("id").alias("b"))
+    dense = (
+        types.crossJoin(hours)
+        .crossJoin(bins)
+        .join(cells, ["event_type", "h", "b"], "left")
+        .select(
+            "event_type", "h", "b", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    in_row = (
+        Window.partitionBy("event_type", "h")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dense = dense.withColumn("c1", F.sum("n").over(in_row))
+    down_col = (
+        Window.partitionBy("event_type", "b")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_type = Window.partitionBy("event_type")
+    g = (
+        dense.withColumn("p", F.sum("c1").over(down_col))  # P(i,j)
+        .withColumn("n_tot", F.sum("n").over(per_type))
+        # R_i = all-bin prefix over hours <= i; C_j = all-hour prefix over
+        # bins <= j — both are P at the grid edge, read via max-per-slice
+        .withColumn(
+            "r_i",
+            F.max(F.when(F.col("b") == GAMMA_BIN_MAX, F.col("p"))).over(
+                Window.partitionBy("event_type", "h")
+            ),
+        )
+    )
+    # r_i above is P(i, J) only if computed per h AFTER down_col ran over
+    # every row of that h — it is: p at (h, J) IS the row-complete prefix
+    colw = Window.partitionBy("event_type", "b")
+    g = g.withColumn(
+        "c_j", F.max(F.when(F.col("h") == 23, F.col("p"))).over(colw)
+    )
+    lag_b = Window.partitionBy("event_type", "h").orderBy("b")
+    g = (
+        g.withColumn("p_left", F.lag("p").over(lag_b))  # P(i, j-1)
+        .withColumn(
+            "c_left", F.lag("c_j").over(lag_b)  # C_{j-1}
+        )
+        .withColumn(
+            "conc",
+            F.col("n")
+            * (F.col("n_tot") - F.col("r_i") - F.col("c_j") + F.col("p")),
+        )
+        .withColumn(
+            "disc",
+            F.col("n")
+            * (
+                F.coalesce(F.col("c_left"), F.lit(0))
+                - F.coalesce(F.col("p_left"), F.lit(0))
+            ),
+        )
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.max("n_tot").alias("n"),
+            F.sum("conc").alias("concordant"),
+            F.sum("disc").alias("discordant"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "concordant",
+            "discordant",
+            F.expr(
+                "CASE WHEN concordant + discordant = 0 THEN 0 ELSE "
+                "CAST(sign(concordant - discordant) AS BIGINT)"
+                " * ((1000000 * abs(concordant - discordant))"
+                "    DIV (concordant + discordant)) END"
+            ).alias("gamma_e6"),
+        )
+    )
+
+
+HOUR_VALUE_GAMMA_SQL = f"""
+WITH binned AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+         CAST(least({GAMMA_BIN_MAX}, floor(value / {GAMMA_BIN_W})) AS BIGINT)
+           AS b
+  FROM events
+), cells AS (
+  SELECT event_type, h, b, count(*) AS n FROM binned GROUP BY 1, 2, 3
+), dense AS (
+  SELECT t.event_type, hh.h, bb.b, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT DISTINCT event_type FROM cells) t
+  CROSS JOIN (SELECT unnest(range(24)) AS h) hh
+  CROSS JOIN (SELECT unnest(range({GAMMA_BIN_MAX} + 1)) AS b) bb
+  LEFT JOIN cells c ON c.event_type = t.event_type AND c.h = hh.h
+                   AND c.b = bb.b
+), pref AS (
+  SELECT *,
+         CAST(sum(n) OVER (PARTITION BY event_type, h ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+  FROM dense
+), pref2 AS (
+  SELECT *,
+         CAST(sum(c1) OVER (PARTITION BY event_type, b ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_tot
+  FROM pref
+), edges AS (
+  SELECT *,
+         CAST(max(CASE WHEN b = {GAMMA_BIN_MAX} THEN p END)
+           OVER (PARTITION BY event_type, h) AS BIGINT) AS r_i,
+         CAST(max(CASE WHEN h = 23 THEN p END)
+           OVER (PARTITION BY event_type, b) AS BIGINT) AS c_j
+  FROM pref2
+), lagged AS (
+  SELECT *,
+         lag(p) OVER (PARTITION BY event_type, h ORDER BY b) AS p_left,
+         lag(c_j) OVER (PARTITION BY event_type, h ORDER BY b) AS c_left
+  FROM edges
+), scored AS (
+  SELECT event_type, n_tot,
+         n * (n_tot - r_i - c_j + p) AS conc,
+         n * (coalesce(c_left, 0) - coalesce(p_left, 0)) AS disc
+  FROM lagged
+)
+SELECT event_type, max(n_tot) AS n,
+       CAST(sum(conc) AS BIGINT) AS concordant,
+       CAST(sum(disc) AS BIGINT) AS discordant,
+       CASE WHEN CAST(sum(conc) AS BIGINT) + CAST(sum(disc) AS BIGINT) = 0
+            THEN 0
+            ELSE CAST(sign(CAST(sum(conc) AS BIGINT)
+                           - CAST(sum(disc) AS BIGINT)) AS BIGINT)
+                 * ((1000000 * abs(CAST(sum(conc) AS BIGINT)
+                                   - CAST(sum(disc) AS BIGINT)))
+                    // (CAST(sum(conc) AS BIGINT)
+                        + CAST(sum(disc) AS BIGINT)))
+       END AS gamma_e6
+FROM scored GROUP BY event_type
+"""
+
+
 STATS_QUERIES = {
     "benford_audit": (benford_audit, BENFORD_AUDIT_SQL),
     "revenue_gini": (revenue_gini, REVENUE_GINI_SQL),
     "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
+    "hour_value_gamma": (hour_value_gamma, HOUR_VALUE_GAMMA_SQL),
     "sketch_rollup": (sketch_rollup, SKETCH_ROLLUP_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_SQL),
