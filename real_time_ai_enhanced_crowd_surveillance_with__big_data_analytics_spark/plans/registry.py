@@ -91,6 +91,8 @@ _PRIORITY: list[str] = [
     "crawl_budget_allocation",
     "rfm_segments",
     "hour_value_gamma",
+    "cohort_ltv_triangle",
+    "interarrival_burstiness",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -120,8 +122,6 @@ _PRIORITY: list[str] = [
     "knn_bruteforce",
     "fall_detection_softmax",
     "label_centroids",
-    "embedding_neardup_lsh",
-    "ivf_knn",
     # (c) oldest-verdict fill is now fully displaced by the late-r7
     # additions (nine never-checked queries outrank the r4-fresh
     # battery, which stays within the planner's freshness bar)

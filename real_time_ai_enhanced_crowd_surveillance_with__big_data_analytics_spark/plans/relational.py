@@ -927,6 +927,98 @@ FROM reach GROUP BY root
 """
 
 
+def cohort_ltv_triangle(spark: SparkSession, sf: str) -> DataFrame:
+    """Lifetime-value triangle: users cohorted by first-seen day, value
+    accumulated per age week — the finance view on top of
+    ``retention_cohorts`` (that query counts who comes back; this one
+    tracks what they're WORTH as the cohort ages, the payback-period
+    readout).
+
+    Exact integers end to end: revenue in cents, cumulative LTV via a
+    per-cohort window over the ≤5 age-week cells, per-user LTV as the
+    e6-scaled declared-floor ratio against the FIXED cohort size (the
+    denominator is the cohort's day-0 population, not the week's
+    actives — the standard LTV convention).
+
+    Scale: two user-keyed shuffles (first-seen agg, then the event join
+    sharing that partitioning) and one aggregate onto the
+    (cohort_day × age_week) grid — calendar-bounded; the cumulative
+    window runs over ≤5 cells per cohort.
+    """
+    events = load_table(spark, "events", sf)
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    joined = events.join(first_seen, "user_id").select(
+        "cohort_day",
+        F.floor(
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            / 7
+        ).cast("long").alias("age_week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "user_id",
+    )
+    cells = joined.groupBy("cohort_day", "age_week").agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    cum = Window.partitionBy("cohort_day").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("revenue_cents").over(cum))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "age_week",
+            "cohort_size",
+            "active_users",
+            "revenue_cents",
+            "cum_cents",
+            F.expr("(1000000 * cum_cents) DIV cohort_size").alias(
+                "ltv_per_user_e6"
+            ),
+        )
+    )
+
+
+COHORT_LTV_TRIANGLE_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first_seen GROUP BY cohort_day
+), joined AS (
+  SELECT f.cohort_day,
+         CAST(floor(date_diff('day',
+                    CAST(f.cohort_day AS DATE),
+                    CAST(date_trunc('day', e.ts) AS DATE)) / 7.0) AS BIGINT)
+           AS age_week,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         e.user_id
+  FROM events e JOIN first_seen f USING (user_id)
+), cells AS (
+  SELECT cohort_day, age_week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM joined GROUP BY 1, 2
+), cum AS (
+  SELECT *, CAST(sum(revenue_cents) OVER (
+    PARTITION BY cohort_day ORDER BY age_week
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM cells
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day, age_week,
+       s.cohort_size, active_users, revenue_cents, cum_cents,
+       (1000000 * cum_cents) // s.cohort_size AS ltv_per_user_e6
+FROM cum c JOIN sizes s USING (cohort_day)
+"""
+
+
 SESSION_GAP_MIN = 60
 
 
@@ -1804,6 +1896,7 @@ RELATIONAL_QUERIES = {
     "markov_transitions": (markov_transitions, MARKOV_TRANSITIONS_SQL),
     "frequent_paths": (frequent_paths, FREQUENT_PATHS_SQL),
     "bom_subtree_rollup": (bom_subtree_rollup, BOM_SUBTREE_ROLLUP_SQL),
+    "cohort_ltv_triangle": (cohort_ltv_triangle, COHORT_LTV_TRIANGLE_SQL),
     "grid_exact_percentiles": (
         grid_exact_percentiles,
         GRID_EXACT_PERCENTILES_SQL,

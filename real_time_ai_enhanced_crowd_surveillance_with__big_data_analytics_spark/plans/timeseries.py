@@ -1377,6 +1377,89 @@ FROM ranked WHERE rn = (n_pairs + 1) // 2
 """
 
 
+# --- inter-arrival burstiness -------------------------------------------------
+
+def interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic-shape diagnostic per type: inter-arrival gap statistics
+    and the squared coefficient of variation — CV² ≈ 1 is Poisson,
+    ≫ 1 is bursty, ≪ 1 is metronomic (the capacity-planning readout
+    behind queueing assumptions).
+
+    ``cv2_e6 = 1e6·(n·Σg² − S²)/S²`` over integer second gaps. The
+    overflow analysis rides a telescoping identity: S = Σ gaps = last
+    − first ≤ the calendar span regardless of row count, so S² and
+    Σg² ≤ max_g·S stay small while only n grows — n·Σg² is
+    BIGINT-exact below ~1e4 rows-per-second·span²; DECIMAL(38,0)
+    beyond. The e6 quotient uses the three-step long division
+    (remainder ×1000 per step, intermediates < 2^63 since r < S²).
+
+    Scale: one shuffle onto event_type with a per-type ordered lag —
+    the value_rank_profile posture; the 100 TB form lags within
+    (type, day) shards and stitches boundaries, same integers.
+    """
+    events = load_table(spark, "events", sf)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "event_type",
+            "event_id",
+            "ts",  # full-precision order key (t_s floors to seconds)
+            F.col("ts").cast("long").alias("t_s"),
+        )
+        .withColumn("g", F.col("t_s") - F.lag("t_s").over(w))
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("span_s"),
+        F.sum(F.col("g") * F.col("g")).alias("sum_sq"),
+        F.max("g").alias("max_gap_s"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "span_s",
+        "sum_sq",
+        "max_gap_s",
+        F.expr("(1000 * span_s) DIV n_gaps").alias("mean_gap_ms"),
+        F.expr(
+            "((n_gaps * sum_sq - span_s * span_s) DIV (span_s * span_s))"
+            " * 1000000"
+            " + ((1000 * ((n_gaps * sum_sq - span_s * span_s)"
+            "             % (span_s * span_s))) DIV (span_s * span_s)) * 1000"
+            " + (1000 * ((1000 * ((n_gaps * sum_sq - span_s * span_s)"
+            "                     % (span_s * span_s)))"
+            "            % (span_s * span_s))) DIV (span_s * span_s)"
+        ).alias("cv2_e6"),
+    )
+
+
+INTERARRIVAL_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS g
+  FROM events
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS span_s,
+         CAST(sum(g * g) AS BIGINT) AS sum_sq,
+         CAST(max(g) AS BIGINT) AS max_gap_s
+  FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps, span_s, sum_sq, max_gap_s,
+       (1000 * span_s) // n_gaps AS mean_gap_ms,
+       ((n_gaps * sum_sq - span_s * span_s) // (span_s * span_s)) * 1000000
+       + ((1000 * ((n_gaps * sum_sq - span_s * span_s)
+                   % (span_s * span_s))) // (span_s * span_s)) * 1000
+       + (1000 * ((1000 * ((n_gaps * sum_sq - span_s * span_s)
+                           % (span_s * span_s)))
+                  % (span_s * span_s))) // (span_s * span_s) AS cv2_e6
+FROM agg
+"""
+
+
 TIMESERIES_QUERIES = {
     "state_merge_rollup": (state_merge_rollup, STATE_MERGE_ROLLUP_SQL),
     "scd2_tier_join": (scd2_tier_join, SCD2_TIER_JOIN_SQL),
@@ -1395,6 +1478,10 @@ TIMESERIES_QUERIES = {
     "ewma_forecast": (ewma_forecast, EWMA_FORECAST_SQL),
     "cusum_changepoints": (cusum_changepoints, CUSUM_CHANGEPOINTS_SQL),
     "theil_sen_trend": (theil_sen_trend, THEIL_SEN_TREND_SQL),
+    "interarrival_burstiness": (
+        interarrival_burstiness,
+        INTERARRIVAL_BURSTINESS_SQL,
+    ),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_AVG_SQL),
     "robust_outliers": (robust_outliers, ROBUST_OUTLIERS_SQL),
