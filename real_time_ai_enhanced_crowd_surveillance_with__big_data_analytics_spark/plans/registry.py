@@ -58,16 +58,20 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
 # Round-7 window (VERDICT r6 "Next round" #1 — the freshness rotation,
-# computed by tools/rotation_planner.py --diff, re-run after the late-r7
-# additions so every never-driver-checked query ships with a verdict):
+# computed by tools/rotation_planner.py --diff, re-run after every
+# late-r7 addition so all never-driver-checked queries ship with a
+# verdict):
 # (a) the two canaries, every round;
-# (b) the twelve queries added this round (never driver-checked);
+# (b) the 36 queries added across round 7's sessions (never
+#     driver-checked) — new capability outranks re-attestation in the
+#     planner's policy;
 # (c) fill to 50 with the queries whose latest driver verdict is
-#     OLDEST: value_outliers (r2), the 23 r3-era rows, and the oldest
-#     r4 battery rows — after this round no registry query's latest
-#     verdict is older than r4, clearing the freshness debt VERDICT r6
-#     item #2 called out (the ten r4 rows displaced by (b) stay
-#     r4-fresh, within the planner's freshness bar).
+#     OLDEST: value_outliers (r2) and the oldest r3 rows. The r3/r4
+#     rows the late additions displaced (label_centroids,
+#     token_stats, trigram_profile, the dedup battery, multimodal
+#     pair, crowd_alerts_pipeline, pricing battery) are next round's
+#     first fills — all green in this round's full-registry local
+#     oracle run.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -93,6 +97,7 @@ _PRIORITY: list[str] = [
     "hour_value_gamma",
     "cohort_ltv_triangle",
     "interarrival_burstiness",
+    "od_flow_matrix",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -121,7 +126,6 @@ _PRIORITY: list[str] = [
     "embedding_quantization",
     "knn_bruteforce",
     "fall_detection_softmax",
-    "label_centroids",
     # (c) oldest-verdict fill is now fully displaced by the late-r7
     # additions (nine never-checked queries outrank the r4-fresh
     # battery, which stays within the planner's freshness bar)

@@ -672,7 +672,98 @@ GROUP BY user_a, user_b, cx, cy
 """
 
 
+MIN_FLOW = 3
+
+
+def od_flow_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Origin-destination flow matrix over the camera-cell grid: each
+    event is observed at the cell of its camera (coords hashed from
+    event_id — per-event, so subjects MOVE, unlike the static user
+    sites), and a flow edge is a user's transition between consecutive
+    observations. The crowd-movement readout the reference's
+    multi-camera deployment would feed a heat-map from — where do
+    people go next, and how far.
+
+    Output: (from, to) cell pairs carrying ≥ MIN_FLOW transitions,
+    with the transition count, distinct movers, and the Chebyshev cell
+    distance (0 = dwell within one cell). Exact integers throughout.
+
+    Scale: one user-keyed shuffle for the lag chain (the sessionize
+    posture), then a partial-aggregated groupBy onto the (from, to)
+    cell-pair grid — ≤ (cells)² keys regardless of event count, and
+    the MIN_FLOW cut keeps the emitted matrix to the flows a heat-map
+    would draw.
+    """
+    ev = load_table(spark, "events", sf)
+    x, y = _coords(F.col("event_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _cell(x, HOT_CELL).alias("cx"),
+        _cell(y, HOT_CELL).alias("cy"),
+    )
+    edges = (
+        pos.withColumn("to_x", F.lead("cx").over(w))
+        .withColumn("to_y", F.lead("cy").over(w))
+        .filter(F.col("to_x").isNotNull())
+    )
+    return (
+        edges.groupBy(
+            F.col("cx").alias("from_x"),
+            F.col("cy").alias("from_y"),
+            "to_x",
+            "to_y",
+        )
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_movers"),
+        )
+        .filter(F.col("n_transitions") >= MIN_FLOW)
+        .withColumn(
+            "cell_dist",
+            F.greatest(
+                F.abs(F.col("from_x") - F.col("to_x")),
+                F.abs(F.col("from_y") - F.col("to_y")),
+            ),
+        )
+    )
+
+
+_OD_CELL = (
+    f"((((event_id * {_MULT}) % {_MOD}) % {WORLD}) // {HOT_CELL})",
+    f"(((((event_id * {_MULT}) % {_MOD}) // {WORLD}) % {WORLD}) // {HOT_CELL})",
+)
+
+OD_FLOW_MATRIX_SQL = f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         {_OD_CELL[0]} AS cx, {_OD_CELL[1]} AS cy
+  FROM events
+), edges AS (
+  SELECT user_id, cx, cy,
+         lead(cx) OVER uw AS to_x,
+         lead(cy) OVER uw AS to_y
+  FROM pos
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flows AS (
+  SELECT cx AS from_x, cy AS from_y, to_x, to_y,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_movers
+  FROM edges WHERE to_x IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+)
+SELECT from_x, from_y, to_x, to_y, n_transitions, n_movers,
+       greatest(abs(from_x - to_x), abs(from_y - to_y)) AS cell_dist
+FROM flows WHERE n_transitions >= {MIN_FLOW}
+"""
+
+
 SPATIAL_QUERIES = {
+    "od_flow_matrix": (od_flow_matrix, OD_FLOW_MATRIX_SQL),
     "spatial_neighbor_pairs": (
         spatial_neighbor_pairs,
         SPATIAL_NEIGHBOR_PAIRS_SQL,
