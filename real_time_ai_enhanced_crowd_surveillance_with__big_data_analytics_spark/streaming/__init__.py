@@ -1,5 +1,6 @@
 from .ab_monitor import streaming_ab_monitor  # noqa: F401
 from .funnel_monitor import streaming_funnel_monitor  # noqa: F401
+from .od_tracker import streaming_od_tracker  # noqa: F401
 from .crowd_density import streaming_crowd_density  # noqa: F401
 from .cusum_monitor import (  # noqa: F401
     batch_cusum_monitor,
