@@ -18,6 +18,9 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.str
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.funnel_monitor import (
     streaming_funnel_monitor,
 )
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.od_tracker import (
+    streaming_od_tracker,
+)
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.runner import (
     run_to_memory,
     stream_events,
@@ -42,6 +45,10 @@ _OPS = {
     "funnel": (
         streaming_funnel_monitor,
         lambda r: (r.user_id, r.stage_ord, r.stage, r.ts_us),
+    ),
+    "od": (
+        streaming_od_tracker,
+        lambda r: (r.user_id, r.from_x, r.from_y, r.to_x, r.to_y, r.ts_us),
     ),
 }
 
