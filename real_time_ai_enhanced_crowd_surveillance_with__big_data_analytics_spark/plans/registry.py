@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "cohort_ltv_triangle",
     "interarrival_burstiness",
     "od_flow_matrix",
+    "loiter_episodes",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -125,7 +126,6 @@ _PRIORITY: list[str] = [
     "sequence_packing",
     "embedding_quantization",
     "knn_bruteforce",
-    "fall_detection_softmax",
     # (c) oldest-verdict fill is now fully displaced by the late-r7
     # additions (nine never-checked queries outrank the r4-fresh
     # battery, which stays within the planner's freshness bar)

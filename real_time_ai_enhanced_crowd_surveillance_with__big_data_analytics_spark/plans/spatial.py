@@ -762,7 +762,107 @@ FROM flows WHERE n_transitions >= {MIN_FLOW}
 """
 
 
+LOITER_CELL = 2500   # coarse zone grid (4×4): dwell runs need collision mass
+LOITER_MIN_OBS = 3   # consecutive same-zone observations to call it loitering
+
+
+def loiter_episodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Loitering detection — the surveillance alert the reference's
+    crowding threshold gestures at but can't express without history:
+    maximal runs of ≥ LOITER_MIN_OBS consecutive observations of one
+    subject inside one coarse zone, with the dwell duration. Classic
+    gaps-and-islands: a new island starts when the zone changes, the
+    island id is the running count of changes, episodes aggregate per
+    (user, island).
+
+    Exact integers: zone from the event_id coordinate hash, duration
+    in whole seconds from the micro-exact timestamps.
+
+    Scale: one user-keyed shuffle carries the lag + running-sum chain
+    AND the (user, island) aggregation (same partitioning, no second
+    shuffle); episode output is bounded by the run structure, and the
+    MIN_OBS cut keeps it alert-sized.
+    """
+    ev = load_table(spark, "events", sf)
+    x, y = _coords(F.col("event_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _cell(x, LOITER_CELL).alias("zx"),
+        _cell(y, LOITER_CELL).alias("zy"),
+    )
+    runs = (
+        pos.withColumn(
+            "chg",
+            (
+                (F.col("zx") != F.lag("zx").over(w))
+                | (F.col("zy") != F.lag("zy").over(w))
+            )
+            .cast("long"),
+        )
+        .withColumn("chg", F.coalesce("chg", F.lit(1)))
+        .withColumn(
+            "island",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy("user_id", "island")
+        .agg(
+            F.max("zx").alias("zone_x"),
+            F.max("zy").alias("zone_y"),
+            F.count("*").alias("n_obs"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "dwell_start"
+            ),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("duration_s"),
+        )
+        .filter(F.col("n_obs") >= LOITER_MIN_OBS)
+        .drop("island")
+    )
+
+
+LOITER_EPISODES_SQL = f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         (((event_id * {_MULT}) % {_MOD}) % {WORLD}) // {LOITER_CELL} AS zx,
+         ((((event_id * {_MULT}) % {_MOD}) // {WORLD}) % {WORLD})
+           // {LOITER_CELL} AS zy
+  FROM events
+), runs AS (
+  SELECT *,
+         CASE WHEN zx IS DISTINCT FROM lag(zx) OVER uw
+               OR zy IS DISTINCT FROM lag(zy) OVER uw THEN 1 ELSE 0 END AS chg
+  FROM pos
+  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT *,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island
+  FROM runs
+)
+SELECT user_id,
+       CAST(max(zx) AS BIGINT) AS zone_x,
+       CAST(max(zy) AS BIGINT) AS zone_y,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS dwell_start,
+       CAST(max(epoch_us(ts) // 1000000)
+            - min(epoch_us(ts) // 1000000) AS BIGINT) AS duration_s
+FROM islands
+GROUP BY user_id, island
+HAVING count(*) >= {LOITER_MIN_OBS}
+"""
+
+
 SPATIAL_QUERIES = {
+    "loiter_episodes": (loiter_episodes, LOITER_EPISODES_SQL),
     "od_flow_matrix": (od_flow_matrix, OD_FLOW_MATRIX_SQL),
     "spatial_neighbor_pairs": (
         spatial_neighbor_pairs,
