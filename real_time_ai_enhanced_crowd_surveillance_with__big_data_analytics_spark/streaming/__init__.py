@@ -7,5 +7,6 @@ from .cusum_monitor import (  # noqa: F401
     streaming_cusum_monitor,
 )
 from .hot_cell_alert import streaming_hot_cell_alerts  # noqa: F401
+from .loiter_alert import streaming_loiter_alerts  # noqa: F401
 from .runner import stream_events, windowed_trend  # noqa: F401
 from .stateful import streaming_rising_edges  # noqa: F401

@@ -18,6 +18,9 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.str
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.funnel_monitor import (
     streaming_funnel_monitor,
 )
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.loiter_alert import (
+    streaming_loiter_alerts,
+)
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.od_tracker import (
     streaming_od_tracker,
 )
@@ -45,6 +48,11 @@ _OPS = {
     "funnel": (
         streaming_funnel_monitor,
         lambda r: (r.user_id, r.stage_ord, r.stage, r.ts_us),
+    ),
+    "loiter": (
+        streaming_loiter_alerts,
+        lambda r: (r.user_id, r.zone_x, r.zone_y, r.run_start_us,
+                   r.alarm_ts_us),
     ),
     "od": (
         streaming_od_tracker,
