@@ -126,9 +126,8 @@ _PRIORITY: list[str] = [
     "sequence_packing",
     "embedding_quantization",
     "knn_bruteforce",
-    # (c) oldest-verdict fill is now fully displaced by the late-r7
-    # additions (nine never-checked queries outrank the r4-fresh
-    # battery, which stays within the planner's freshness bar)
+    # (c) ends here: the remaining r3/r4 battery was displaced by the
+    # 36 never-checked round-7 additions and heads next round's fill
 ]
 
 
