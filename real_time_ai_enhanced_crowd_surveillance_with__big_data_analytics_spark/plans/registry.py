@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "interarrival_burstiness",
     "od_flow_matrix",
     "loiter_episodes",
+    "independence_audit",
     "matryoshka_recall",
     "winnowing_fingerprints",
     "html_extract_quality",
@@ -125,7 +126,6 @@ _PRIORITY: list[str] = [
     "shipmode_priority",
     "sequence_packing",
     "embedding_quantization",
-    "knn_bruteforce",
     # (c) ends here: the remaining r3/r4 battery was displaced by the
     # 36 never-checked round-7 additions and heads next round's fill
 ]

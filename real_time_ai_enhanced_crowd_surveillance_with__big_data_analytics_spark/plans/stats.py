@@ -1021,11 +1021,79 @@ FROM scored GROUP BY event_type
 """
 
 
+# --- categorical independence audit (type × hour) -----------------------------
+
+def independence_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Which hours over/under-index per event type: the exact
+    independence deviation per contingency cell, cross-multiplied so no
+    division precedes the comparison — ``dev = N·n_ij − n_i·n_j`` is
+    positive exactly when the cell beats its independence expectation.
+    The localized complement to ``hour_value_gamma`` (one global
+    ordinal statistic) and ``seasonal_profile`` (descriptive averages,
+    no expectation to deviate from).
+
+    ``ratio_e6 = (1e6·N·n_ij) DIV (n_i·n_j)`` is the e6-scaled
+    observed/expected lift (1e6 = independent), integer-exact; the
+    over-represented flag needs no scaling at all.
+
+    Scale: one corpus shuffle onto the ≤ |types|×24 grid; margins are
+    windows partitioned by each key over grid cells; N broadcasts as a
+    1-row keyless aggregate. ``N·n_ij`` is BIGINT-exact below ~3e9
+    rows; DECIMAL(38,0) beyond.
+    """
+    events = load_table(spark, "events", sf)
+    cells = (
+        events.select("event_type", F.hour("ts").cast("long").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n_ij"))
+    )
+    by_type = Window.partitionBy("event_type")
+    by_hour = Window.partitionBy("h")
+    grand = cells.agg(F.sum("n_ij").alias("n_all"))
+    return (
+        cells.withColumn("n_i", F.sum("n_ij").over(by_type))
+        .withColumn("n_j", F.sum("n_ij").over(by_hour))
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "event_type",
+            "h",
+            "n_ij",
+            "n_i",
+            "n_j",
+            (F.col("n_all") * F.col("n_ij") - F.col("n_i") * F.col("n_j")).alias(
+                "dev"
+            ),
+            F.expr(
+                "(1000000 * n_all * n_ij) DIV (n_i * n_j)"
+            ).alias("ratio_e6"),
+        )
+    )
+
+
+INDEPENDENCE_AUDIT_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS n_ij
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT *,
+         CAST(sum(n_ij) OVER (PARTITION BY event_type) AS BIGINT) AS n_i,
+         CAST(sum(n_ij) OVER (PARTITION BY h) AS BIGINT) AS n_j
+  FROM cells
+), grand AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n_all FROM cells)
+SELECT event_type, h, n_ij, n_i, n_j,
+       n_all * n_ij - n_i * n_j AS dev,
+       (1000000 * n_all * n_ij) // (n_i * n_j) AS ratio_e6
+FROM margins CROSS JOIN grand
+"""
+
+
 STATS_QUERIES = {
     "benford_audit": (benford_audit, BENFORD_AUDIT_SQL),
     "revenue_gini": (revenue_gini, REVENUE_GINI_SQL),
     "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
     "hour_value_gamma": (hour_value_gamma, HOUR_VALUE_GAMMA_SQL),
+    "independence_audit": (independence_audit, INDEPENDENCE_AUDIT_SQL),
     "sketch_rollup": (sketch_rollup, SKETCH_ROLLUP_SQL),
     "embedding_covariance": (embedding_covariance, EMBEDDING_COVARIANCE_SQL),
     "key_skew_report": (key_skew_report, KEY_SKEW_REPORT_SQL),
