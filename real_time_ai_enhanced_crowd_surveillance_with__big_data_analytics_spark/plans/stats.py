@@ -552,6 +552,13 @@ def benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     statistic is the total variation distance ``tvd_e6 = Σ|obs−exp|/2``
     — integer-exact end to end, no chi-square float.
 
+    The grid is DENSE: a digit with zero observations still contributes
+    its full |0 − expected_e6| term, via a priority × digit spine
+    (distinct priorities ⨯ the 9-row expected dim, counts left-joined,
+    n_obs coalesced to 0) — the hour_value_gamma dense-grid pattern.
+    An inner join would understate the TVD exactly when the data is
+    most anomalous (a digit missing entirely).
+
     Scale: one scan partial-aggregated onto the (priority, digit) grid
     (≤ 5×9 cells regardless of row count); everything else is window
     math over those 45 cells.
@@ -570,9 +577,15 @@ def benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     expected = spark.createDataFrame(
         [(d, e) for d, e in BENFORD_E6.items()], "digit int, expected_e6 long"
     )
+    spine = (
+        orders.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .crossJoin(F.broadcast(expected))
+    )
     grp = Window.partitionBy("priority")
     full = (
-        counts.join(F.broadcast(expected), "digit")
+        spine.join(counts, ["priority", "digit"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
         .withColumn("n_grp", F.sum("n_obs").over(grp))
         .withColumn("obs_e6", F.expr("(1000000 * n_obs) DIV n_grp"))
         .withColumn("dev_e6", F.abs(F.col("obs_e6") - F.col("expected_e6")))
@@ -601,11 +614,18 @@ WITH expected(digit, expected_e6) AS (
                            AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n_obs
   FROM orders GROUP BY 1, 2
+), spine AS (
+  SELECT p.priority, e.digit, CAST(e.expected_e6 AS BIGINT) AS expected_e6
+  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+  CROSS JOIN expected e
 ), full_grid AS (
-  SELECT c.priority, c.digit, c.n_obs,
-         CAST(e.expected_e6 AS BIGINT) AS expected_e6,
-         CAST(sum(c.n_obs) OVER (PARTITION BY c.priority) AS BIGINT) AS n_grp
-  FROM counts c JOIN expected e ON e.digit = c.digit
+  SELECT s.priority, s.digit,
+         CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+         s.expected_e6,
+         CAST(sum(COALESCE(c.n_obs, 0))
+              OVER (PARTITION BY s.priority) AS BIGINT) AS n_grp
+  FROM spine s
+  LEFT JOIN counts c ON c.priority = s.priority AND c.digit = s.digit
 ), scored AS (
   SELECT priority, digit, n_obs,
          (1000000 * n_obs) // n_grp AS obs_e6,

@@ -46,15 +46,27 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _hidden(p: str) -> bool:
+    """Hadoop convention: _-/.-prefixed basenames are unpublished.
+
+    The writer's task temps are ``_tmp-<uuid>.arrow``; excluding them
+    here is what makes rename-as-publish actually atomic for readers —
+    a read concurrent with a write (or after a crashed job whose
+    abort() never ran) must not ingest partial files.
+    """
+    return os.path.basename(p).startswith(("_", "."))
+
+
 def _files(path: str) -> list[str]:
     if os.path.isdir(path):
         out = [
             p
             for p in sorted(glob.glob(os.path.join(path, "*")))
-            if p.endswith((".arrow", ".feather", ".ipc"))
+            if p.endswith((".arrow", ".feather", ".ipc")) and not _hidden(p)
         ]
     else:
         out = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
+        out = [p for p in out if not _hidden(p)] or out
     if not out:
         raise ValueError(f"arrowipc: no IPC files under {path!r}")
     return out
@@ -100,9 +112,12 @@ class _Published(WriterCommitMessage):
 
 
 class ArrowIPCWriter(DataSourceWriter):
-    def __init__(self, schema: StructType, options: dict) -> None:
+    def __init__(
+        self, schema: StructType, options: dict, overwrite: bool = False
+    ) -> None:
         self._schema = schema
         self._dir = options["path"]
+        self._overwrite = overwrite
 
     def write(self, rows: Iterator) -> _Published:
         import pyarrow as pa
@@ -131,7 +146,16 @@ class ArrowIPCWriter(DataSourceWriter):
         return _Published(temp=temp, final=final)
 
     def commit(self, messages) -> None:
-        # rename-as-publish: readers list only *.arrow, temps are _tmp-*
+        # rename-as-publish: readers list only non-hidden *.arrow, temps
+        # are _tmp-*.  mode("overwrite") replaces the whole directory
+        # contents: stale part files from a previous write with MORE
+        # partitions must not survive and silently merge with new data,
+        # so clean every published (non-hidden) IPC file first — the
+        # about-to-publish temps are _-prefixed and survive the sweep.
+        if self._overwrite:
+            for p in glob.glob(os.path.join(self._dir, "*")):
+                if p.endswith((".arrow", ".feather", ".ipc")) and not _hidden(p):
+                    os.unlink(p)
         for m in messages:
             if m is not None:
                 os.replace(m.temp, m.final)
@@ -160,7 +184,7 @@ class ArrowIPCDataSource(DataSource):
         return ArrowIPCReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ArrowIPCWriter:
-        return ArrowIPCWriter(schema, self.options)
+        return ArrowIPCWriter(schema, self.options, overwrite)
 
 
 def register_arrow_ipc_source(spark) -> None:

@@ -104,3 +104,46 @@ def test_write_round_trip_and_publish_discipline(registered, tmp_path):
     # pyarrow can read what the writer published (interop both ways)
     t = feather.read_table(files[0])
     assert set(t.schema.names) == {"id", "bucket", "name"}
+
+
+def test_temp_and_hidden_files_invisible_to_readers(registered, tmp_path):
+    """Rename-as-publish is only atomic if readers skip unpublished
+    names: a crashed job's orphaned ``_tmp-*.arrow`` (abort never ran)
+    and dotfiles must not be listed, even though they end in .arrow."""
+    d = tmp_path / "dir"
+    d.mkdir()
+    feather.write_feather(
+        _table(0, 30), str(d / "good.arrow"), compression="uncompressed"
+    )
+    # orphaned task temp from a crashed concurrent write — same schema,
+    # would silently double-count rows if listed
+    feather.write_feather(
+        _table(100, 30), str(d / "_tmp-deadbeef.arrow"), compression="uncompressed"
+    )
+    feather.write_feather(
+        _table(200, 10), str(d / ".hidden.arrow"), compression="uncompressed"
+    )
+    # a truncated temp (mid-write crash) must not even be opened
+    (d / "_tmp-torn.arrow").write_bytes(b"ARROW1\x00\x00partial")
+    df = registered.read.format("arrowipc").load(str(d))
+    assert df.count() == 30
+    assert {r["id"] for r in df.collect()} == set(range(30))
+
+
+def test_overwrite_removes_stale_parts(registered, tmp_path):
+    """mode('overwrite') must replace the directory contents: a prior
+    write with MORE partitions leaves part files the new write does not
+    touch, and a later read must not merge old and new data."""
+    out = str(tmp_path / "out")
+    registered.range(0, 100, 1, 8).write.format("arrowipc").option(
+        "path", out
+    ).mode("append").save()
+    assert len(glob.glob(os.path.join(out, "*.arrow"))) == 8
+    registered.range(1000, 1010, 1, 2).write.format("arrowipc").option(
+        "path", out
+    ).mode("overwrite").save()
+    files = sorted(glob.glob(os.path.join(out, "*.arrow")))
+    assert len(files) == 2  # stale part-00002..07 gone
+    back = registered.read.format("arrowipc").load(out)
+    assert back.count() == 10
+    assert {r["id"] for r in back.collect()} == set(range(1000, 1010))
