@@ -57,77 +57,73 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
-# Round-7 window (VERDICT r6 "Next round" #1 — the freshness rotation,
-# computed by tools/rotation_planner.py --diff, re-run after every
-# late-r7 addition so all never-driver-checked queries ship with a
-# verdict):
+# Round-8 window (VERDICT r7 "Next round" #1 — retire the r3/r4-era
+# verdict cohort; computed by tools/rotation_planner.py --diff):
 # (a) the two canaries, every round;
-# (b) the 36 queries added across round 7's sessions (never
-#     driver-checked) — new capability outranks re-attestation in the
-#     planner's policy;
-# (c) fill to 50 with the queries whose latest driver verdict is
-#     OLDEST: value_outliers (r2) and the oldest r3 rows. The r3/r4
-#     rows the late additions displaced (label_centroids,
-#     token_stats, trigram_profile, the dedup battery, multimodal
-#     pair, crowd_alerts_pipeline, pricing battery) are next round's
-#     first fills — all green in this round's full-registry local
-#     oracle run.
+# (b) never driver-checked: the round-8 scale-path twins;
+# (c) spec changed after the r7 window froze (rotation class (c),
+#     spliced by hand): benford_audit now builds a dense priority ×
+#     digit spine, so its r7 verdict no longer attests current code;
+# (d) fill to 50 with the queries whose latest driver verdict is
+#     OLDEST — the entire r3 cohort, then r4 in registry order. The
+#     three r4 rows that no longer fit (forecast_revenue,
+#     market_share, product_profit) head next round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
     "revenue_by_nation",
     # (b) never checked
-    "auc_evaluation",
-    "ks_score_separation",
-    "tree_split_finder",
-    "target_encode_oof",
-    "ewma_forecast",
-    "cusum_changepoints",
+    "revenue_gini_grid",
+    "interarrival_burstiness_sharded",
+    # (c) spec changed since its r7 verdict (dense Benford grid)
     "benford_audit",
-    "kn_bigram_lm",
-    "ab_test_report",
-    "theil_sen_trend",
-    "frequent_paths",
-    "xml_pages_extract",
-    "bom_subtree_rollup",
-    "grid_exact_percentiles",
-    "revenue_gini",
-    "crawl_budget_allocation",
-    "rfm_segments",
-    "hour_value_gamma",
-    "cohort_ltv_triangle",
-    "interarrival_burstiness",
-    "od_flow_matrix",
-    "loiter_episodes",
-    "independence_audit",
-    "matryoshka_recall",
-    "winnowing_fingerprints",
-    "html_extract_quality",
-    "image_dhash_neardup",
-    "audio_pcm_features",
-    "dsir_select",
-    "c4_line_filter",
-    "url_canonicalize",
-    "robots_gate",
-    "spatial_neighbor_pairs",
-    "spatial_nearest_site",
-    "crowd_density_hotspots",
-    "spatial_triangle_census",
-    "colocation_encounters",
-    "spatial_two_hop_reach",
-    # (c) oldest-verdict fill: r2, then the r3 battery
-    "value_outliers",
-    "alarm_rising_edges",
-    "conditional_counts",
-    "sessionize",
-    "clicks_near_purchases",
-    "event_pivot",
-    "event_unpivot",
-    "shipmode_priority",
-    "sequence_packing",
-    "embedding_quantization",
-    # (c) ends here: the remaining r3/r4 battery was displaced by the
-    # 36 never-checked round-7 additions and heads next round's fill
+    # (d) oldest-verdict fill: r3 cohort first
+    "knn_bruteforce",
+    "fall_detection_softmax",
+    "label_centroids",
+    "embedding_neardup_lsh",
+    "ivf_knn",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "token_stats",
+    "trigram_profile",
+    "crowd_alerts_pipeline",
+    "multimodal_meta",
+    "multimodal_features",
+    "video_frame_sample",
+    # (d) then the r4 cohort in registry order
+    "pricing_summary",
+    "top_orders_per_customer",
+    "argmax_event",
+    "customers_without_events",
+    "customers_with_errors",
+    "event_trend_rollup",
+    "shipping_priority",
+    "returned_revenue",
+    "props_extract",
+    "session_window_stats",
+    "asof_last_event",
+    "asof_next_event",
+    "value_percentiles",
+    "distinct_stats",
+    "value_rank_profile",
+    "running_revenue",
+    "moving_revenue",
+    "revenue_deciles",
+    "event_cube",
+    "event_grouping_sets",
+    "small_quantity_revenue",
+    "volume_shipping",
+    "top_supplier",
+    "high_balance_no_orders",
+    "promo_revenue",
+    "large_volume_orders",
+    "customer_order_distribution",
+    "order_priority_check",
+    "min_cost_supplier",
+    "important_stock",
+    "late_sole_supplier",
 ]
 
 

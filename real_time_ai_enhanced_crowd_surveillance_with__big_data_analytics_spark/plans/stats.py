@@ -713,6 +713,97 @@ def revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def revenue_gini_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of ``revenue_gini``: the same exact Gini + top-10%
+    share computed from the (event_type, cents) HISTOGRAM instead of a
+    per-row rank — no per-type row sort anywhere in the plan.
+
+    The identity: rows sharing a cents value occupy a contiguous rank
+    block, and Σ of ranks over a block of size c starting after
+    cum_before rows is cum_before·c + c(c+1)/2, so
+
+        Σ i·x_(i)  =  Σ_v v·(cum_before(v)·c(v) + c(v)(c(v)+1) DIV 2)
+
+    (c(c+1) is always even, so the DIV is exact). The top-decile mass
+    is the block overlap with the top k = n DIV 10 ranks:
+    v·greatest(0, least(c, cum − (n − k))). Intra-block tie order
+    (event_id in the anchor) never matters because x is constant within
+    a block — which is exactly why the histogram form is lossless.
+
+    Scale: the shuffle is (event_type, cents) with map-side partial
+    counts — the grid_exact_percentiles posture. The ordered window
+    runs over DISTINCT cents per type (bounded by the value domain,
+    ~10^4 cells), not over rows; at 100 TB the per-type sort that makes
+    the anchor a verification-only form simply does not exist here.
+
+    Oracle: byte-identical to ``revenue_gini`` (same SQL) — the driver
+    hash-checks the rewrite against the rank-based spec.
+    """
+    events = load_table(spark, "events", sf)
+    hist = events.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").alias("c"))
+    ordered = Window.partitionBy("event_type").orderBy("cents")
+    per = Window.partitionBy("event_type")
+    g = (
+        hist.withColumn("cum", F.sum("c").over(ordered))
+        .withColumn("cum_before", F.col("cum") - F.col("c"))
+        .withColumn("n", F.sum("c").over(per))
+        .withColumn("s", F.sum(F.col("cents") * F.col("c")).over(per))
+        .withColumn("k", F.expr("n DIV 10"))
+    )
+    agg = g.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("total_cents"),
+        F.sum(
+            F.col("cents")
+            * (
+                F.col("cum_before") * F.col("c")
+                + F.expr("(c * (c + 1)) DIV 2")
+            )
+        ).alias("rank_weighted"),
+        # NULL (not 0) when k = 0, matching the anchor's empty CASE sum
+        F.sum(
+            F.when(
+                F.col("k") > 0,
+                F.col("cents")
+                * F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.col("c"),
+                        F.col("cum") - (F.col("n") - F.col("k")),
+                    ),
+                ),
+            )
+        ).alias("top_decile_cents"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            "total_cents",
+            F.expr("2 * rank_weighted - (n + 1) * total_cents").alias("num"),
+            F.expr("n * total_cents").alias("den"),
+            F.expr(
+                "(1000000 * top_decile_cents) DIV total_cents"
+            ).alias("top10_share_e6"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "total_cents",
+            # same three-step exact long division as the anchor
+            F.expr(
+                "(num DIV den) * 1000000"
+                " + ((1000 * (num % den)) DIV den) * 1000"
+                " + (1000 * ((1000 * (num % den)) % den)) DIV den"
+            ).alias("gini_e6"),
+            "top10_share_e6",
+        )
+    )
+
+
 REVENUE_GINI_SQL = """
 WITH cents AS (
   SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
@@ -1111,6 +1202,7 @@ FROM margins CROSS JOIN grand
 STATS_QUERIES = {
     "benford_audit": (benford_audit, BENFORD_AUDIT_SQL),
     "revenue_gini": (revenue_gini, REVENUE_GINI_SQL),
+    "revenue_gini_grid": (revenue_gini_grid, REVENUE_GINI_SQL),
     "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
     "hour_value_gamma": (hour_value_gamma, HOUR_VALUE_GAMMA_SQL),
     "independence_audit": (independence_audit, INDEPENDENCE_AUDIT_SQL),

@@ -1434,6 +1434,89 @@ def interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def interarrival_burstiness_sharded(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of ``interarrival_burstiness``: the lag runs
+    within (event_type, day) SHARDS and the day-boundary gaps are
+    stitched from one row per shard — no per-type global sort of the
+    event rows anywhere in the plan.
+
+    Losslessness: the per-type second-resolution arrival sequence is
+    unique (floor(ts→s) is monotone in the anchor's (ts, event_id)
+    order, so tie-break permutations never reorder t_s), and cutting a
+    sorted sequence at day boundaries then stitching first/last per
+    shard reproduces exactly the anchor's gap multiset — interior gaps
+    from the shard-local lag, boundary gaps from
+    first_t_s(shard) − last_t_s(previous non-empty shard).
+
+    Scale: the wide window is partitioned by (event_type, shard_day) —
+    bounded partitions that AQE can pack, instead of the anchor's one
+    sort task per event_type holding that type's ENTIRE history. The
+    stitch window orders one row per shard (≤ types × days rows). Same
+    integers, same three-step e6 long division.
+
+    Oracle: byte-identical to ``interarrival_burstiness`` (same SQL) —
+    the driver hash-checks the sharded rewrite against the ordered-lag
+    spec.
+    """
+    events = load_table(spark, "events", sf)
+    base = events.select(
+        "event_type",
+        "event_id",
+        "ts",  # full-precision order key (t_s floors to seconds)
+        F.col("ts").cast("long").alias("t_s"),
+        F.to_date("ts").alias("shard_day"),
+    )
+    in_shard = Window.partitionBy("event_type", "shard_day").orderBy(
+        "ts", "event_id"
+    )
+    interior = (
+        base.withColumn("g", F.col("t_s") - F.lag("t_s").over(in_shard))
+        .filter(F.col("g").isNotNull())
+        .select("event_type", "g")
+    )
+    # one row per non-empty shard: first/last arrival second in anchor
+    # order (struct min/max compares ts first, then event_id)
+    shard_ends = base.groupBy("event_type", "shard_day").agg(
+        F.min(F.struct("ts", "event_id", "t_s"))["t_s"].alias("first_s"),
+        F.max(F.struct("ts", "event_id", "t_s"))["t_s"].alias("last_s"),
+    )
+    across = Window.partitionBy("event_type").orderBy("shard_day")
+    boundary = (
+        shard_ends.withColumn(
+            "g", F.col("first_s") - F.lag("last_s").over(across)
+        )
+        .filter(F.col("g").isNotNull())
+        .select("event_type", "g")
+    )
+    agg = (
+        interior.unionByName(boundary)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("g").alias("span_s"),
+            F.sum(F.col("g") * F.col("g")).alias("sum_sq"),
+            F.max("g").alias("max_gap_s"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "span_s",
+        "sum_sq",
+        "max_gap_s",
+        F.expr("(1000 * span_s) DIV n_gaps").alias("mean_gap_ms"),
+        F.expr(
+            "((n_gaps * sum_sq - span_s * span_s) DIV (span_s * span_s))"
+            " * 1000000"
+            " + ((1000 * ((n_gaps * sum_sq - span_s * span_s)"
+            "             % (span_s * span_s))) DIV (span_s * span_s)) * 1000"
+            " + (1000 * ((1000 * ((n_gaps * sum_sq - span_s * span_s)"
+            "                     % (span_s * span_s)))"
+            "            % (span_s * span_s))) DIV (span_s * span_s)"
+        ).alias("cv2_e6"),
+    )
+
+
 INTERARRIVAL_BURSTINESS_SQL = """
 WITH gaps AS (
   SELECT event_type,
@@ -1480,6 +1563,10 @@ TIMESERIES_QUERIES = {
     "theil_sen_trend": (theil_sen_trend, THEIL_SEN_TREND_SQL),
     "interarrival_burstiness": (
         interarrival_burstiness,
+        INTERARRIVAL_BURSTINESS_SQL,
+    ),
+    "interarrival_burstiness_sharded": (
+        interarrival_burstiness_sharded,
         INTERARRIVAL_BURSTINESS_SQL,
     ),
     "rolling_active_users": (rolling_active_users, ROLLING_ACTIVE_USERS_SQL),

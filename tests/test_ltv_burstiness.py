@@ -10,6 +10,7 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
 )
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.timeseries import (
     interarrival_burstiness,
+    interarrival_burstiness_sharded,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -77,3 +78,100 @@ def test_burstiness_matches_direct(spark):
         assert r["cv2_e6"] == (1_000_000 * (n * q - s * s)) // (s * s)
         # near-Poisson synthetic traffic: CV^2 should sit near 1
         assert 100_000 < r["cv2_e6"] < 10_000_000
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sharded_twin_equals_anchor(spark):
+    """The 100 TB (type, day)-sharded-lag form is value-identical to
+    the per-type ordered-lag anchor on the driver testdata."""
+    assert _rows(interarrival_burstiness_sharded(spark, SF)) == _rows(
+        interarrival_burstiness(spark, SF)
+    )
+
+
+def test_sharded_twin_has_no_per_type_global_sort(spark):
+    """The point of the twin: the wide lag window must be partitioned
+    by (event_type, shard_day), never by event_type alone — one sort
+    task per type over that type's entire history is the anchor's
+    scale ceiling."""
+    plan = (
+        interarrival_burstiness_sharded(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lag_lines = [ln for ln in plan.splitlines() if "lag(" in ln]
+    assert lag_lines, "expected a lag window in the plan"
+    for ln in lag_lines:
+        if "t_s" in ln:  # the wide per-row window
+            assert "shard_day" in ln
+    # contrast: the anchor's lag IS partitioned by event_type alone
+    anchor = (
+        interarrival_burstiness(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    anchor_lag = [ln for ln in anchor.splitlines() if "lag(" in ln]
+    assert anchor_lag and all("shard_day" not in ln for ln in anchor_lag)
+
+
+def test_sharded_twin_boundary_stitch_edges(spark, tmp_path):
+    """Hand-built corpus pinning the stitch seams: a day boundary, two
+    events in the SAME second straddling midnight order, an EMPTY day
+    between populated shards, and a single-event type (no gaps → no
+    output row, matching the anchor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    def us(*a):
+        return int(datetime(*a).timestamp() * 1_000_000)
+
+    rows = [
+        # type a: interior gap, midnight boundary, same-second tie,
+        # then a jump over an entirely empty day
+        (1, us(2024, 1, 1, 23, 59, 58), 10, "a", 1.0, "{}"),
+        (2, us(2024, 1, 1, 23, 59, 59), 10, "a", 1.0, "{}"),
+        (3, us(2024, 1, 2, 0, 0, 1), 10, "a", 1.0, "{}"),
+        (4, us(2024, 1, 2, 0, 0, 1), 10, "a", 1.0, "{}"),
+        (5, us(2024, 1, 4, 6, 0, 0), 10, "a", 1.0, "{}"),
+        # type b: single event — zero gaps, must produce NO row
+        (6, us(2024, 1, 1, 12, 0, 0), 11, "b", 1.0, "{}"),
+        # type c: all inside one shard (stitch contributes nothing)
+        (7, us(2024, 1, 3, 1, 0, 0), 12, "c", 1.0, "{}"),
+        (8, us(2024, 1, 3, 1, 0, 5), 12, "c", 1.0, "{}"),
+        (9, us(2024, 1, 3, 1, 0, 7), 12, "c", 1.0, "{}"),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    sharded = {
+        r["event_type"]: r
+        for r in interarrival_burstiness_sharded(spark, str(tmp_path)).collect()
+    }
+    anchor = {
+        r["event_type"]: r
+        for r in interarrival_burstiness(spark, str(tmp_path)).collect()
+    }
+    assert set(sharded) == set(anchor) == {"a", "c"}  # b: no gaps
+    for et in ("a", "c"):
+        assert tuple(sharded[et]) == tuple(anchor[et])
+    # hand-checked gap multiset for a: [1, 2, 0, 2·86400 - 3600·18 + ...]
+    a = sharded["a"]
+    gaps = [1, 2, 0, us(2024, 1, 4, 6, 0, 0) // 10**6 - us(2024, 1, 2, 0, 0, 1) // 10**6]
+    assert a["n_gaps"] == 4
+    assert a["span_s"] == sum(gaps)
+    assert a["sum_sq"] == sum(g * g for g in gaps)
+    assert a["max_gap_s"] == max(gaps)

@@ -8,6 +8,7 @@ import duckdb
 
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.stats import (
     revenue_gini,
+    revenue_gini_grid,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -47,3 +48,59 @@ def test_gini_matches_direct_and_float_reference(spark):
         # Lorenz ordering invariants
         assert 0 <= r["gini_e6"] <= 1_000_000
         assert r["top10_share_e6"] >= 1_000_000 * (n // 10) // n  # >= uniform
+
+
+def test_grid_twin_equals_rank_anchor(spark):
+    """The cents-histogram rewrite (Σ i·x via block rank sums) is
+    value-identical to the per-row rank anchor — the 100 TB path is
+    hash-checked against the spec, not just documented."""
+    grid = sorted(tuple(r) for r in revenue_gini_grid(spark, SF).collect())
+    anchor = sorted(tuple(r) for r in revenue_gini(spark, SF).collect())
+    assert grid == anchor
+
+
+def test_grid_twin_has_no_per_row_rank(spark):
+    """The grid form must not rank rows: no row_number anywhere, and
+    its ordered window must consume the (event_type, cents) HISTOGRAM
+    (an Aggregate below the Window), not the raw event rows."""
+    qe = revenue_gini_grid(spark, SF)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert "row_number" not in plan
+    # window input is the aggregated grid: the cumulative-sum window
+    # sits ABOVE the count aggregate in the tree (Window ... Aggregate)
+    w = plan.index("Window")
+    assert "Aggregate" in plan[w:]
+    # contrast: the anchor does rank per row
+    anchor_plan = (
+        revenue_gini(spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "row_number" in anchor_plan
+
+
+def test_grid_twin_k_zero_emits_null_share(spark, tmp_path):
+    """n < 10 rows in a type → k = n DIV 10 = 0 → the anchor's CASE sum
+    is NULL; the grid twin must coalesce to the same NULL, not 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(i, 1_700_000_000_000_000 + i * 10**6, 1, "tiny", float(i + 1), "{}")
+            for i in range(5)]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    g = revenue_gini_grid(spark, str(tmp_path)).collect()
+    a = revenue_gini(spark, str(tmp_path)).collect()
+    assert len(g) == len(a) == 1
+    assert tuple(g[0]) == tuple(a[0])
+    assert g[0]["top10_share_e6"] is None
