@@ -47,16 +47,29 @@ def make_stub_scorer(n_classes: int = 10) -> Callable:
     return predict
 
 
-def scores_udf(n_classes: int = 10, dim: int = 2, batch_size: int = 1024):
+def scores_udf(
+    n_classes: int = 10,
+    dim: int = 2,
+    batch_size: int = 1024,
+    factory: Callable | None = None,
+):
     """predict_batch_udf wrapper: per-executor model cache + Arrow
     batching (the fix for the reference's batch-of-1 inference).
     Array (tensor) inputs require a declared shape — ``dim`` is the
-    feature-vector length."""
+    feature-vector length.
+
+    ``factory`` is the pluggable model loader (runs ONCE per executor,
+    must return a ``(batch, dim) -> (batch, n_classes)`` callable);
+    default is the deterministic stub. A real YOLO/CLIP/torch factory
+    drops in unchanged — tests/test_inference_torch.py proves the
+    closure against an actual ``torch.nn`` module where torch exists.
+    """
     if not HAS_PREDICT_BATCH:  # pragma: no cover
         raise ImportError("pyspark.ml not available")
 
-    def factory():
-        return make_stub_scorer(n_classes)
+    if factory is None:
+        def factory():
+            return make_stub_scorer(n_classes)
 
     return predict_batch_udf(
         factory,

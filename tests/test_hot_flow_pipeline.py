@@ -1,0 +1,179 @@
+"""Composed hotspot→O-D pipeline (streaming/hot_flow_pipeline.py):
+one foreachBatch query maintains the density + flow state, and the
+composed view equals crowd_density_hotspots ⋈ od_flow_matrix over the
+replayed events table (VERDICT r7 #8)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.spatial import (
+    HOT_CELL,
+    _cell,
+    _coords,
+    crowd_density_hotspots,
+    od_flow_matrix,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+    load_table,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.hot_flow_pipeline import (
+    hot_flow_apply,
+    read_hot_flow_matrix,
+    run_hot_flow_pipeline,
+)
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.runner import (
+    stream_events,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _batch_composed_registry(spark, sf_dir):
+    """The batch spec at the REGISTRY constants: the literal join of
+    the two registry queries the pipeline composes live."""
+    hot = crowd_density_hotspots(spark, sf_dir).filter("hot")
+    flows = od_flow_matrix(spark, sf_dir)
+    return flows.join(
+        hot,
+        (flows.to_x == hot.cell_x) & (flows.to_y == hot.cell_y),
+    ).select(
+        "from_x",
+        "from_y",
+        "to_x",
+        "to_y",
+        "n_transitions",
+        "n_movers",
+        "cell_dist",
+        F.col("n_events").alias("dest_n_events"),
+        F.col("n_users").alias("dest_n_users"),
+    )
+
+
+def _batch_composed_minflow1(spark, sf_dir):
+    """Same composition with the MIN_FLOW cut at 1 (sf0.001 has no
+    flow pair reaching the registry cut) — recomputed from first
+    principles so the relaxed-threshold parity is an independent
+    oracle, not the view's own algebra."""
+    ev = load_table(spark, "events", sf_dir)
+    x, y = _coords(F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _cell(x, HOT_CELL).alias("cx"),
+        _cell(y, HOT_CELL).alias("cy"),
+    )
+    flows = (
+        pos.withColumn("to_x", F.lead("cx").over(w))
+        .withColumn("to_y", F.lead("cy").over(w))
+        .filter(F.col("to_x").isNotNull())
+        .groupBy(
+            F.col("cx").alias("from_x"),
+            F.col("cy").alias("from_y"),
+            "to_x",
+            "to_y",
+        )
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_movers"),
+        )
+        .withColumn(
+            "cell_dist",
+            F.greatest(
+                F.abs(F.col("from_x") - F.col("to_x")),
+                F.abs(F.col("from_y") - F.col("to_y")),
+            ),
+        )
+    )
+    hot = crowd_density_hotspots(spark, sf_dir).filter("hot")
+    return flows.join(
+        hot,
+        (flows.to_x == hot.cell_x) & (flows.to_y == hot.cell_y),
+    ).select(
+        "from_x",
+        "from_y",
+        "to_x",
+        "to_y",
+        "n_transitions",
+        "n_movers",
+        "cell_dist",
+        F.col("n_events").alias("dest_n_events"),
+        F.col("n_users").alias("dest_n_users"),
+    )
+
+
+def _run(spark, sf_dir, tmp_path) -> tuple[str, str]:
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_hot_flow_pipeline(stream_events(spark, sf_dir), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out, ckpt
+
+
+def test_composed_view_matches_registry_join_sf001(spark, tmp_path):
+    """Registry-constant parity at the scale where the composition is
+    non-vacuous (6 hot inflows at sf0.01)."""
+    out, ckpt = _run(spark, SF01, tmp_path)
+    got = sorted(tuple(r) for r in read_hot_flow_matrix(spark, out).collect())
+    want = sorted(
+        tuple(r) for r in _batch_composed_registry(spark, SF01).collect()
+    )
+    assert want, "no hot inflows at this scale would make the test vacuous"
+    assert got == want
+    # the replay really was multi-batch: boundary edges exist only if
+    # last_pos carried across micro-batches
+    commits = [
+        c
+        for c in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if not c.endswith(".tmp")
+    ]
+    assert len(commits) >= 3
+
+
+def test_composed_view_matches_at_relaxed_cut(spark, sf_dir, tmp_path):
+    """Smoke-scale parity with min_flow=1 against an independently
+    recomputed oracle — exercises the same state machinery on the
+    default fixture where the registry cut yields zero flows."""
+    out, _ = _run(spark, sf_dir, tmp_path)
+    got = sorted(
+        tuple(r)
+        for r in read_hot_flow_matrix(spark, out, min_flow=1).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _batch_composed_minflow1(spark, sf_dir).collect()
+    )
+    assert want
+    assert got == want
+
+
+def test_replayed_batch_is_noop(spark, sf_dir, tmp_path):
+    """Crash-replay: re-applying an already-committed batch_id must not
+    change the snapshot (the manifest's batch_id is the commit point)."""
+    out, _ = _run(spark, sf_dir, tmp_path)
+    before = sorted(
+        tuple(r)
+        for r in read_hot_flow_matrix(spark, out, min_flow=1).collect()
+    )
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        man = json.load(fh)
+    # a real restart re-offers the last batch with its ORIGINAL id,
+    # which is <= the manifest's — simulate with the whole table
+    batch = load_table(spark, "events", sf_dir)
+    hot_flow_apply(spark, out)(batch, man["batch_id"])
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        assert json.load(fh) == man  # nothing committed
+    after = sorted(
+        tuple(r)
+        for r in read_hot_flow_matrix(spark, out, min_flow=1).collect()
+    )
+    assert after == before
