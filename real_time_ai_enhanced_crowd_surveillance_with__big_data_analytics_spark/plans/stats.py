@@ -577,16 +577,24 @@ def benford_audit(spark: SparkSession, sf: str) -> DataFrame:
     expected = spark.createDataFrame(
         [(d, e) for d, e in BENFORD_E6.items()], "digit int, expected_e6 long"
     )
-    spine = (
-        orders.select(F.col("o_orderpriority").alias("priority"))
-        .distinct()
-        .crossJoin(F.broadcast(expected))
+    # ONE scan: fold each priority's digit histogram into a 9-entry map
+    # (second aggregate runs over the 45-cell partials), then densify by
+    # cross-joining the broadcast 9-row expected dim — element_at misses
+    # coalesce to 0, which is exactly the dense-spine semantics without
+    # a second orders scan or a spine join
+    per_prio = counts.groupBy("priority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("digit", "n_obs"))
+        ).alias("m"),
+        F.sum("n_obs").alias("n_grp"),
     )
     grp = Window.partitionBy("priority")
     full = (
-        spine.join(counts, ["priority", "digit"], "left")
-        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)))
-        .withColumn("n_grp", F.sum("n_obs").over(grp))
+        per_prio.crossJoin(F.broadcast(expected))
+        .withColumn(
+            "n_obs",
+            F.coalesce(F.element_at("m", F.col("digit")), F.lit(0)),
+        )
         .withColumn("obs_e6", F.expr("(1000000 * n_obs) DIV n_grp"))
         .withColumn("dev_e6", F.abs(F.col("obs_e6") - F.col("expected_e6")))
     )
