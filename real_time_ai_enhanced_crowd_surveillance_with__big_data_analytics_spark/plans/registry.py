@@ -66,8 +66,9 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     three r4 rows that no longer fit (forecast_revenue,
-#     market_share, product_profit) head next round's fill.
+#     four r4 rows that no longer fit (late_sole_supplier,
+#     forecast_revenue, market_share, product_profit) head next
+#     round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -75,6 +76,7 @@ _PRIORITY: list[str] = [
     # (b) never checked
     "revenue_gini_grid",
     "interarrival_burstiness_sharded",
+    "user_cohorts_onepass",
     # (c) spec changed since its r7 verdict (dense Benford grid)
     "benford_audit",
     # (d) oldest-verdict fill: r3 cohort first
@@ -123,7 +125,6 @@ _PRIORITY: list[str] = [
     "order_priority_check",
     "min_cost_supplier",
     "important_stock",
-    "late_sole_supplier",
 ]
 
 

@@ -340,6 +340,58 @@ def user_cohorts_setops(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def user_cohorts_onepass(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB form of ``user_cohorts_setops``: ONE fact shuffle.
+    Since every cohort derives from the same events table, membership
+    is a conditional aggregation — groupBy(user_id) with one bool_or
+    per type — and the three set expressions become boolean algebra on
+    that single pass (click∧purchase, click∧¬purchase, signup∨error),
+    exploded to the anchor's tagged long format. The set-op anchor's
+    ~6 distinct shuffles collapse to one partial-aggregated user-keyed
+    shuffle; the anchor stays the right tool when cohorts come from
+    DIFFERENT sources.
+
+    Oracle: byte-identical to ``user_cohorts_setops`` (same SQL) — the
+    rewrite is hash-checked against the set-op spec.
+    """
+    events = load_table(spark, "events", sf)
+    flags = (
+        events.filter(
+            F.col("event_type").isin("click", "purchase", "signup", "error")
+        )
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == t, True).otherwise(False)
+                ).alias(t)
+                for t in ("click", "purchase", "signup", "error")
+            ]
+        )
+    )
+    tagged = flags.select(
+        "user_id",
+        F.array_compact(
+            F.array(
+                F.when(
+                    F.col("click") & F.col("purchase"),
+                    F.lit("click_and_purchase"),
+                ),
+                F.when(
+                    F.col("click") & ~F.col("purchase"), F.lit("click_only")
+                ),
+                F.when(
+                    F.col("signup") | F.col("error"),
+                    F.lit("signup_or_error"),
+                ),
+            )
+        ).alias("cohorts"),
+    )
+    return tagged.select(
+        F.explode("cohorts").alias("cohort"), "user_id"
+    )
+
+
 USER_COHORTS_SETOPS_SQL = """
 WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
 purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
@@ -359,6 +411,7 @@ SELECT 'signup_or_error', user_id
 SURVEILLANCE_QUERIES = {
     "fire_alerts": (fire_alerts, FIRE_ALERTS_SQL),
     "user_cohorts_setops": (user_cohorts_setops, USER_COHORTS_SETOPS_SQL),
+    "user_cohorts_onepass": (user_cohorts_onepass, USER_COHORTS_SETOPS_SQL),
     "detection_parse": (detection_parse, DETECTION_PARSE_SQL),
     "validate_registrations": (validate_registrations, VALIDATE_REGISTRATIONS_SQL),
     "nms_detections": (nms_detections, _nms_oracle_sql(PERSON_IOU)),
