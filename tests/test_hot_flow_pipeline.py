@@ -156,6 +156,146 @@ def test_composed_view_matches_at_relaxed_cut(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Kill the pipeline between micro-batches and restart from the
+    SAME checkpoint + state dir: the final composed matrix must equal
+    the batch recompute over everything — last_pos carried the
+    chunk-boundary edges across the restart, and no batch was lost or
+    double-applied."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.streaming.hot_flow_pipeline import (
+        run_hot_flow_pipeline,
+    )
+
+    src = tmp_path / "events.parquet"  # dir: batch loader + stream share it
+    src.mkdir()
+
+    def chunk(path, lo, n):
+        s = 1234 + lo
+        rows = []
+        for i in range(lo, lo + n):
+            s = (1103515245 * s + 12345) % 2**31
+            rows.append(
+                (
+                    i,
+                    1_700_000_000_000_000 + i * 47_000_000,
+                    s % 30,  # 30 users → repeated observations → flows
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(path))
+
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    chunk(src / "c1.parquet", 0, 300)
+    schema = load_table(spark, "events", str(tmp_path)).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return run_hot_flow_pipeline(stream, out, ckpt)
+    q1 = start()
+    q1.processAllAvailable()
+    q1.stop()  # "crash" between micro-batches
+    mid = read_hot_flow_matrix(spark, out, hot_min=1, min_flow=1).count()
+
+    chunk(src / "c2.parquet", 300, 300)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(
+        tuple(r)
+        for r in read_hot_flow_matrix(
+            spark, out, hot_min=1, min_flow=1
+        ).collect()
+    )
+    # batch recompute over BOTH chunks (load_table reads the dir)
+    hot = (
+        load_table(spark, "events", str(tmp_path))
+        .groupBy(
+            _cell(_coords(F.col("user_id"))[0], HOT_CELL).alias("cell_x"),
+            _cell(_coords(F.col("user_id"))[1], HOT_CELL).alias("cell_y"),
+        )
+        .agg(
+            F.count("*").alias("dest_n_events"),
+            F.countDistinct("user_id").alias("dest_n_users"),
+        )
+    )
+    ev = load_table(spark, "events", str(tmp_path))
+    x, y = _coords(F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        _cell(x, HOT_CELL).alias("cx"),
+        _cell(y, HOT_CELL).alias("cy"),
+    )
+    flows = (
+        pos.withColumn("to_x", F.lead("cx").over(w))
+        .withColumn("to_y", F.lead("cy").over(w))
+        .filter(F.col("to_x").isNotNull())
+        .groupBy(
+            F.col("cx").alias("from_x"),
+            F.col("cy").alias("from_y"),
+            "to_x",
+            "to_y",
+        )
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_movers"),
+        )
+        .withColumn(
+            "cell_dist",
+            F.greatest(
+                F.abs(F.col("from_x") - F.col("to_x")),
+                F.abs(F.col("from_y") - F.col("to_y")),
+            ),
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in flows.join(
+            hot,
+            (flows.to_x == hot.cell_x) & (flows.to_y == hot.cell_y),
+        )
+        .select(
+            "from_x",
+            "from_y",
+            "to_x",
+            "to_y",
+            "n_transitions",
+            "n_movers",
+            "cell_dist",
+            "dest_n_events",
+            "dest_n_users",
+        )
+        .collect()
+    )
+    assert want and got == want
+    # the second leg genuinely added flows (state carried AND advanced)
+    assert len(got) > mid
+
+
 def test_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     """Crash-replay: re-applying an already-committed batch_id must not
     change the snapshot (the manifest's batch_id is the commit point)."""
