@@ -19,6 +19,10 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
     revenue_gini,
     revenue_gini_grid,
 )
+from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.surveillance import (
+    user_cohorts_onepass,
+    user_cohorts_setops,
+)
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.timeseries import (
     interarrival_burstiness,
     interarrival_burstiness_sharded,
@@ -51,8 +55,9 @@ def _write_events(path: str, seed: int, n: int) -> None:
     base_us = 1_700_000_000_000_000
     rows = []
     t = base_us
+    types = ("click", "purchase", "signup", "error")
     for i in range(n):
-        etype = f"t{rng(4)}"
+        etype = types[rng(4)]
         # bursty clock: 40% same second as previous, 10% day jump
         r = rng(10)
         if r < 4:
@@ -90,6 +95,20 @@ def test_gini_grid_equals_anchor_on_random_corpus(spark, tmp_path, seed):
     # carry fewer distinct cents than rows
     by_type = {r[0]: r for r in anchor}
     assert any(r[1] > 25 for r in anchor), by_type  # n > distinct cents
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47, 83, 151])
+def test_cohort_onepass_equals_anchor_on_random_corpus(
+    spark, tmp_path, seed
+):
+    _write_events(str(tmp_path / "events.parquet"), seed, 400)
+    sf = str(tmp_path)
+    one = sorted(tuple(r) for r in user_cohorts_onepass(spark, sf).collect())
+    anchor = sorted(
+        tuple(r) for r in user_cohorts_setops(spark, sf).collect()
+    )
+    assert one == anchor
+    assert anchor  # non-vacuous
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47, 83, 151])
