@@ -27,6 +27,11 @@ _PROBES = (
     "hour_value_gamma",
     "cohort_ltv_triangle",
     "interarrival_burstiness",
+    # the sharded twin's shard_day = to_date(ts) is the one seam the
+    # anchor doesn't have — a drifted session tz would cut shards at
+    # the wrong midnight (stitching still reproduces the gap multiset,
+    # but the UTC pin is the invariant this net exists to hold)
+    "interarrival_burstiness_sharded",
     "loiter_episodes",
 )
 
