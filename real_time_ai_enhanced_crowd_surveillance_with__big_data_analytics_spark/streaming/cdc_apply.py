@@ -147,9 +147,16 @@ def apply_batch(spark: SparkSession, out_dir: str):
         nxt = man["version"] + 1
         merged.write.mode("overwrite").parquet(_snap_dir(out_dir, nxt))
         _write_manifest(out_dir, nxt, batch_id)  # the commit point
-        stale = nxt - KEEP_SNAPSHOTS
-        if stale >= 0:
-            shutil.rmtree(_snap_dir(out_dir, stale), ignore_errors=True)
+        # sweep EVERY superseded version outside the keep tail — a
+        # crash between commit and prune would otherwise orphan that
+        # round's stale snapshot forever (later applies only removed
+        # their own nxt-KEEP)
+        for entry in os.listdir(out_dir):
+            if entry.startswith("snapshot_v") and entry[10:].isdigit():
+                if int(entry[10:]) <= nxt - KEEP_SNAPSHOTS:
+                    shutil.rmtree(
+                        os.path.join(out_dir, entry), ignore_errors=True
+                    )
 
     return apply
 

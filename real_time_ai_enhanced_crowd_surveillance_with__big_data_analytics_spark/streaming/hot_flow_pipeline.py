@@ -244,11 +244,16 @@ def hot_flow_apply(spark: SparkSession, out_dir: str):
         ):
             df.write.mode("overwrite").parquet(_snap(out_dir, nxt, name))
         _write_manifest(out_dir, nxt, batch_id)  # the commit point
-        stale = nxt - KEEP_SNAPSHOTS
-        if stale >= 0:
-            shutil.rmtree(
-                os.path.join(out_dir, f"v{stale}"), ignore_errors=True
-            )
+        # sweep EVERY version older than the keep tail, not just the
+        # one this apply superseded: a crash between commit and prune
+        # would otherwise orphan that round's stale dir forever (each
+        # later apply only looked at its own nxt-KEEP)
+        for entry in os.listdir(out_dir):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) <= nxt - KEEP_SNAPSHOTS:
+                    shutil.rmtree(
+                        os.path.join(out_dir, entry), ignore_errors=True
+                    )
 
     return apply
 

@@ -296,6 +296,31 @@ def test_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(got) > mid
 
 
+def test_orphaned_stale_versions_are_swept(spark, sf_dir, tmp_path):
+    """A crash between manifest commit and prune orphans a stale
+    version dir; the NEXT apply must sweep every version outside the
+    keep tail, not just its own predecessor."""
+    out, _ = _run(spark, sf_dir, tmp_path)
+    # fabricate crash leftovers: ancient version dirs prune missed
+    for v in ("v0", "v1"):
+        d = tmp_path / "state" / v / "user_cell"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "junk").write_text("")
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        man = json.load(fh)
+    batch = load_table(spark, "events", sf_dir)
+    hot_flow_apply(spark, out)(batch, man["batch_id"] + 1)  # a new batch
+    with open(os.path.join(out, "MANIFEST.json")) as fh:
+        man2 = json.load(fh)
+    left = sorted(
+        e
+        for e in os.listdir(out)
+        if e.startswith("v") and e[1:].isdigit()
+    )
+    want = [f"v{v}" for v in range(man2["version"] - 1, man2["version"] + 1)]
+    assert left == want  # keep tail only; v0/v1 orphans gone
+
+
 def test_replayed_batch_is_noop(spark, sf_dir, tmp_path):
     """Crash-replay: re-applying an already-committed batch_id must not
     change the snapshot (the manifest's batch_id is the commit point)."""
