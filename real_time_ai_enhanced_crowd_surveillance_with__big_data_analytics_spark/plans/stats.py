@@ -571,9 +571,18 @@ def benford_audit(spark: SparkSession, sf: str) -> DataFrame:
         .substr(1, 1)
         .cast("int")
     )
-    counts = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"), digit.alias("digit")
-    ).agg(F.count("*").alias("n_obs"))
+    counts = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), digit.alias("digit")
+        )
+        # Benford's law is defined over significant digits 1-9; a
+        # non-positive or sub-cent total yields '-'/'0' and must not
+        # inflate n_grp on one engine only (the oracle's spine join
+        # would drop it from the grid but this side's sum would not)
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("priority", "digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
     expected = spark.createDataFrame(
         [(d, e) for d, e in BENFORD_E6.items()], "digit int, expected_e6 long"
     )
@@ -588,7 +597,6 @@ def benford_audit(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("m"),
         F.sum("n_obs").alias("n_grp"),
     )
-    grp = Window.partitionBy("priority")
     full = (
         per_prio.crossJoin(F.broadcast(expected))
         .withColumn(
@@ -617,14 +625,19 @@ BENFORD_AUDIT_SQL = f"""
 WITH expected(digit, expected_e6) AS (
   VALUES {_BENFORD_VALUES}
 ), counts AS (
-  SELECT o_orderpriority AS priority,
-         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                           AS VARCHAR), 1, 1) AS INT) AS digit,
-         CAST(count(*) AS BIGINT) AS n_obs
-  FROM orders GROUP BY 1, 2
+  SELECT priority, digit, CAST(count(*) AS BIGINT) AS n_obs
+  FROM (
+    SELECT o_orderpriority AS priority,
+           TRY_CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders
+  ) WHERE digit BETWEEN 1 AND 9
+  GROUP BY 1, 2
 ), spine AS (
+  -- priorities with at least one VALID significant digit (matching the
+  -- Spark side's per-priority map aggregate over the filtered counts)
   SELECT p.priority, e.digit, CAST(e.expected_e6 AS BIGINT) AS expected_e6
-  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+  FROM (SELECT DISTINCT priority FROM counts) p
   CROSS JOIN expected e
 ), full_grid AS (
   SELECT s.priority, s.digit,

@@ -64,9 +64,13 @@ def _files(path: str) -> list[str]:
             for p in sorted(glob.glob(os.path.join(path, "*")))
             if p.endswith((".arrow", ".feather", ".ipc")) and not _hidden(p)
         ]
+    elif any(c in path for c in "*?["):
+        # glob: hidden/temp names are never resurrected — a pattern
+        # matching ONLY temps (mid-write dir, crashed job) must raise
+        # like the directory branch, not ingest partial files
+        out = [p for p in sorted(glob.glob(path)) if not _hidden(p)]
     else:
-        out = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
-        out = [p for p in out if not _hidden(p)] or out
+        out = [path]  # an explicit single path wins, hidden or not
     if not out:
         raise ValueError(f"arrowipc: no IPC files under {path!r}")
     return out
@@ -118,6 +122,11 @@ class ArrowIPCWriter(DataSourceWriter):
         self._schema = schema
         self._dir = options["path"]
         self._overwrite = overwrite
+        # per-WRITE token baked into published names: partition ids
+        # repeat across writes, so pid-only names would make a second
+        # mode("append") os.replace() the first write's same-numbered
+        # parts — silently neither union nor replacement
+        self._job = uuid.uuid4().hex[:12]
 
     def write(self, rows: Iterator) -> _Published:
         import pyarrow as pa
@@ -127,7 +136,9 @@ class ArrowIPCWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         os.makedirs(self._dir, exist_ok=True)
-        final = os.path.join(self._dir, f"part-{pid:05d}.arrow")
+        final = os.path.join(
+            self._dir, f"part-{self._job}-{pid:05d}.arrow"
+        )
         temp = os.path.join(self._dir, f"_tmp-{uuid.uuid4().hex}.arrow")
         arrow_schema = to_arrow_schema(self._schema)
         data = [tuple(r) for r in rows]

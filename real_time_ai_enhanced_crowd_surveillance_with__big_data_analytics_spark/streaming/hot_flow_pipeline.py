@@ -41,7 +41,6 @@ tests/test_hot_flow_pipeline.py over the chunked replay.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -51,9 +50,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..plans.spatial import HOT_CELL, HOT_MIN_EVENTS, MIN_FLOW, _cell, _coords
 
+# ONE manifest discipline for both versioned snapshot stores: a future
+# hardening (fsync-before-rename, schema change) must reach both
+from .cdc_apply import _read_manifest, _write_manifest
+
 KEEP_SNAPSHOTS = 2
 
-_MANIFEST = "MANIFEST.json"
 _TABLES = ("user_cell", "last_pos", "pair_user")
 
 _SCHEMAS = {
@@ -69,20 +71,6 @@ _SCHEMAS = {
     ),
 }
 
-
-def _read_manifest(out_dir: str) -> dict | None:
-    path = os.path.join(out_dir, _MANIFEST)
-    if not os.path.exists(path):
-        return None
-    with open(path) as fh:
-        return json.load(fh)
-
-
-def _write_manifest(out_dir: str, version: int, batch_id: int) -> None:
-    tmp = os.path.join(out_dir, f"._manifest_tmp_{version}")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "batch_id": batch_id}, fh)
-    os.replace(tmp, os.path.join(out_dir, _MANIFEST))  # atomic commit
 
 def _snap(out_dir: str, version: int, table: str) -> str:
     return os.path.join(out_dir, f"v{version}", table)
@@ -130,6 +118,10 @@ def hot_flow_apply(spark: SparkSession, out_dir: str):
         user_cell = spark.read.parquet(_snap(out_dir, v, "user_cell"))
         last_pos = spark.read.parquet(_snap(out_dir, v, "last_pos"))
         pair_user = spark.read.parquet(_snap(out_dir, v, "pair_user"))
+        # the micro-batch feeds three table writes; without a persist
+        # each write re-reads the source (and the chain DAG below would
+        # run its state join + per-user window twice)
+        batch = batch.persist()
 
         # ---- density side: per-user event counts at the user's site
         # cell (cell is a pure function of user_id, so merging per
@@ -179,9 +171,12 @@ def hot_flow_apply(spark: SparkSession, out_dir: str):
             )
             .select("user_id", "p.ts_us", "p.event_id", "p.cx", "p.cy")
         )
+        # chain feeds BOTH the edge aggregation and the new-last-pos
+        # candidates — persist so the state join + per-user window run
+        # once per batch, not once per consumer (micro-batch-sized)
         chain = fresh.unionByName(
             st.join(fresh.select("user_id").distinct(), "user_id", "semi")
-        )
+        ).persist()
         w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         edges = (
             chain.withColumn("from_x", F.lag("cx").over(w))
@@ -237,12 +232,16 @@ def hot_flow_apply(spark: SparkSession, out_dir: str):
         )
 
         nxt = v + 1
-        for name, df in (
-            ("user_cell", new_user_cell),
-            ("last_pos", new_last_pos),
-            ("pair_user", new_pair_user),
-        ):
-            df.write.mode("overwrite").parquet(_snap(out_dir, nxt, name))
+        try:
+            for name, df in (
+                ("user_cell", new_user_cell),
+                ("last_pos", new_last_pos),
+                ("pair_user", new_pair_user),
+            ):
+                df.write.mode("overwrite").parquet(_snap(out_dir, nxt, name))
+        finally:
+            chain.unpersist()
+            batch.unpersist()
         _write_manifest(out_dir, nxt, batch_id)  # the commit point
         # sweep EVERY version older than the keep tail, not just the
         # one this apply superseded: a crash between commit and prune
@@ -288,6 +287,8 @@ def read_hot_flow_matrix(
     state tables are cut-free, so one maintained snapshot serves any
     alerting threshold."""
     man = _read_manifest(out_dir)
+    if man is None:
+        raise ValueError(f"{out_dir} not initialized")
     v = man["version"]
     user_cell = spark.read.parquet(_snap(out_dir, v, "user_cell"))
     pair_user = spark.read.parquet(_snap(out_dir, v, "pair_user"))

@@ -130,6 +130,38 @@ def test_temp_and_hidden_files_invisible_to_readers(registered, tmp_path):
     assert {r["id"] for r in df.collect()} == set(range(30))
 
 
+def test_append_accumulates_across_writes(registered, tmp_path):
+    """mode('append') must UNION with prior writes: partition ids
+    repeat across jobs, so published names carry a per-write token —
+    without it a second append clobbers same-numbered parts."""
+    out = str(tmp_path / "out")
+    registered.range(0, 100, 1, 4).write.format("arrowipc").option(
+        "path", out
+    ).mode("append").save()
+    registered.range(100, 150, 1, 4).write.format("arrowipc").option(
+        "path", out
+    ).mode("append").save()
+    files = glob.glob(os.path.join(out, "*.arrow"))
+    assert len(files) == 8  # 4 parts per write, both generations kept
+    back = registered.read.format("arrowipc").load(out)
+    assert back.count() == 150
+    assert {r["id"] for r in back.collect()} == set(range(150))
+
+
+def test_glob_matching_only_temps_raises(registered, tmp_path):
+    """A glob that matches ONLY hidden/temp names must raise like the
+    directory branch — never resurrect and ingest partial files."""
+    d = tmp_path / "dir"
+    d.mkdir()
+    feather.write_feather(
+        _table(0, 5), str(d / "_tmp-only.arrow"), compression="uncompressed"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="no IPC files"):
+        registered.read.format("arrowipc").load(str(d / "*.arrow")).count()
+
+
 def test_overwrite_removes_stale_parts(registered, tmp_path):
     """mode('overwrite') must replace the directory contents: a prior
     write with MORE partitions leaves part files the new write does not
