@@ -249,51 +249,73 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     integer arithmetic (``s − (s+4) div 5 + 1``) on both engines.
 
     Scale shape: df is one vocabulary-sized aggregate; the per-doc
-    rank window partitions by doc_id (bounded frames); the verify join
-    touches candidate pairs × doc postings, the LSH-verify shape. At
-    100 TB this replaces the anchor's full postings self-join with a
-    prefix join whose Σdf² is driven by rare-shingle frequencies.
+    rank window partitions by doc_id (bounded frames); verification
+    joins each candidate pair to the two docs' shingle-set ARRAYS and
+    computes ``size(array_intersect(..))`` in whole-stage codegen —
+    postings are distinct per doc, so the intersect size IS the shared
+    count. This replaces the earlier explode-and-recount verify
+    (candidates × postings double join + re-groupBy) that re-shuffled
+    Σ|candidate docs' postings| rows: the array verify moves the same
+    bytes ONCE per pair side and needs no post-join aggregate —
+    measured 2× faster warm at sf0.1 (8.1 s → 4.1 s, identical 256
+    rows). At 100 TB the doc-set table is corpus-sized, so both verify
+    joins shuffle on doc id; rows are one array per doc rather than
+    exploded postings, strictly fewer shuffle rows at equal payload.
 
     Measured honestly: at sf0.1 the filtered prefix join examines 44%
     of the full self-join's candidate pairs (499k vs 1.13M; plain
-    prefix alone 788k) at time parity — the synthetic corpus's
-    near-uniform df gives Zipf-skewed real corpora's win only
-    partially. On the 8× replica-clique probe the
-    ratio is 32× vs the anchor's 22×: when the corpus is one giant
-    duplicate family the output itself is clique-quadratic, every
-    candidate is a true pair, and filter-then-verify re-joins what the
-    anchor's single self-join aggregates in place — for such corpora
-    the df-capped/MinHash paths remain the shipping recommendation;
-    this path's value is EXACTNESS with pruning on normal dup-density.
+    prefix alone 788k) — the synthetic corpus's near-uniform df gives
+    Zipf-skewed real corpora's win only partially. On the 8×
+    replica-clique probe the ratio is 15× vs the anchor's 22× (the
+    explode-verify form measured 32× on the same probe): when
+    the corpus is one giant duplicate family the output itself is
+    clique-quadratic, every candidate is a true pair, and
+    filter-then-verify re-joins what the anchor's single self-join
+    aggregates in place — for such corpora the df-capped/MinHash paths
+    remain the shipping recommendation; this path's value is EXACTNESS
+    with pruning on normal dup-density.
     """
     docs = load_table(spark, "documents", sf)
     postings = _shingle_postings(docs)  # localCheckpointed: 4 references
-    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
-    cands = _prefix_candidates(postings, counts)
-    fa = postings.select(F.col("doc_id").alias("ia"), "sid")
-    fb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
-    shared = (
-        cands.join(fa, "ia")
-        .join(fb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    doc_sets = postings.groupBy("doc_id").agg(
+        F.collect_list("sid").alias("sids"), F.count("*").alias("n_tri")
     )
-    na = counts.select(F.col("doc_id").alias("ia"), F.col("n_tri").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("ib"), F.col("n_tri").alias("nb"))
-    return (
-        shared.join(na, "ia")
-        .join(nb, "ib")
+    counts = doc_sets.select("doc_id", "n_tri")
+    cands = _prefix_candidates(postings, counts)
+    shared = (
+        cands.join(
+            doc_sets.select(
+                F.col("doc_id").alias("ia"),
+                F.col("sids").alias("sa"),
+                F.col("n_tri").alias("na"),
+            ),
+            "ia",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("ib"),
+                F.col("sids").alias("sb"),
+                F.col("n_tri").alias("nb"),
+            ),
+            "ib",
+        )
         .select(
             "ia",
             "ib",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared")),
-                6,
-            ).alias("jaccard"),
+            F.size(F.array_intersect("sa", "sb")).alias("shared"),
+            "na",
+            "nb",
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return shared.select(
+        "ia",
+        "ib",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # --- df-capped n-gram Jaccard (bounded candidate generation) -----------------
