@@ -593,8 +593,112 @@ FROM c JOIN t USING (event_type)
 """
 
 
+def average_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """One-vs-rest average precision per class over the same microunit
+    score grid as ``auc_evaluation`` — the PR-curve summary that grades
+    a scorer where positives are rare (AUC saturates under class
+    imbalance; AP does not). Matches the threshold-sweep definition
+    (sklearn's ``average_precision_score``): at each distinct score
+    threshold t (descending), precision P_t = cumP/cumT and recall step
+    ΔR_t = pos_at/n_pos, and AP = Σ_t ΔR_t · P_t.
+
+    Fixed-point spec, exact on both engines: every per-threshold term
+    is the INTEGER ``(1e9 · pos_at · cumP) DIV cumT`` (floor at e9, so
+    cross-engine float division never happens), and the final
+    ``ap_e6 = Σterms DIV (1000 · n_pos)``. Floor-per-threshold is the
+    pinned semantics — both engines compute bit-identical BIGINTs.
+
+    Scale: identical posture to ``auc_evaluation`` — fixed ×N_CLASSES
+    fanout of a 2-column projection, one groupBy onto the
+    (class, score_fp) grid (bounded by score range × 1e6 cells, not
+    corpus rows, partial-aggregated map-side), one grid-sized
+    cumulative window per class. 1e9·pos_at·cumP ≤ 1e9·n_pos² →
+    BIGINT-exact below ~3e4 rows/class... at 1e9-row classes the term
+    columns move to DECIMAL(38,0), same expressions (the AUC row's
+    standing note).
+    """
+    emb = load_table(spark, "embeddings", sf)
+    scored = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, N_CLASSES)).alias("cls", "score"),
+    ).select(
+        "cls",
+        F.floor(F.col("score").cast("double") * SCORE_SCALE)
+        .cast("long")
+        .alias("s_fp"),
+        (F.col("label") == F.col("cls")).cast("long").alias("pos"),
+    )
+    g = scored.groupBy("cls", "s_fp").agg(
+        F.sum("pos").alias("pos_at"),
+        F.count("*").alias("tot_at"),
+    )
+    desc_cum = (
+        Window.partitionBy("cls")
+        .orderBy(F.desc("s_fp"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "cls",
+        "pos_at",
+        F.sum("pos_at").over(desc_cum).alias("cum_pos"),
+        F.sum("tot_at").over(desc_cum).alias("cum_tot"),
+    )
+    return (
+        cum.groupBy("cls")
+        .agg(
+            F.max("cum_pos").alias("n_pos"),
+            F.sum(
+                F.expr("(1000000000 * pos_at * cum_pos) DIV cum_tot")
+            ).alias("term_sum"),
+        )
+        .select(
+            "cls",
+            "n_pos",
+            F.expr("term_sum DIV (1000 * n_pos)").alias("ap_e6"),
+        )
+    )
+
+
+AVERAGE_PRECISION_SQL = f"""
+WITH classes AS (
+  SELECT unnest(range({N_CLASSES})) AS cls
+), scored AS (
+  SELECT c.cls,
+         CAST(floor(CAST(e.embedding[c.cls + 1] AS DOUBLE) * {SCORE_SCALE})
+              AS BIGINT) AS s_fp,
+         CASE WHEN e.label = c.cls THEN 1 ELSE 0 END AS pos
+  FROM embeddings e CROSS JOIN classes c
+), g AS (
+  SELECT cls, s_fp,
+         CAST(sum(pos) AS BIGINT) AS pos_at,
+         CAST(count(*) AS BIGINT) AS tot_at
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT cls, pos_at,
+         CAST(sum(pos_at) OVER (
+           PARTITION BY cls ORDER BY s_fp DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_pos,
+         CAST(sum(tot_at) OVER (
+           PARTITION BY cls ORDER BY s_fp DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tot
+  FROM g
+), agg AS (
+  SELECT cls,
+         max(cum_pos) AS n_pos,
+         CAST(sum((1000000000 * pos_at * cum_pos) // cum_tot) AS BIGINT)
+           AS term_sum
+  FROM cum GROUP BY cls
+)
+SELECT cls, n_pos, term_sum // (1000 * n_pos) AS ap_e6
+FROM agg
+"""
+
+
 ML_EVAL_QUERIES = {
     "ab_test_report": (ab_test_report, AB_TEST_REPORT_SQL),
+    "average_precision": (average_precision, AVERAGE_PRECISION_SQL),
     "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
     "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),
     "tree_split_finder": (tree_split_finder, TREE_SPLIT_FINDER_SQL),

@@ -1265,6 +1265,112 @@ def _weak_label_vote_sql() -> str:
     )
 
 
+T_CLOSE_E6 = 200_000  # t-closeness threshold t = 0.2 (integer-scaled)
+
+
+def t_closeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release-privacy ladder
+    after ``k_anonymity_audit`` (class size + l-diversity): a class can
+    be large and diverse yet still leak if its SENSITIVE-ATTRIBUTE
+    DISTRIBUTION diverges from the corpus (e.g. one QI class holds all
+    the high-value events). Per quasi-identifier class (event_type,
+    6-hour band), reports the total-variation distance between the
+    class's value-band distribution and the global one, flagged at
+    t = 0.2 — TVD is the standard t-closeness distance for categorical
+    sensitive attributes (Li et al., ICDE'07 use EMD; for unordered
+    categories EMD degenerates to exactly TVD).
+
+    Exact integer arithmetic end-to-end: TVD = ½·Σ_v |p_c(v) − p_g(v)|
+    cross-multiplies to ``Σ_v |cnt_v·N_g − gcnt_v·N_c|`` over bands
+    PRESENT in the class, plus ``N_c·(N_g − Σ_present gcnt_v)`` for the
+    absent-band mass — so no dense class×band spine is ever built and
+    no float division happens before the final scaled ``DIV``.
+
+    Scale shape: one corpus shuffle onto the (class, value_band) grid
+    (map-side combined; grid bounded by QI × band cardinality, not
+    rows), then band-histogram joins — the global band distribution is
+    broadcast (≤ value range / 100 rows) and the 1-row grand total is a
+    broadcast crossJoin. Products ≤ N_c·N_g → BIGINT-exact below ~3e9
+    rows; DECIMAL(38,0) beyond, same expressions.
+    """
+    events = load_table(spark, "events", sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_type",
+        F.floor(F.hour("ts") / F.lit(6)).cast("int").alias("hour_band"),
+        F.floor(cents / F.lit(10000.0)).cast("int").alias("value_band"),
+    )
+    cls = base.groupBy("event_type", "hour_band", "value_band").agg(
+        F.count("*").alias("cnt")
+    )
+    totals = cls.groupBy("event_type", "hour_band").agg(
+        F.sum("cnt").alias("n_class")
+    )
+    gdist = cls.groupBy("value_band").agg(F.sum("cnt").alias("gcnt"))
+    grand = gdist.agg(F.sum("gcnt").alias("n_all"))  # 1-row broadcast
+    per_class = (
+        cls.join(F.broadcast(gdist), "value_band")
+        .join(totals, ["event_type", "hour_band"])
+        .crossJoin(F.broadcast(grand))
+        .groupBy("event_type", "hour_band", "n_class", "n_all")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cnt") * F.col("n_all")
+                    - F.col("gcnt") * F.col("n_class")
+                )
+            ).alias("present_num"),
+            F.sum("gcnt").alias("g_present"),
+        )
+    )
+    return per_class.select(
+        "event_type",
+        "hour_band",
+        F.col("n_class").alias("n_rows"),
+        F.expr(
+            "(1000000 * (present_num + n_class * (n_all - g_present)))"
+            " DIV (2 * n_class * n_all)"
+        ).alias("tvd_e6"),
+    ).withColumn("at_risk", F.col("tvd_e6") > T_CLOSE_E6)
+
+
+T_CLOSENESS_AUDIT_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(hour(ts) / 6) AS INT) AS hour_band,
+         CAST(floor(CAST(round(value * 100) AS BIGINT) / 10000.0) AS INT)
+           AS value_band
+  FROM events
+), cls AS (
+  SELECT event_type, hour_band, value_band, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3
+), totals AS (
+  SELECT event_type, hour_band, CAST(sum(cnt) AS BIGINT) AS n_class
+  FROM cls GROUP BY 1, 2
+), gdist AS (
+  SELECT value_band, CAST(sum(cnt) AS BIGINT) AS gcnt FROM cls GROUP BY 1
+), grand AS (
+  SELECT CAST(sum(gcnt) AS BIGINT) AS n_all FROM gdist
+), per_class AS (
+  SELECT c.event_type, c.hour_band, t.n_class, gr.n_all,
+         CAST(sum(abs(c.cnt * gr.n_all - g.gcnt * t.n_class)) AS BIGINT)
+           AS present_num,
+         CAST(sum(g.gcnt) AS BIGINT) AS g_present
+  FROM cls c
+  JOIN gdist g USING (value_band)
+  JOIN totals t USING (event_type, hour_band)
+  CROSS JOIN grand gr
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, hour_band, n_class AS n_rows,
+       (1000000 * (present_num + n_class * (n_all - g_present)))
+         // (2 * n_class * n_all) AS tvd_e6,
+       (1000000 * (present_num + n_class * (n_all - g_present)))
+         // (2 * n_class * n_all) > {T_CLOSE_E6} AS at_risk
+FROM per_class
+"""
+
+
 PIPELINE_QUALITY_QUERIES = {
     "column_profile": (column_profile, COLUMN_PROFILE_SQL),
     "expectation_report": (expectation_report, EXPECTATION_REPORT_SQL),
@@ -1281,6 +1387,7 @@ PIPELINE_QUALITY_QUERIES = {
         k_anonymity_generalize,
         K_ANONYMITY_GENERALIZE_SQL,
     ),
+    "t_closeness_audit": (t_closeness_audit, T_CLOSENESS_AUDIT_SQL),
     "dp_noisy_counts": (dp_noisy_counts, DP_NOISY_COUNTS_SQL),
     "release_readiness": (release_readiness, _release_readiness_sql()),
 }

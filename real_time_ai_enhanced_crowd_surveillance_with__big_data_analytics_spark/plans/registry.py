@@ -66,9 +66,10 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     four r4 rows that no longer fit (late_sole_supplier,
-#     forecast_revenue, market_share, product_profit) head next
-#     round's fill.
+#     eight r4 rows that no longer fit (late_sole_supplier,
+#     forecast_revenue, market_share, product_profit,
+#     customer_order_distribution, order_priority_check,
+#     min_cost_supplier, important_stock) head next round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -77,8 +78,13 @@ _PRIORITY: list[str] = [
     "revenue_gini_grid",
     "interarrival_burstiness_sharded",
     "user_cohorts_onepass",
-    # (c) spec changed since its r7 verdict (dense Benford grid)
+    "average_precision",
+    "t_closeness_audit",
+    "zipf_fit",
+    # (c) spec changed since its r7 verdict (dense Benford grid;
+    #     array-intersect verify for the prefix join)
     "benford_audit",
+    "dedup_jaccard_prefix",
     # (d) oldest-verdict fill: r3 cohort first
     "knn_bruteforce",
     "fall_detection_softmax",
@@ -121,10 +127,6 @@ _PRIORITY: list[str] = [
     "high_balance_no_orders",
     "promo_revenue",
     "large_volume_orders",
-    "customer_order_distribution",
-    "order_priority_check",
-    "min_cost_supplier",
-    "important_stock",
 ]
 
 

@@ -162,3 +162,43 @@ def test_target_encode_out_of_fold_excludes_own_fold(spark, duck):
         ) // (len(other) + PRIOR_W)
     # every (type, fold) cell present
     assert len(rows) == len({(t, f) for t, f, _ in base})
+
+
+def test_average_precision_matches_threshold_sweep(spark, duck):
+    """Second implementation: per class, walk distinct score cells in
+    descending order accumulating (cum_pos, cum_tot) and apply the
+    pinned integer term formula; also bound the fixed-point result
+    against the float threshold-sweep AP (sklearn semantics) to prove
+    the spec tracks the real quantity, not just itself."""
+    import math
+    from collections import Counter
+
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.ml_eval import (
+        average_precision,
+    )
+
+    rows = {r["cls"]: r for r in average_precision(spark, SF).collect()}
+    assert set(rows) == set(range(N_CLASSES))
+    base = duck.sql("SELECT label, embedding FROM embeddings").fetchall()
+    for cls in (0, 4, 9):
+        cells_pos: Counter = Counter()
+        cells_tot: Counter = Counter()
+        for label, emb in base:
+            s_fp = math.floor(float(emb[cls]) * SCORE_SCALE)
+            cells_tot[s_fp] += 1
+            if label == cls:
+                cells_pos[s_fp] += 1
+        cum_pos = cum_tot = term_sum = 0
+        ap_float = 0.0
+        n_pos = sum(cells_pos.values())
+        for s in sorted(cells_tot, reverse=True):
+            cum_pos += cells_pos[s]
+            cum_tot += cells_tot[s]
+            term_sum += (1_000_000_000 * cells_pos[s] * cum_pos) // cum_tot
+            ap_float += (cells_pos[s] / n_pos) * (cum_pos / cum_tot)
+        r = rows[cls]
+        assert r["n_pos"] == n_pos
+        assert r["ap_e6"] == term_sum // (1000 * n_pos)
+        # fixed-point floors lose < 1e-3 at this scale vs the float sweep
+        assert abs(r["ap_e6"] / 1e6 - ap_float) < 1e-3
+        assert 0 <= r["ap_e6"] <= 1_000_000
