@@ -1312,6 +1312,121 @@ SELECT t.n_triangles, s.n_edges, s.n_nodes FROM tri t CROSS JOIN stats s
 """
 
 
+KCORE_K = 2        # core order: keep nodes with >= K surviving neighbors
+KCORE_ROUNDS = 8   # bounded peeling depth (fixpoint asserted in tests)
+
+
+def kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the near-dup graph via bounded peeling: repeatedly
+    drop documents with fewer than K surviving near-dup neighbors,
+    {R} rounds. Survivors are the DENSE duplication families — the
+    standard graph trim that separates template/mirror cores (keep one
+    canonical, drop the rest wholesale) from incidental pairwise
+    near-dups that chain off them; complements ``neardup_triangles``
+    (global closure) and ``dedup_clusters`` (connectivity) with local
+    density. Returns (doc_id, core_deg) for core members.
+
+    Bounded-depth peeling IS the spec (the oracle unrolls exactly {R}
+    identical SQL stages): peeling is monotone — each round only
+    removes nodes and a fixpoint is idempotent — so if convergence
+    happens inside {R} rounds (asserted on the test corpora, and the
+    Spark loop breaks early on a stable edge count) both engines land
+    on the true k-core; past {R} both engines have run the same {R}
+    rounds. DuckDB's recursive CTE cannot re-aggregate degrees per
+    round, hence the unroll.
+
+    Scale: each round is one degree aggregate + two semi-joins on the
+    near-dup EDGE set — output-sized (pairs that already passed the
+    Jaccard threshold), never corpus-sized. The driver loop
+    localCheckpoints the shrinking edge set per round (the
+    ``dedup_clusters`` CC discipline: output-sized, referenced twice
+    per round — without truncation each round would re-derive the
+    whole chain, doubling work per round).
+    """
+    docs = load_table(spark, "documents", sf)
+    base = _neardup_edges(docs).select("ia", "ib")
+    cur = base.union(
+        base.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    ).localCheckpoint()
+    n_prev = cur.count()
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            cur.groupBy("ia")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("ia")
+            .localCheckpoint()
+        )
+        cur = (
+            cur.join(keep, "ia")
+            .join(keep.select(F.col("ia").alias("ib")), "ib")
+            .localCheckpoint()
+        )
+        n_cur = cur.count()
+        if n_cur == n_prev:  # fixpoint: further rounds are no-ops
+            break
+        n_prev = n_cur
+    return cur.groupBy(F.col("ia").alias("doc_id")).agg(
+        F.count("*").alias("core_deg")
+    )
+
+
+kcore_decomposition.__doc__ = kcore_decomposition.__doc__.format(
+    R=KCORE_ROUNDS
+)
+
+
+def _kcore_sql() -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # stage references its predecessor three times (degree scan + both
+    # semi-join sides), so the unroll would expand to 3^R copies of the
+    # postings scan — measured as an EMFILE crash at R=8, not just slow.
+    stages = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        stages.append(
+            f"k{r} AS MATERIALIZED (\n"
+            f"  SELECT ia FROM (SELECT ia, count(*) AS c FROM {prev}"
+            f" GROUP BY ia)\n"
+            f"  WHERE c >= {KCORE_K}\n"
+            f"), e{r} AS MATERIALIZED (\n"
+            f"  SELECT e.ia, e.ib FROM {prev} e\n"
+            f"  JOIN k{r} a ON e.ia = a.ia\n"
+            f"  JOIN k{r} b ON e.ib = b.ia\n"
+            f")"
+        )
+        prev = f"e{r}"
+    return KCORE_SQL_TEMPLATE.format(
+        postings=_DUCK_POSTINGS,
+        threshold=JACCARD_THRESHOLD,
+        stages=", ".join(stages),
+        last=prev,
+    )
+
+
+KCORE_SQL_TEMPLATE = """
+WITH {postings},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), base_edges AS (
+  SELECT s.ia, s.ib
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+  WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+        >= {threshold}
+), e0 AS MATERIALIZED (
+  SELECT ia, ib FROM base_edges UNION ALL SELECT ib, ia FROM base_edges
+), {stages}
+SELECT ia AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM {last} GROUP BY ia
+"""
+
+
 def duplicate_span_fraction(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc fraction of token-trigram OCCURRENCES that also occur in
     at least one other document — the bounded relational analog of the
@@ -1714,4 +1829,5 @@ DEDUP_QUERIES = {
             postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
         ),
     ),
+    "kcore_decomposition": (kcore_decomposition, _kcore_sql()),
 }
