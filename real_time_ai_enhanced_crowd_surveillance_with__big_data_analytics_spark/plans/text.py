@@ -1050,6 +1050,103 @@ FROM ranked WHERE rank <= {KN_TOP_K}
 """
 
 
+def js_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Per source: Jensen-Shannon divergence (nats) between this
+    source's unigram token distribution and all OTHER sources' — the
+    ``ks_score_separation`` this-vs-rest convention applied to corpus
+    mixture monitoring: a source whose JSD drifts up is pulling the
+    training mixture (template flood, scraper breakage, language
+    shift). Symmetric and bounded (≤ ln 2), unlike raw KL which is
+    infinite on any source-exclusive token.
+
+    Sparse-exact: only (source, term) rows that EXIST are joined; the
+    mass of rest-only tokens enters through the closed form
+    ``½·ln2·(1 − Σ_present q)`` (for a token absent from the source,
+    p = 0 and the JSD integrand collapses to ½·q·ln 2), and
+    source-exclusive tokens (q = 0) contribute ½·p·ln 2 via the same
+    guard. Floats appear only in the final ln terms over exact integer
+    count ratios, summed per source and rounded at 6 dp (the
+    ln-then-round discipline, margin-audited).
+
+    Scale shape: one corpus shuffle onto the (source, term) grid
+    (map-side combined, vocabulary-bounded); the global term histogram
+    joins back on term (vocab-keyed, even); source totals and the
+    1-row grand total are broadcast. Output is one row per source.
+    """
+    docs = load_table(spark, "documents", sf)
+    terms = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    st = terms.groupBy("source", "term").agg(F.count("*").alias("c"))
+    tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gterm = st.groupBy("term").agg(F.sum("c").alias("g"))
+    grand = tot.agg(F.sum("n_s").alias("n_all"))  # 1-row broadcast
+    p = F.col("c") / F.col("n_s")
+    q = (F.col("g") - F.col("c")) / (F.col("n_all") - F.col("n_s"))
+    m = (p + q) / F.lit(2.0)
+    contrib = F.lit(0.5) * (
+        p * F.log(p / m)
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    per_source = (
+        st.join(gterm, "term")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .filter(F.col("n_all") > F.col("n_s"))  # degenerate single-source
+        .groupBy("source", "n_s")
+        .agg(
+            F.sum(contrib).alias("present_jsd"),
+            F.sum(q).alias("q_present"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return per_source.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.round(
+            F.col("present_jsd")
+            + F.lit(0.5 * ln2) * (F.lit(1.0) - F.col("q_present")),
+            6,
+        ).alias("jsd"),
+    )
+
+
+JS_DIVERGENCE_SOURCES_SQL = """
+WITH terms AS (
+  SELECT source, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+), st AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM terms GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1
+), gterm AS (
+  SELECT term, CAST(sum(c) AS BIGINT) AS g FROM st GROUP BY 1
+), grand AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM tot
+), scored AS (
+  SELECT s.source, t.n_s,
+         s.c / CAST(t.n_s AS DOUBLE) AS p,
+         (g.g - s.c) / CAST(gr.n_all - t.n_s AS DOUBLE) AS q
+  FROM st s
+  JOIN gterm g USING (term)
+  JOIN tot t USING (source)
+  CROSS JOIN grand gr
+  WHERE gr.n_all > t.n_s
+), agg AS (
+  SELECT source, n_s,
+         sum(0.5 * (p * ln(p / ((p + q) / 2))
+                    + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                           ELSE 0.0 END)) AS present_jsd,
+         sum(q) AS q_present
+  FROM scored GROUP BY 1, 2
+)
+SELECT source, n_s AS n_tokens,
+       round(present_jsd + 0.5 * 0.6931471805599453 * (1.0 - q_present), 6)
+         AS jsd
+FROM agg
+"""
+
+
 ZIPF_TOP_R = 500  # fit over each language's top-R tokens
 
 
@@ -1164,4 +1261,8 @@ TEXT_QUERIES = {
     "trigram_profile": (trigram_profile, TRIGRAM_PROFILE_SQL),
     "lm_cross_entropy": (lm_cross_entropy, LM_CROSS_ENTROPY_SQL),
     "zipf_fit": (zipf_fit, ZIPF_FIT_SQL),
+    "js_divergence_sources": (
+        js_divergence_sources,
+        JS_DIVERGENCE_SOURCES_SQL,
+    ),
 }
