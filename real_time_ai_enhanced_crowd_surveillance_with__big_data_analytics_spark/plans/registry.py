@@ -66,11 +66,11 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     ten r4 rows that no longer fit (late_sole_supplier,
+#     eleven r4 rows that no longer fit (late_sole_supplier,
 #     forecast_revenue, market_share, product_profit,
 #     customer_order_distribution, order_priority_check,
 #     min_cost_supplier, important_stock, large_volume_orders,
-#     promo_revenue) head next round's fill.
+#     promo_revenue, high_balance_no_orders) head next round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "zipf_fit",
     "kcore_decomposition",
     "js_divergence_sources",
+    "heaps_fit",
     # (c) spec changed since its r7 verdict (dense Benford grid;
     #     array-intersect verify for the prefix join)
     "benford_audit",
@@ -127,7 +128,6 @@ _PRIORITY: list[str] = [
     "small_quantity_revenue",
     "volume_shipping",
     "top_supplier",
-    "high_balance_no_orders",
 ]
 
 

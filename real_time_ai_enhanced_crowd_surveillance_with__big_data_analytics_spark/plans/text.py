@@ -1186,34 +1186,66 @@ def zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
             F.log(F.col("n").cast("double")).alias("y"),
         )
     )
+    return _loglog_ols(xy, "n_terms")
+
+
+def _loglog_ols(xy: DataFrame, n_alias: str) -> DataFrame:
+    """OLS fit per lang over (lang, x, y) rows — slope/intercept at
+    6 dp, r2 at 5 (the zipf_fit margin-audit clearances), NULL r2 on
+    zero y-variance via explicit guard. Shared tail of zipf_fit and
+    heaps_fit; the SQL twin is ``_loglog_ols_sql``."""
     agg = (
         xy.groupBy("lang")
         .agg(
-            F.count("*").alias("n_terms"),
+            F.count("*").alias(n_alias),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
             F.sum(F.col("y") * F.col("y")).alias("syy"),
         )
-        .filter(F.col("n_terms") >= 3)
+        .filter(F.col(n_alias) >= 3)
     )
-    n = F.col("n_terms").cast("double")
+    n = F.col(n_alias).cast("double")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = n * F.col("syy") - F.col("sy") * F.col("sy")
     slope = cov / varx
     return agg.select(
         "lang",
-        "n_terms",
+        n_alias,
         F.round(slope, 6).alias("slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(F.when(vary > 0, cov * cov / (varx * vary)), 5).alias("r2"),
     )
 
 
-ZIPF_FIT_SQL = f"""
-WITH terms AS (
+def _loglog_ols_sql(xy_ctes: str, n_alias: str) -> str:
+    """DuckDB twin of ``_loglog_ols``: ``xy_ctes`` must define a CTE
+    chain ending in ``xy(lang, x, y)``."""
+    return f"""
+WITH {xy_ctes}, agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS {n_alias},
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM xy GROUP BY lang HAVING count(*) >= 3
+)
+SELECT lang, {n_alias},
+       round(({n_alias} * sxy - sx * sy) / ({n_alias} * sxx - sx * sx), 6)
+         AS slope,
+       round((sy - (({n_alias} * sxy - sx * sy)
+                    / ({n_alias} * sxx - sx * sx)) * sx) / {n_alias}, 6)
+         AS intercept,
+       round(CASE WHEN ({n_alias} * syy - sy * sy) > 0 THEN
+         ({n_alias} * sxy - sx * sy) * ({n_alias} * sxy - sx * sy)
+               / (({n_alias} * sxx - sx * sx) * ({n_alias} * syy - sy * sy))
+       END, 5) AS r2
+FROM agg
+"""
+
+
+ZIPF_FIT_SQL = _loglog_ols_sql(
+    f"""terms AS (
   SELECT lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
 ), freq AS (
   SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM terms GROUP BY 1, 2
@@ -1225,23 +1257,94 @@ WITH terms AS (
 ), xy AS (
   SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
   FROM ranked WHERE rank <= {ZIPF_TOP_R}
-), agg AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
-         sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
-  FROM xy GROUP BY lang HAVING count(*) >= 3
+)""",
+    "n_terms",
 )
-SELECT lang, n_terms,
-       round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)
-         AS slope,
-       round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx))
-                   * sx) / n_terms, 6) AS intercept,
-       round(CASE WHEN (n_terms * syy - sy * sy) > 0 THEN
-         (n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
-               / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))
-       END, 5) AS r2
-FROM agg
-"""
+
+
+HEAPS_WINDOW = (
+    "OVER (PARTITION BY lang ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+def heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language Heaps'-law fit: OLS of ln(vocabulary size) on
+    ln(corpus tokens) over the doc_id-ordered corpus prefix curve —
+    V(n) ≈ K·n^β with β ≈ 0.4–0.6 for natural language. The growth
+    complement of ``zipf_fit`` (rank-frequency shape at a fixed corpus
+    size): a β near 1 means the corpus keeps minting tokens
+    (OCR noise, IDs, unsegmented text — tokenizer poison), β near 0
+    means a closed template vocabulary.
+
+    The prefix curve is deterministic: corpus order IS ascending
+    doc_id (pinned spec). Each token's first occurrence is
+    ``min(doc_id)``; per-doc new-token counts and token counts then
+    cumulate over the doc spine in one window per language, giving
+    exact (n_d, V_d) pairs for EVERY prefix. Rounding/guards are the
+    ``zipf_fit`` discipline (shared ``_loglog_ols`` tail).
+
+    Scale shape: two vocabulary-bounded aggregates (per-doc counts,
+    per-token min-doc) + one doc-spine window per language — the
+    window runs over corpus DOC count; at 100 TB sample the spine
+    (every k-th doc) before the fit, which only thins the regression
+    points. No corpus-row window or join anywhere.
+    """
+    docs = load_table(spark, "documents", sf)
+    terms = docs.select(
+        "lang", "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc = terms.groupBy("lang", "doc_id").agg(
+        F.count("*").alias("n_tok")
+    )
+    first = terms.groupBy("lang", "term").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    new_per_doc = first.groupBy("lang", "doc_id").agg(
+        F.count("*").alias("n_new")
+    )
+    spine = per_doc.join(new_per_doc, ["lang", "doc_id"], "left").select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    xy = spine.select(
+        "lang",
+        F.log(F.sum("n_tok").over(w).cast("double")).alias("x"),
+        F.log(F.sum("n_new").over(w).cast("double")).alias("y"),
+    )
+    return _loglog_ols(xy, "n_docs")
+
+
+HEAPS_FIT_SQL = _loglog_ols_sql(
+    f"""terms AS (
+  SELECT lang, doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+  FROM terms GROUP BY 1, 2
+), first_occ AS (
+  SELECT lang, term, min(doc_id) AS doc_id FROM terms GROUP BY 1, 2
+), new_per_doc AS (
+  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_occ GROUP BY 1, 2
+), spine AS (
+  SELECT p.lang, p.doc_id, p.n_tok, coalesce(n.n_new, 0) AS n_new
+  FROM per_doc p LEFT JOIN new_per_doc n USING (lang, doc_id)
+), xy AS (
+  SELECT lang,
+         ln(CAST(sum(n_tok) {HEAPS_WINDOW} AS DOUBLE)) AS x,
+         ln(CAST(sum(n_new) {HEAPS_WINDOW} AS DOUBLE)) AS y
+  FROM spine
+)""",
+    "n_docs",
+)
 
 
 TEXT_QUERIES = {
@@ -1261,6 +1364,7 @@ TEXT_QUERIES = {
     "trigram_profile": (trigram_profile, TRIGRAM_PROFILE_SQL),
     "lm_cross_entropy": (lm_cross_entropy, LM_CROSS_ENTROPY_SQL),
     "zipf_fit": (zipf_fit, ZIPF_FIT_SQL),
+    "heaps_fit": (heaps_fit, HEAPS_FIT_SQL),
     "js_divergence_sources": (
         js_divergence_sources,
         JS_DIVERGENCE_SOURCES_SQL,
