@@ -66,11 +66,12 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     eleven r4 rows that no longer fit (late_sole_supplier,
+#     twelve r4 rows that no longer fit (late_sole_supplier,
 #     forecast_revenue, market_share, product_profit,
 #     customer_order_distribution, order_priority_check,
 #     min_cost_supplier, important_stock, large_volume_orders,
-#     promo_revenue, high_balance_no_orders) head next round's fill.
+#     promo_revenue, high_balance_no_orders, top_supplier) head next
+#     round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -85,6 +86,7 @@ _PRIORITY: list[str] = [
     "kcore_decomposition",
     "js_divergence_sources",
     "heaps_fit",
+    "knn_label_mrr",
     # (c) spec changed since its r7 verdict (dense Benford grid;
     #     array-intersect verify for the prefix join)
     "benford_audit",
@@ -127,7 +129,6 @@ _PRIORITY: list[str] = [
     "event_grouping_sets",
     "small_quantity_revenue",
     "volume_shipping",
-    "top_supplier",
 ]
 
 

@@ -1326,8 +1326,132 @@ FROM ranked GROUP BY qid
 """
 
 
+def knn_label_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per query vector (the ``knn_batch`` first-8 set): the rank of
+    its FIRST same-label corpus neighbor under the exact brute-force
+    cosine ordering, and the fixed-point reciprocal rank — the
+    retrieval-eval summary (MRR) that grades an embedding space by
+    whether semantically-matching items surface first, completing the
+    eval family (AUC/AP grade a scorer, KS a separation, recall@k the
+    ANN indexes; MRR grades the RANKING).
+
+    Sort-free exact rank: the first same-label neighbor is the argmax
+    of (cosine, −vec_id) over same-label corpus rows (one map-side
+    combinable struct-max), and its rank is 1 + the count of corpus
+    rows STRICTLY better under the same order (one conditional count)
+    — so the 8×N scored fan-out is consumed by two partial aggregates
+    and never globally sorted or shuffled raw; only per-partition
+    partials move. Cosines round to 6 dp on both engines
+    (``pair_cosine_udf`` convention), making the order — and therefore
+    the integer rank — engine-exact. ``rr_e9 = 1e9 DIV rank``.
+
+    Queries with no same-label corpus vector keep a row with NULL
+    rank/rr (left join), so the output is always query-set-sized.
+    """
+    from ..functions.arrays import pair_cosine_udf
+
+    cos = pair_cosine_udf()
+    emb = load_table(spark, "embeddings", sf)
+    qdf = emb.filter(F.col("vec_id") < KNN_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            cos(F.col("embedding"), F.col("qvec")).alias("cos"),
+        )
+    )
+    best = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("c"), (-F.col("vec_id")).alias("nv")
+                )
+            ).alias("b")
+        )
+        .select(
+            "qid",
+            F.col("b.c").alias("best_cos"),
+            (-F.col("b.nv")).alias("best_vec_id"),
+        )
+    )
+    ranked = (
+        scored.join(F.broadcast(best), "qid")
+        .groupBy("qid", "best_vec_id", "best_cos")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("cos") > F.col("best_cos"))
+                        | (
+                            (F.col("cos") == F.col("best_cos"))
+                            & (F.col("vec_id") < F.col("best_vec_id"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("first_rank")
+        )
+    )
+    return (
+        qdf.select("qid", "qlabel")
+        .join(ranked, "qid", "left")
+        .select(
+            "qid",
+            "qlabel",
+            "best_vec_id",
+            F.col("best_cos").alias("best_cosine"),
+            "first_rank",
+            F.expr("1000000000 DIV first_rank").alias("rr_e9"),
+        )
+    )
+
+
+KNN_LABEL_MRR_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+  FROM embeddings WHERE vec_id < {KNN_BATCH_QUERIES}
+), scored AS (
+  SELECT q.qid, q.qlabel, c.vec_id, c.label,
+         round({_duck_cosine('c.embedding', 'q.qvec')}, 6) AS cos
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id >= {KNN_BATCH_QUERIES}
+), best_c AS (
+  SELECT qid, max(cos) AS best_cos
+  FROM scored WHERE label = qlabel GROUP BY qid
+), best AS (
+  SELECT s.qid, b.best_cos, min(s.vec_id) AS best_vec_id
+  FROM scored s JOIN best_c b USING (qid)
+  WHERE s.label = s.qlabel AND s.cos = b.best_cos
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT s.qid, b.best_vec_id, b.best_cos,
+         1 + CAST(sum(CASE WHEN s.cos > b.best_cos
+                            OR (s.cos = b.best_cos
+                                AND s.vec_id < b.best_vec_id)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS first_rank
+  FROM scored s JOIN best b USING (qid)
+  GROUP BY 1, 2, 3
+)
+SELECT q.qid, q.qlabel, r.best_vec_id, r.best_cos AS best_cosine,
+       r.first_rank, 1000000000 // r.first_rank AS rr_e9
+FROM q LEFT JOIN ranked r USING (qid)
+"""
+
+
 SIMILARITY_QUERIES = {
     "matryoshka_recall": (matryoshka_recall, MATRYOSHKA_RECALL_SQL),
+    "knn_label_mrr": (knn_label_mrr, KNN_LABEL_MRR_SQL),
     "label_propagation": (
         label_propagation,
         LABEL_PROPAGATION_SQL_TEMPLATE.format(lsh_pairs=NEARDUP_LSH_SQL),
