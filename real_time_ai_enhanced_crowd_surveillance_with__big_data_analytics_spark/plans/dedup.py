@@ -1371,9 +1371,10 @@ def kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-kcore_decomposition.__doc__ = kcore_decomposition.__doc__.format(
-    R=KCORE_ROUNDS
-)
+if kcore_decomposition.__doc__:  # absent under python -OO
+    kcore_decomposition.__doc__ = kcore_decomposition.__doc__.format(
+        R=KCORE_ROUNDS
+    )
 
 
 def _kcore_sql() -> str:
@@ -1381,6 +1382,8 @@ def _kcore_sql() -> str:
     # stage references its predecessor three times (degree scan + both
     # semi-join sides), so the unroll would expand to 3^R copies of the
     # postings scan — measured as an EMFILE crash at R=8, not just slow.
+    # base_edges is MATERIALIZED too: e0's UNION ALL references it
+    # twice, which would otherwise run the postings self-join twice.
     stages = []
     prev = "e0"
     for r in range(1, KCORE_ROUNDS + 1):
@@ -1412,7 +1415,7 @@ counts AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
   FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-), base_edges AS (
+), base_edges AS MATERIALIZED (
   SELECT s.ia, s.ib
   FROM shared s
   JOIN counts na ON na.doc_id = s.ia

@@ -1290,8 +1290,12 @@ def t_closeness_audit(spark: SparkSession, sf: str) -> DataFrame:
     (map-side combined; grid bounded by QI × band cardinality, not
     rows), then band-histogram joins — the global band distribution is
     broadcast (≤ value range / 100 rows) and the 1-row grand total is a
-    broadcast crossJoin. Products ≤ N_c·N_g → BIGINT-exact below ~3e9
-    rows; DECIMAL(38,0) beyond, same expressions.
+    broadcast crossJoin. Overflow bound: the final numerator is
+    ``1e6 · (present_num + …)`` with ``present_num ≤ 2·N_c·N_g``, so
+    BIGINT exactness requires ``N_c·N_g < ~4.6e12`` (e.g. a 4.6e3-row
+    class in a 1e9-row corpus) — well short of the raw-count ceiling;
+    past it, swap the tvd_e6 expression to DECIMAL(38,0) on both
+    engines (the ``ab_test_report`` discipline, same expressions).
     """
     events = load_table(spark, "events", sf)
     cents = F.round(F.col("value") * 100).cast("long")

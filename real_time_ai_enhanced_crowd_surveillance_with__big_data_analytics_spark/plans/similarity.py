@@ -1357,6 +1357,10 @@ def knn_label_mrr(spark: SparkSession, sf: str) -> DataFrame:
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qvec"),
     )
+    # localCheckpointed: the scored fan-out (cross-join + Arrow cosine,
+    # the dominant stage) is consumed by BOTH the argmax and the rank
+    # count, and its lineage has no Exchange for ReuseExchange to dedup
+    # — without materialization the corpus scan + UDF runs twice.
     scored = (
         emb.filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
         .crossJoin(F.broadcast(qdf))
@@ -1367,6 +1371,7 @@ def knn_label_mrr(spark: SparkSession, sf: str) -> DataFrame:
             "label",
             cos(F.col("embedding"), F.col("qvec")).alias("cos"),
         )
+        .localCheckpoint()
     )
     best = (
         scored.filter(F.col("label") == F.col("qlabel"))
