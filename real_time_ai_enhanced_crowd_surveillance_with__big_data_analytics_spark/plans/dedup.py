@@ -1283,6 +1283,99 @@ def neardup_triangles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def clustering_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document local clustering coefficient on the near-dup
+    graph: ``2·T_v / (deg_v·(deg_v−1))`` — the node-level refinement of
+    ``neardup_triangles``'s global census. A node with high coefficient
+    sits INSIDE a template/mirror family (drop-all-but-canonical); a
+    high-degree low-coefficient node is a hub stitching unrelated
+    near-dup chains (split before canonicalizing) — the per-node signal
+    the canonical-keep strategies act on.
+
+    Exact fixed point: triangles come from the census's oriented-edge
+    join (each a<b<c triangle counted once, then credited to all three
+    corners); the coefficient is the integer
+    ``(2e6·T_v) DIV (deg·(deg−1))``, NULL for deg < 2 by explicit
+    guard on both engines (no division-by-zero artifact). Work is
+    Σ deg² of the OUTPUT-sized near-dup edge set, never the corpus;
+    edges are localCheckpointed once and reused by all three passes
+    (oriented join sides, corner credit, degree count).
+    """
+    docs = load_table(spark, "documents", sf)
+    edges = _neardup_edges(docs).select("ia", "ib").localCheckpoint()
+    ab = edges.select(F.col("ia").alias("a"), F.col("ib").alias("b"))
+    bc = edges.select(F.col("ia").alias("b"), F.col("ib").alias("c"))
+    ac = edges.select(F.col("ia").alias("a"), F.col("ib").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    tcount = corners.groupBy("v").agg(F.count("*").alias("n_tri"))
+    deg = (
+        edges.select(F.col("ia").alias("v"))
+        .unionAll(edges.select(F.col("ib").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.join(tcount, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2000000 * coalesce(n_tri, 0))"
+                    " DIV (deg * (deg - 1))"
+                ),
+            ).alias("cc_e6"),
+        )
+    )
+
+
+CLUSTERING_COEFFICIENT_SQL_TEMPLATE = """
+WITH {postings},
+counts AS (
+  SELECT doc_id, count(*) AS n_tri FROM postings GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+  FROM postings a JOIN postings b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), base_edges AS MATERIALIZED (
+  SELECT s.ia, s.ib
+  FROM shared s
+  JOIN counts na ON na.doc_id = s.ia
+  JOIN counts nb ON nb.doc_id = s.ib
+  WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
+        >= {threshold}
+), tri AS MATERIALIZED (
+  SELECT ab.ia AS a, ab.ib AS b, bc.ib AS c
+  FROM base_edges ab
+  JOIN base_edges bc ON ab.ib = bc.ia
+  JOIN base_edges ac ON ac.ia = ab.ia AND ac.ib = bc.ib
+), corners AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), tcount AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY v
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT ia AS v FROM base_edges UNION ALL SELECT ib FROM base_edges)
+  GROUP BY v
+)
+SELECT d.v AS doc_id, d.deg,
+       coalesce(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2 THEN
+         (2000000 * coalesce(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+       END AS cc_e6
+FROM deg d LEFT JOIN tcount t ON t.v = d.v
+"""
+
+
 NEARDUP_TRIANGLES_SQL_TEMPLATE = """
 WITH {postings},
 counts AS (
@@ -1833,4 +1926,10 @@ DEDUP_QUERIES = {
         ),
     ),
     "kcore_decomposition": (kcore_decomposition, _kcore_sql()),
+    "clustering_coefficient": (
+        clustering_coefficient,
+        CLUSTERING_COEFFICIENT_SQL_TEMPLATE.format(
+            postings=_DUCK_POSTINGS, threshold=JACCARD_THRESHOLD
+        ),
+    ),
 }

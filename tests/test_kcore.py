@@ -79,3 +79,35 @@ def test_kcore_matches_python_peel_and_fixpoint(spark, sf_dir):
     rows = {r["doc_id"]: r["core_deg"] for r in
             kcore_decomposition(spark, SF).collect()}
     assert rows == expect
+
+
+def test_clustering_coefficient_matches_python(spark, sf_dir):
+    """Independent reference: dense triangle count per node + exact
+    integer coefficient over the anchor query's edge list."""
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.dedup import (
+        clustering_coefficient,
+    )
+
+    edges = [
+        (r["ia"], r["ib"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for ia, ib in edges:
+        adj.setdefault(ia, set()).add(ib)
+        adj.setdefault(ib, set()).add(ia)
+    rows = {r["doc_id"]: r for r in
+            clustering_coefficient(spark, SF).collect()}
+    assert set(rows) == set(adj)
+    for v, nb in adj.items():
+        tri = sum(
+            1 for a in nb for b in nb if a < b and b in adj.get(a, set())
+        )
+        r = rows[v]
+        assert r["deg"] == len(nb)
+        assert r["n_tri"] == tri
+        if len(nb) >= 2:
+            assert r["cc_e6"] == (2_000_000 * tri) // (len(nb) * (len(nb) - 1))
+            assert 0 <= r["cc_e6"] <= 1_000_000
+        else:
+            assert r["cc_e6"] is None
