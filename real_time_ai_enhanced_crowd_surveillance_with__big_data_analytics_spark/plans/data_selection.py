@@ -267,7 +267,138 @@ FROM judged
 """
 
 
+# --- Gopher quality rules (Rae et al. 2021, Table A1 doc-level subset) ------
+
+_GOPHER_SYMBOL_RESIDUE = 17   # docs on this residue gain ceil(n/8) symbols
+_GOPHER_HEAVY_RESIDUE = 23    # these gain 2n symbols (fail alpha + length)
+_GOPHER_STOPWORDS = ("the", "a", "of", "and")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher document-level quality-rule battery (Rae et al.
+    2021, "Scaling Language Models", Table A1) — the published-method
+    companion to ``c4_line_filter`` (line rules) and ``dsir_select``
+    (importance selection): word-count bounds [{lo}, {hi}], mean word
+    length in [3, 10], ≥ 80% alphabetic words, symbol-to-word ratio
+    ≤ 0.1, and ≥ 2 distinct stop words. Emits one row per document
+    with each rule's verdict and the conjunction ``keep``.
+
+    The synthetic corpus is symbol-free, so (the ``c4_line_filter``
+    residue trick) two residue classes deterministically gain '#'
+    tokens on BOTH engines: ``doc_id % {res} == 0`` gains ``ceil(n/8)``
+    — symbol ratio ~1/8 > 0.1 fails while the alphabetic fraction 8/9
+    stays above 0.8 — and ``doc_id % {hres} == 0`` gains ``2n``,
+    dragging the alphabetic fraction to 1/3 < 0.8 AND the mean word
+    length to ~2.5 < 3. Every rule in the battery therefore
+    discriminates on this corpus (no vacuously-true column), and the
+    two ratio rules are exercised independently.
+
+    All rules are exact integer comparisons (cross-multiplied — e.g.
+    mean word length in [3, 10] is ``3000·n ≤ 1000·Σlen ≤ 10000·n``),
+    so no float boundary exists anywhere. One pass, zero shuffles:
+    every rule is a per-row array fold over the token list.
+    """
+    docs = load_table(spark, "documents", sf)
+    base = tokens(F.col("text"))
+    n_base = F.size(base)
+    n_sym = (
+        F.when(
+            F.col("doc_id") % _GOPHER_HEAVY_RESIDUE == 0, 2 * n_base
+        )
+        .when(
+            F.col("doc_id") % _GOPHER_SYMBOL_RESIDUE == 0,
+            F.ceil(n_base / F.lit(8)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+    )
+    n_words = n_base + n_sym
+    sum_len = F.aggregate(
+        base, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ) + n_sym.cast("long")  # '#' is 1 char
+    n_alpha = F.size(F.filter(base, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(base),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (3000 * n_words <= 1000 * sum_len) & (
+        1000 * sum_len <= 10000 * n_words
+    )
+    r_alpha = 10 * n_alpha >= 8 * n_words
+    r_sym = 10 * n_sym <= n_words
+    r_stop = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_alpha.alias("r_alpha_words"),
+        r_sym.alias("r_symbol_ratio"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_sym & r_stop).alias("keep"),
+    )
+
+
+if gopher_quality_rules.__doc__:  # absent under python -OO
+    gopher_quality_rules.__doc__ = gopher_quality_rules.__doc__.format(
+        lo=GOPHER_MIN_WORDS,
+        hi=GOPHER_MAX_WORDS,
+        res=_GOPHER_SYMBOL_RESIDUE,
+        hres=_GOPHER_HEAVY_RESIDUE,
+    )
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+
+GOPHER_QUALITY_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(text), ' ') AS toks,
+         len(string_split(trim(text), ' ')) AS n_base,
+         CASE WHEN doc_id % {_GOPHER_HEAVY_RESIDUE} = 0
+              THEN 2 * len(string_split(trim(text), ' '))
+              WHEN doc_id % {_GOPHER_SYMBOL_RESIDUE} = 0
+              THEN CAST(ceil(len(string_split(trim(text), ' ')) / 8.0)
+                        AS INT)
+              ELSE 0 END AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         n_base + n_sym AS n_words,
+         n_sym,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+             (a, b) -> a + b) + n_sym AS sum_len,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+           AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+                            [{_GOPHER_STOP_SQL}])) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+         AS r_word_count,
+       3000 * n_words <= 1000 * sum_len
+         AND 1000 * sum_len <= 10000 * n_words AS r_mean_word_len,
+       10 * n_alpha >= 8 * n_words AS r_alpha_words,
+       10 * n_sym <= n_words AS r_symbol_ratio,
+       n_stop >= 2 AS r_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AND (3000 * n_words <= 1000 * sum_len
+              AND 1000 * sum_len <= 10000 * n_words)
+         AND 10 * n_alpha >= 8 * n_words
+         AND 10 * n_sym <= n_words
+         AND n_stop >= 2 AS keep
+FROM m
+"""
+
+
 DATA_SELECTION_QUERIES = {
     "dsir_select": (dsir_select, DSIR_SELECT_SQL),
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "gopher_quality_rules": (gopher_quality_rules, GOPHER_QUALITY_RULES_SQL),
 }
