@@ -66,12 +66,12 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     twelve r4 rows that no longer fit (late_sole_supplier,
+#     fourteen r4 rows that no longer fit (late_sole_supplier,
 #     forecast_revenue, market_share, product_profit,
 #     customer_order_distribution, order_priority_check,
 #     min_cost_supplier, important_stock, large_volume_orders,
-#     promo_revenue, high_balance_no_orders, top_supplier) head next
-#     round's fill.
+#     promo_revenue, high_balance_no_orders, top_supplier,
+#     small_quantity_revenue, volume_shipping) head next round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -87,6 +87,8 @@ _PRIORITY: list[str] = [
     "js_divergence_sources",
     "heaps_fit",
     "knn_label_mrr",
+    "clustering_coefficient",
+    "gopher_quality_rules",
     # (c) spec changed since its r7 verdict (dense Benford grid;
     #     array-intersect verify for the prefix join)
     "benford_audit",
@@ -127,8 +129,6 @@ _PRIORITY: list[str] = [
     "revenue_deciles",
     "event_cube",
     "event_grouping_sets",
-    "small_quantity_revenue",
-    "volume_shipping",
 ]
 
 
