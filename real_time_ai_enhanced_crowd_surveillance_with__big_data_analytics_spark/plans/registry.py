@@ -66,12 +66,13 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     fourteen r4 rows that no longer fit (late_sole_supplier,
+#     fifteen r4 rows that no longer fit (late_sole_supplier,
 #     forecast_revenue, market_share, product_profit,
 #     customer_order_distribution, order_priority_check,
 #     min_cost_supplier, important_stock, large_volume_orders,
 #     promo_revenue, high_balance_no_orders, top_supplier,
-#     small_quantity_revenue, volume_shipping) head next round's fill.
+#     small_quantity_revenue, volume_shipping, event_grouping_sets)
+#     head next round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -89,6 +90,7 @@ _PRIORITY: list[str] = [
     "knn_label_mrr",
     "clustering_coefficient",
     "gopher_quality_rules",
+    "epoch_upsample",
     # (c) spec changed since its r7 verdict (dense Benford grid;
     #     array-intersect verify for the prefix join)
     "benford_audit",
@@ -128,7 +130,6 @@ _PRIORITY: list[str] = [
     "moving_revenue",
     "revenue_deciles",
     "event_cube",
-    "event_grouping_sets",
 ]
 
 

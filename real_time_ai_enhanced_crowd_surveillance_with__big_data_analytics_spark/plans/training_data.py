@@ -411,6 +411,83 @@ WHERE coin < CAST(round(quality * quality * {KEEP_SCALE}, 0) AS BIGINT)
 """
 
 
+# --- epoch upsampling (quality-banded replication + training order) ----------
+
+EPOCH_HI_E6, EPOCH_HI_COPIES = 800_000, 3
+EPOCH_MID_E6, EPOCH_MID_COPIES = 500_000, 2
+
+
+def epoch_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-banded epoch replication: EMIT each document 1–3 times
+    (quality ≥ 0.8 → 3 copies, ≥ 0.5 → 2, else 1) with a copy index
+    and a deterministic pseudorandom training-order key — the mixture
+    lever ``quality_weighted_sample`` (selection) cannot express:
+    "N epochs of the high-quality stratum per epoch of the tail" is
+    how published mixtures upweight curated sources, and the packer
+    downstream needs the replicas as ROWS, not as weights.
+
+    Determinism end-to-end: bands compare the integer-scaled quality
+    (``round(q·1e6)`` of the already-6dp-rounded score — no raw-double
+    threshold), copies explode a sequence, and the order key is ONE
+    multiplicative hash of the injective combined key
+    ``(doc_id·1000 + copy_idx)`` — one wide hash, not two composed
+    congruential maps, which scatter on a torus lattice (the
+    spatial-sites spectral-test lesson). Replicas of the same doc land
+    far apart in key space, which is exactly what epoch interleaving
+    wants.
+
+    Scale shape: map-only — a per-row band projection + a ≤3× explode,
+    ZERO shuffles; ordering by the key is the consumer's shard-local
+    sort (shard by key range, sort within shard — never a global sort).
+    """
+    from ..functions.text import quality_score
+
+    docs = load_table(spark, "documents", sf)
+    q = quality_score(F.col("text"))
+    q_e6 = F.round(q * 1_000_000, 0).cast("long")
+    n_copies = (
+        F.when(q_e6 >= EPOCH_HI_E6, EPOCH_HI_COPIES)
+        .when(q_e6 >= EPOCH_MID_E6, EPOCH_MID_COPIES)
+        .otherwise(1)
+    )
+    base = docs.select(
+        "doc_id", q_e6.alias("q_e6"), n_copies.alias("n_copies")
+    )
+    combined = (F.col("doc_id") % HASH_P) * 1000 + F.col("copy_idx")
+    return base.select(
+        "doc_id",
+        "q_e6",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    ).select(
+        "doc_id",
+        "q_e6",
+        "n_copies",
+        "copy_idx",
+        (combined % HASH_P * PRIORITY_MULT % HASH_P).alias("shuffle_key"),
+    )
+
+
+EPOCH_UPSAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(round({_DQ} * 1000000, 0) AS BIGINT) AS q_e6
+  FROM documents
+), banded AS (
+  SELECT doc_id, q_e6,
+         CASE WHEN q_e6 >= {EPOCH_HI_E6} THEN {EPOCH_HI_COPIES}
+              WHEN q_e6 >= {EPOCH_MID_E6} THEN {EPOCH_MID_COPIES}
+              ELSE 1 END AS n_copies
+  FROM scored
+)
+SELECT doc_id, q_e6, CAST(n_copies AS INT) AS n_copies,
+       CAST(copy_idx AS INT) AS copy_idx,
+       ((doc_id % {HASH_P}) * 1000 + copy_idx) % {HASH_P}
+         * {PRIORITY_MULT} % {HASH_P} AS shuffle_key
+FROM banded, unnest(generate_series(1, n_copies)) AS t(copy_idx)
+"""
+
+
 # --- source mixture report (the dataset card) --------------------------------
 
 def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -720,6 +797,7 @@ TRAINING_DATA_QUERIES = {
     "corpus_build_pipeline": (corpus_build_pipeline, CORPUS_BUILD_PIPELINE_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "zorder_key": (zorder_key, ZORDER_KEY_SQL),
+    "epoch_upsample": (epoch_upsample, EPOCH_UPSAMPLE_SQL),
     "length_bucket_batches": (length_bucket_batches, LENGTH_BUCKET_BATCHES_SQL),
     "source_mixture_report": (source_mixture_report, SOURCE_MIXTURE_REPORT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
