@@ -488,6 +488,101 @@ FROM banded, unnest(generate_series(1, n_copies)) AS t(copy_idx)
 """
 
 
+# --- span corruption (T5-style denoising mask construction) ------------------
+
+SPAN_LEN = 3          # corrupted-span length (T5's mean span length)
+SPAN_RATE_MOD = 7     # 1-in-7 aligned slots corrupt ≈ 14% token rate
+
+
+def span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span-corruption mask construction (Raffel et al. 2020
+    §3.1.4: replace ~15% of tokens in short spans with sentinels):
+    emit one row per corrupted span — (doc_id, mask_id, span_start,
+    span_len) — plus the document's realized corruption rate, the
+    training-pair build step between cleaning and packing.
+
+    Deterministic aligned-grid spec (the oracle IS the definition):
+    token positions chunk into aligned length-{L} slots (slot s covers
+    positions s·{L}..s·{L}+{L}−1), and slot s of document d corrupts
+    iff ``hash(d·10007 + s) % {M} == 0`` under the selection-order
+    multiplicative hash — aligned slots make spans NON-OVERLAPPING by
+    construction (T5's sequential non-overlap sampling is stateful and
+    engine-hostile; grid alignment buys the same guarantee
+    relationally). The final partial slot corrupts truncated
+    (span_len = n − start), keeping the realized rate exact.
+
+    Scale: one explode over slots (|tokens|/{L} rows per doc) + a
+    doc-keyed aggregate for the rate — map-side combinable, no joins,
+    vocabulary-independent.
+    """
+    docs = load_table(spark, "documents", sf)
+    n_tok = _n_tokens()
+    n_slots = F.ceil(n_tok / F.lit(SPAN_LEN)).cast("int")
+    slots = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.explode(F.sequence(F.lit(0), n_slots - 1)).alias("slot"),
+    )
+    h = (
+        (F.col("doc_id") * 10007 + F.col("slot")) % HASH_P
+    ) * SELECT_MULT % HASH_P
+    picked = slots.filter(h % SPAN_RATE_MOD == 0).select(
+        "doc_id",
+        "n_tok",
+        "slot",
+        (F.col("slot") * SPAN_LEN).alias("span_start"),
+        F.least(
+            F.lit(SPAN_LEN), F.col("n_tok") - F.col("slot") * SPAN_LEN
+        ).alias("span_len"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("slot")
+    rate = Window.partitionBy("doc_id")
+    return picked.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("mask_id"),
+        "span_start",
+        "span_len",
+        F.expr(
+            "(1000000 * sum(span_len) OVER (PARTITION BY doc_id))"
+            " DIV first(n_tok) OVER (PARTITION BY doc_id)"
+        ).alias("corrupt_rate_e6"),
+    )
+
+
+if span_corruption.__doc__:  # absent under python -OO
+    span_corruption.__doc__ = span_corruption.__doc__.format(
+        L=SPAN_LEN, M=SPAN_RATE_MOD
+    )
+
+
+SPAN_CORRUPTION_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents
+), slots AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(0,
+           CAST(ceil(n_tok / {SPAN_LEN}.0) AS INT) - 1)) AS slot
+  FROM sized
+), picked AS (
+  SELECT doc_id, n_tok, slot,
+         slot * {SPAN_LEN} AS span_start,
+         least({SPAN_LEN}, n_tok - slot * {SPAN_LEN}) AS span_len
+  FROM slots
+  WHERE ((doc_id * 10007 + slot) % {HASH_P}) * {SELECT_MULT} % {HASH_P}
+        % {SPAN_RATE_MOD} = 0
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY slot) - 1
+            AS BIGINT) AS mask_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_len AS BIGINT) AS span_len,
+       (1000000 * CAST(sum(span_len) OVER (PARTITION BY doc_id) AS BIGINT))
+         // n_tok AS corrupt_rate_e6
+FROM picked
+"""
+
+
 # --- source mixture report (the dataset card) --------------------------------
 
 def source_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -798,6 +893,7 @@ TRAINING_DATA_QUERIES = {
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "zorder_key": (zorder_key, ZORDER_KEY_SQL),
     "epoch_upsample": (epoch_upsample, EPOCH_UPSAMPLE_SQL),
+    "span_corruption": (span_corruption, SPAN_CORRUPTION_SQL),
     "length_bucket_batches": (length_bucket_batches, LENGTH_BUCKET_BATCHES_SQL),
     "source_mixture_report": (source_mixture_report, SOURCE_MIXTURE_REPORT_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
