@@ -696,8 +696,145 @@ FROM agg
 """
 
 
+CUPED_CUT_DAY = 15  # pre-period = days 1-15, post = 16+
+
+
+def cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) for the
+    ``ab_test_report`` experiment (arms = user_id mod 2): per-user
+    PRE-period value (days 1–15) is the covariate X, POST-period
+    value the metric Y; θ = cov(X,Y)/var(X) pooled across arms, and
+    each arm reports its raw and CUPED-adjusted means plus the realized
+    variance-reduction ratio var(Y−θX)/var(Y) — the readout that says
+    how much experiment runtime the covariate buys.
+
+    Determinism: per-user X/Y are exact integer cents (users active in
+    either period, absent-period sums coalesced to 0); every co-moment
+    (Σx, Σy, Σxy, Σx², Σy², n) is an exact BIGINT per arm; θ and the
+    final means/ratios are the ONLY float steps — ratios of identical
+    integers on both engines, rounded at 6 (adjusted variance expands
+    algebraically to the co-moments: var(Y−θX) = var(Y) − 2θ·cov(X,Y)
+    + θ²·var(X), so no per-user second pass exists).
+
+    Scale: one corpus shuffle onto the (user, arm) grid (map-side
+    combined conditional sums), then an arm-level reduce of five
+    co-moments — 2 rows out. Int64-exact while Σ|xy| < ~9e18 (cents ×
+    cents × users); DECIMAL(38,0) beyond, same expressions.
+    """
+    events = load_table(spark, "events", sf)
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        events.select(
+            (F.col("user_id") % 2).alias("arm"),
+            "user_id",
+            F.when(F.dayofmonth("ts") <= CUPED_CUT_DAY, cents)
+            .otherwise(F.lit(0))
+            .alias("x"),
+            F.when(F.dayofmonth("ts") > CUPED_CUT_DAY, cents)
+            .otherwise(F.lit(0))
+            .alias("y"),
+        )
+        .groupBy("arm", "user_id")
+        .agg(F.sum("x").alias("x"), F.sum("y").alias("y"))
+    )
+    arm_mo = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = arm_mo.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+    j = arm_mo.crossJoin(F.broadcast(pooled))
+    pn = F.col("pn").cast("double")
+    theta = (
+        pn * F.col("psxy") - F.col("psx") * F.col("psy")
+    ) / (pn * F.col("psxx") - F.col("psx") * F.col("psx"))
+    n = F.col("n").cast("double")
+    mean_x, mean_y = F.col("sx") / n, F.col("sy") / n
+    pooled_mean_x = F.col("psx") / pn
+    var_y = F.col("syy") / n - mean_y * mean_y
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    cov = F.col("sxy") / n - mean_x * mean_y
+    var_adj = var_y - 2 * theta * cov + theta * theta * var_x
+    return j.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.round(theta * 1e6, 0).cast("long").alias("theta_e6"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(mean_y - theta * (mean_x - pooled_mean_x), 6).alias(
+            "mean_y_adj"
+        ),
+        F.round(F.when(var_y > 0, var_adj / var_y), 6).alias(
+            "var_reduction"
+        ),
+    )
+
+
+CUPED_ADJUSTMENT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS arm, user_id,
+         CAST(sum(CASE WHEN day(ts) <= {CUPED_CUT_DAY}
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN day(ts) > {CUPED_CUT_DAY}
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), arm_mo AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per_user GROUP BY arm
+), pooled AS (
+  SELECT CAST(sum(n) AS BIGINT) AS pn, CAST(sum(sx) AS BIGINT) AS psx,
+         CAST(sum(sy) AS BIGINT) AS psy,
+         CAST(sum(sxy) AS BIGINT) AS psxy,
+         CAST(sum(sxx) AS BIGINT) AS psxx
+  FROM arm_mo
+), j AS (
+  SELECT a.*, p.*,
+         (CAST(p.pn AS DOUBLE) * p.psxy - CAST(p.psx AS DOUBLE) * p.psy)
+           / (CAST(p.pn AS DOUBLE) * p.psxx
+              - CAST(p.psx AS DOUBLE) * p.psx) AS theta
+  FROM arm_mo a CROSS JOIN pooled p
+)
+SELECT arm, n AS n_users,
+       CAST(round(theta * 1e6, 0) AS BIGINT) AS theta_e6,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+       round(CAST(sy AS DOUBLE) / n
+             - theta * (CAST(sx AS DOUBLE) / n
+                        - CAST(psx AS DOUBLE) / pn), 6) AS mean_y_adj,
+       round(CASE WHEN CAST(syy AS DOUBLE) / n
+                       - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+                       > 0 THEN
+         (CAST(syy AS DOUBLE) / n
+            - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+          - 2 * theta * (CAST(sxy AS DOUBLE) / n
+                         - (CAST(sx AS DOUBLE) / n)
+                           * (CAST(sy AS DOUBLE) / n))
+          + theta * theta * (CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n)
+                               * (CAST(sx AS DOUBLE) / n)))
+         / (CAST(syy AS DOUBLE) / n
+            - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+       END, 6) AS var_reduction
+FROM j
+"""
+
+
 ML_EVAL_QUERIES = {
     "ab_test_report": (ab_test_report, AB_TEST_REPORT_SQL),
+    "cuped_adjustment": (cuped_adjustment, CUPED_ADJUSTMENT_SQL),
     "average_precision": (average_precision, AVERAGE_PRECISION_SQL),
     "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
     "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),

@@ -66,13 +66,13 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 #     digit spine, so its r7 verdict no longer attests current code;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     sixteen r4 rows that no longer fit (late_sole_supplier,
+#     seventeen r4 rows that no longer fit (late_sole_supplier,
 #     forecast_revenue, market_share, product_profit,
 #     customer_order_distribution, order_priority_check,
 #     min_cost_supplier, important_stock, large_volume_orders,
 #     promo_revenue, high_balance_no_orders, top_supplier,
 #     small_quantity_revenue, volume_shipping, event_grouping_sets,
-#     event_cube) head next round's fill.
+#     event_cube, revenue_deciles) head next round's fill.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "gopher_quality_rules",
     "epoch_upsample",
     "span_corruption",
+    "cuped_adjustment",
     # (c) spec changed since its r7 verdict (dense Benford grid;
     #     array-intersect verify for the prefix join)
     "benford_audit",
@@ -129,7 +130,6 @@ _PRIORITY: list[str] = [
     "value_rank_profile",
     "running_revenue",
     "moving_revenue",
-    "revenue_deciles",
 ]
 
 
