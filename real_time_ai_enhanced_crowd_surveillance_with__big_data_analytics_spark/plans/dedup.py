@@ -640,6 +640,157 @@ WHERE greatest(contain_a, contain_b) >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# --- prefix-filtered EXACT containment join (asymmetric AllPairs) ------------
+
+def _containment_prefix_candidates(
+    postings: DataFrame, counts: DataFrame
+) -> DataFrame:
+    """(ia, ib) candidate pairs for max-containment ≥ t, generated by
+    the ASYMMETRIC prefix filter (Xiao et al. WWW'08 §4 adapted to
+    overlap/containment similarity): a qualifying pair needs
+    ``shared ≥ α = ⌈t·min(sa,sb)⌉``, so by pigeonhole the SMALLER
+    document's rarest-first prefix of length ``s_min − α + 1`` must
+    contain at least one shared shingle. Unlike Jaccard there is NO
+    length filter (a tiny doc fully contained in a huge one is exactly
+    the target), and the larger side's prefix bound degenerates to its
+    full postings — so the join indexes prefix(smaller) × FULL(larger):
+
+    - designation: the prefix side is the doc with fewer shingles,
+      doc_id ascending on ties, so each unordered pair is probed from
+      exactly one side;
+    - positional filter (PPJoin): a shared shingle at rarest-first
+      ranks (ra, rb) bounds ``|∩| ≤ 1 + min(sa−ra, sb−rb)``; pairs
+      where NO shared token admits ``α`` are pruned inside the join.
+      Keeping a pair when ANY token passes is a lossless superset of
+      PPJoin's first-token bound.
+
+    t = 4/5 exactly, so ``α = (4·s_min + 4) div 5`` in integer
+    arithmetic on both engines. (The output predicate is on
+    round(·, 6); for s_min < 4·10⁵ the 6-decimal round cannot admit a
+    pair below α — the rounding slack 5e-7·s_min stays under the 1/5
+    granularity of 4s/5.)
+    """
+    assert abs(CONTAINMENT_THRESHOLD - 0.8) < 1e-12, "prefix math assumes t=4/5"
+    df_ = postings.groupBy("sid").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("sid").asc()
+    )
+    ranked = (
+        postings.join(df_, "sid")
+        .withColumn("rk", F.row_number().over(w))
+        .join(counts, "doc_id")
+        .localCheckpoint()  # referenced twice: prefix side + full side
+    )
+    alpha_small = F.floor((4 * F.col("na") + 4) / F.lit(5.0))
+    prefix_len = F.col("na") - alpha_small + 1
+    pa = ranked.select(
+        F.col("doc_id").alias("da"),
+        "sid",
+        F.col("rk").alias("ra"),
+        F.col("n_tri").alias("na"),
+    ).filter(F.col("ra") <= prefix_len)
+    pb = ranked.select(
+        F.col("doc_id").alias("db"),
+        F.col("sid").alias("sidb"),
+        F.col("rk").alias("rb"),
+        F.col("n_tri").alias("nb"),
+    )
+    smaller_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("da") < F.col("db"))
+    )
+    return (
+        pa.join(
+            pb,
+            (F.col("sid") == F.col("sidb"))
+            & smaller_first
+            & (
+                1
+                + F.least(
+                    F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+                )
+                >= alpha_small
+            ),
+        )
+        .select(
+            F.least("da", "db").alias("ia"),
+            F.greatest("da", "db").alias("ib"),
+        )
+        .distinct()
+    )
+
+
+def dedup_containment_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT :func:`dedup_containment` answer via the asymmetric prefix
+    filter — retires the second quadratic exact anchor (VERDICT r8
+    Next #2) the way ``dedup_jaccard_prefix`` retired the Jaccard one:
+    candidates come from prefix(smaller doc) × full postings instead
+    of the full × full self-join, then the array-intersect verify
+    scores survivors exactly. Lossless (pigeonhole on the smaller
+    side's ``s − ⌈t·s⌉ + 1`` rarest shingles), so the output is
+    bit-identical to the anchor — the oracle IS the anchor's SQL and
+    the parity test asserts set equality plus a strict candidate-count
+    reduction against the full self-join.
+
+    Scale shape vs the anchor: the anchor's candidate cost is Σ df²
+    over ALL shingles (boilerplate shingles make that corpus-quadratic
+    — the exact failure mode containment dedup targets); here one side
+    of every postings-pair must sit inside a rarest-first prefix, so
+    hot boilerplate shingles (df ≈ corpus) participate only for docs
+    whose prefix reaches them — docs that are mostly boilerplate —
+    collapsing Σ df_full² to Σ df_prefix·df_full. The verify joins one
+    shingle-set ARRAY per pair side (whole-stage ``array_intersect``),
+    the same one-pass-per-side shape the Jaccard prefix path measured
+    2× faster than explode-recount. Candidate reduction measured by
+    ``test_containment_prefix``: strictly fewer candidates than the
+    full self-join at sf0.01 (44%-class reduction at sf0.1, same
+    near-uniform-df caveat as the Jaccard twin — Zipf-skewed real
+    corpora prune far harder because prefixes shed exactly the hot
+    shingles).
+    """
+    docs = load_table(spark, "documents", sf)
+    postings = _shingle_postings(docs)
+    doc_sets = postings.groupBy("doc_id").agg(
+        F.collect_list("sid").alias("sids"), F.count("*").alias("n_tri")
+    )
+    counts = doc_sets.select("doc_id", "n_tri")
+    cands = _containment_prefix_candidates(postings, counts)
+    shared = (
+        cands.join(
+            doc_sets.select(
+                F.col("doc_id").alias("ia"),
+                F.col("sids").alias("sa"),
+                F.col("n_tri").alias("na"),
+            ),
+            "ia",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("ib"),
+                F.col("sids").alias("sb"),
+                F.col("n_tri").alias("nb"),
+            ),
+            "ib",
+        )
+        .select(
+            "ia",
+            "ib",
+            F.size(F.array_intersect("sa", "sb")).alias("shared"),
+            "na",
+            "nb",
+        )
+    )
+    return shared.select(
+        "ia",
+        "ib",
+        "shared",
+        F.round(F.col("shared") / F.col("na"), 6).alias("contain_a"),
+        F.round(F.col("shared") / F.col("nb"), 6).alias("contain_b"),
+    ).filter(
+        F.greatest(F.col("contain_a"), F.col("contain_b"))
+        >= CONTAINMENT_THRESHOLD
+    )
+
+
 def _mh_bands(postings: DataFrame) -> DataFrame:
     """(doc_id, n_tri, band, band_key): 16 min-hash perms aggregated in
     ONE groupBy, band keys emitted via one posexplode — NOT a 4-way
@@ -1899,6 +2050,12 @@ DEDUP_QUERIES = {
     ),
     "dedup_containment": (
         dedup_containment,
+        DEDUP_CONTAINMENT_SQL.format(postings=_DUCK_POSTINGS),
+    ),
+    # asymmetric prefix filter is lossless too — the containment
+    # anchor's SQL IS this twin's oracle (VERDICT r8 Next #2)
+    "dedup_containment_prefix": (
+        dedup_containment_prefix,
         DEDUP_CONTAINMENT_SQL.format(postings=_DUCK_POSTINGS),
     ),
     "dedup_ngram_jaccard_capped": (
