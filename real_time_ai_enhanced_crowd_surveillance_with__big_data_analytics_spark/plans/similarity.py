@@ -474,6 +474,177 @@ WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= {NEARDUP_THRESHO
 """
 
 
+# --- spectrally-blocked EXACT near-dup pairs (pruned quadratic) ---------------
+
+NEARDUP_HEAD_DIMS = 32
+# prune only when the upper bound sits clearly below the rounded
+# predicate's admission line (cos >= 0.4 - 5e-7): 1e-6 of slack covers
+# the round-to-6 window plus rotation/arithmetic float error (~1e-12)
+NEARDUP_BLOCK_CUT = NEARDUP_THRESHOLD - 1e-6
+# surviving-pair fraction below which per-pair tail gather beats one
+# BLAS submatrix matmul (gather materializes survivor-row copies —
+# memory-bound past a few percent; measured 9.3x-superlinear at 8x
+# when gathering 59% of pairs)
+NEARDUP_GATHER_CUT = 0.05
+
+
+def _corpus_rotation(emb: DataFrame):
+    """Orthonormal dim×dim rotation aligning the corpus's principal
+    directions, computed scale-safely: each Arrow batch emits ONE
+    flattened dim² partial Gram matrix of its L2-normalized vectors
+    (bounded by batch count, never corpus rows), the driver sums and
+    eigendecomposes. Only ORTHONORMALITY matters for correctness (dot
+    products are rotation-invariant and the Cauchy–Schwarz tail bound
+    holds in any orthonormal basis); the eigen-ordering just maximizes
+    head energy so the bound prunes as hard as the spectrum allows."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            yield pd.DataFrame({"g": [(a.T @ a).reshape(-1).tolist()]})
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(partial, schema="g array<double>")
+        .collect()
+    )
+    dim = int(round(len(parts[0]["g"]) ** 0.5))
+    gram = np.zeros((dim, dim))
+    for r in parts:
+        gram += np.asarray(r["g"]).reshape(dim, dim)
+    evals, evecs = np.linalg.eigh(gram)
+    return evecs[:, np.argsort(evals)[::-1]]  # columns, desc eigenvalue
+
+
+def embedding_neardup_blocked(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ``embedding_neardup_exact`` answer with per-pair work
+    pruned by a lossless spectral-head bound (VERDICT r8 Next #3) —
+    the dense-vector analogue of L2AP's ℓ2 prefix filter (Anastasiu &
+    Karypis, ICDE'14): in any orthonormal basis split x̂ = (h, t) into
+    the first k coordinates and the tail; then by Cauchy–Schwarz
+    ``cos(a,b) = h_a·h_b + t_a·t_b ≤ h_a·h_b + ‖t_a‖‖t_b‖`` with
+    ``‖t‖ = √(1−‖h‖²)`` known from the head alone. Pairs whose bound
+    sits below the threshold are certified non-matches after only k of
+    d multiplies; survivors resolve the remaining d−k tail dims and
+    reuse the already-computed head dot, so the exact value needs no
+    second pass. The basis is the corpus PCA rotation (distributed
+    dim² Gram → driver ``eigh``), which concentrates head energy and
+    therefore pruning power.
+
+    Why not the centroid-triangle blocking the r8 verdict sketched:
+    measured on this corpus, label/k-means cells have angular radii
+    1.6–1.9 rad against a 1.16 rad threshold angle (arccos 0.4), so
+    the triangle bound ``∠(a,b) ≥ ∠(c₁,c₂) − r₁ − r₂`` prunes ZERO
+    cell pairs — near-isotropic 64-dim data defeats any
+    few-reference-point metric bound (single-projection θ-banding
+    measured 99.9% pair retention). The head bound is the form that
+    still bites on isotropy (41% of pairs certified at k=32, sf0.1)
+    and collapses to near-total pruning on spectrally-concentrated
+    real embedding corpora where cell methods also start working.
+
+    Tiling, broadcast discipline, and the (ia < ib) dedup mask are the
+    anchor's (`embedding_neardup_exact`); per-tile state adds the
+    rotated head/tail blocks. Tail resolution is HYBRID, because FLOP
+    savings only pay when the realization matches the memory system:
+    when survivors are sparse (≤ NEARDUP_GATHER_CUT of the block) a
+    per-pair gather-einsum touches exactly the surviving pairs; when
+    dense, one BLAS dgemm over the bound-surviving row×column
+    submatrix (a 59%-pair gather measured 9.3×-superlinear on the 8×
+    probe — fancy-index row copies dwarf the saved multiplies, while
+    dgemm on the same work is near-free). Worst case (isotropy, no
+    full row/col certified) the twin does the anchor's multiplies
+    split head+tail plus a rank-1 bound add; best case (spectral
+    skew) whole vectors leave the product after k dims. Lossless ⇒
+    the anchor's SQL is this twin's oracle; the parity test asserts
+    set equality plus measured pruning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    rot = _corpus_rotation(emb)
+    k = min(NEARDUP_HEAD_DIMS, rot.shape[1] - 1)
+    bc_rot = spark.sparkContext.broadcast((rot, k))
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    if lo is None:
+        raise ValueError("empty embeddings table")
+    n_tiles = max(1, -(-(hi - lo + 1) // NEARDUP_TILE_ROWS))
+    out = None
+    for t in range(n_tiles):
+        tlo = lo + t * NEARDUP_TILE_ROWS
+        thi = tlo + NEARDUP_TILE_ROWS
+        tile = (
+            emb.filter((F.col("vec_id") >= tlo) & (F.col("vec_id") < thi))
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+        if not len(tile):
+            continue
+        ids = tile["vec_id"].to_numpy()
+        mat = np.asarray(tile["embedding"].tolist(), dtype="float64")
+        mat = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ rot
+        ht, tt = mat[:, :k], mat[:, k:]
+        tnorm_t = np.sqrt(np.clip(1.0 - (ht**2).sum(axis=1), 0.0, None))
+        bc = spark.sparkContext.broadcast((ids, ht, tt, tnorm_t))
+
+        def block(batches, _bc=bc, _rot=bc_rot):
+            r_mat, k_ = _rot.value
+            ids_b, ht_b, tt_b, tn_b = _bc.value
+            for pdf in batches:
+                a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+                a = (a / np.linalg.norm(a, axis=1, keepdims=True)) @ r_mat
+                hp, tp = a[:, :k_], a[:, k_:]
+                tn_p = np.sqrt(
+                    np.clip(1.0 - (hp**2).sum(axis=1), 0.0, None)
+                )
+                head_dot = hp @ ht_b.T
+                ia = pdf["vec_id"].to_numpy()
+                mask = (
+                    head_dot + tn_p[:, None] * tn_b[None, :]
+                    >= NEARDUP_BLOCK_CUT
+                ) & (ia[:, None] < ids_b[None, :])
+                frac = mask.mean() if mask.size else 0.0
+                if frac <= NEARDUP_GATHER_CUT:
+                    # sparse survivors: per-pair tail gather — FLOPs
+                    # proportional to survivors, worth the row copies
+                    r, c = np.nonzero(mask)
+                    sims = np.round(
+                        head_dot[r, c]
+                        + np.einsum("ij,ij->i", tp[r], tt_b[c]),
+                        6,
+                    )
+                    keep = sims >= NEARDUP_THRESHOLD
+                    ia_out, ib_out = ia[r][keep], ids_b[c][keep]
+                    cos_out = sims[keep]
+                else:
+                    # dense survivors: one BLAS tail matmul over the
+                    # bound-surviving row/column submatrix (gather
+                    # copies cost more than dgemm here); fully-pruned
+                    # vectors still drop out of the product entirely
+                    rsel = mask.any(axis=1)
+                    csel = mask.any(axis=0)
+                    sub = np.ix_(rsel, csel)
+                    sims = np.round(
+                        head_dot[sub] + tp[rsel] @ tt_b[csel].T, 6
+                    )
+                    hit = mask[sub] & (sims >= NEARDUP_THRESHOLD)
+                    r, c = np.nonzero(hit)
+                    ia_out = ia[rsel][r]
+                    ib_out = ids_b[csel][c]
+                    cos_out = sims[r, c]
+                yield pd.DataFrame(
+                    {"ia": ia_out, "ib": ib_out, "cosine": cos_out}
+                )
+
+        part = emb.mapInPandas(block, schema="ia long, ib long, cosine double")
+        out = part if out is None else out.unionAll(part)
+    assert out is not None  # unreachable: n_tiles >= 1 and lo checked
+    return out
+
+
 # --- LSH-banded near-dup pairs (the scale path) ------------------------------
 
 N_HYPERPLANES = 16
@@ -1455,6 +1626,12 @@ FROM q LEFT JOIN ranked r USING (qid)
 
 
 SIMILARITY_QUERIES = {
+    # the spectral-head bound is lossless, so the exact anchor's SQL
+    # IS this twin's oracle (VERDICT r8 Next #3)
+    "embedding_neardup_blocked": (
+        embedding_neardup_blocked,
+        NEARDUP_EXACT_SQL,
+    ),
     "matryoshka_recall": (matryoshka_recall, MATRYOSHKA_RECALL_SQL),
     "knn_label_mrr": (knn_label_mrr, KNN_LABEL_MRR_SQL),
     "label_propagation": (
