@@ -696,6 +696,148 @@ FROM agg
 """
 
 
+NDCG_K = 20
+# log2 discounts on the e6 grid, precomputed HERE so neither engine
+# evaluates a float log: D[i] = floor(1e6 / log2(i+1)) for rank i —
+# pinned integer constants, identical literals in the Spark plan and
+# the DuckDB SQL (cross-engine libm log2 may differ in the last ulp;
+# a literal can't)
+_NDCG_DISCOUNTS_E6 = [
+    int(1_000_000 // __import__("math").log2(i + 1))
+    for i in range(1, NDCG_K + 1)
+]
+# IDCG prefix sums: P[m] = sum of the first m discounts (1-indexed)
+_NDCG_IDCG_E6 = [
+    sum(_NDCG_DISCOUNTS_E6[:m]) for m in range(1, NDCG_K + 1)
+]
+
+
+def ndcg_at_k(spark: SparkSession, sf: str) -> DataFrame:
+    """One-vs-rest nDCG@k per class over the ``average_precision``
+    fixture (VERDICT r8 Next #6) — the standard graded-ranking metric
+    completing the retrieval-eval family (AUC, KS, AP, MRR): rank all
+    vectors by class-c score descending, binary relevance
+    ``label == c``, ``DCG@k = Σ_{i≤k} rel_i · 1/log2(i+1)`` and
+    ``nDCG = DCG / IDCG@min(k, n_pos)``.
+
+    Pinned exact spec: ties break on (score_fp DESC, vec_id ASC); the
+    log2 discounts are the module-level INTEGER e6 constants (see
+    ``_NDCG_DISCOUNTS_E6`` — neither engine computes a log), so
+    ``dcg_e6`` is a BIGINT sum of literals and
+    ``ndcg_e6 = (1e6·dcg_e6) DIV idcg_e6`` a BIGINT floor division —
+    bit-identical cross-engine, no float anywhere.
+
+    Scale: a global per-class sort would be one reducer per class; the
+    plan instead prefilters through the same (cls, s_fp) microunit
+    histogram the AP/AUC queries build — cum counts over the
+    grid-sized window find the k-th row's score cut per class, the
+    corpus is filtered to ``s_fp ≥ cut`` (≤ k + one-bucket ties rows
+    per class survive), and ONLY survivors enter the row_number
+    window. The full corpus is touched by exactly one map-side-combined
+    groupBy; the exact-sort cost is paid on a k-bounded set.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.slice("embedding", 1, N_CLASSES)).alias("cls", "score"),
+    ).select(
+        "vec_id",
+        "cls",
+        F.floor(F.col("score").cast("double") * SCORE_SCALE)
+        .cast("long")
+        .alias("s_fp"),
+        (F.col("label") == F.col("cls")).cast("long").alias("pos"),
+    )
+    g = scored.groupBy("cls", "s_fp").agg(
+        F.sum("pos").alias("pos_at"), F.count("*").alias("tot_at")
+    )
+    desc_cum = (
+        Window.partitionBy("cls")
+        .orderBy(F.desc("s_fp"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cuts = (
+        g.select(
+            "cls",
+            "s_fp",
+            "pos_at",
+            F.sum("tot_at").over(desc_cum).alias("cum_tot"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cum_tot") >= NDCG_K, F.col("s_fp"))),
+                F.min("s_fp"),
+            ).alias("cut"),
+            F.sum("pos_at").alias("n_pos"),
+        )
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS_E6])
+    idcg = F.array(*[F.lit(p) for p in _NDCG_IDCG_E6])
+    rank_w = Window.partitionBy("cls").orderBy(
+        F.desc("s_fp"), F.asc("vec_id")
+    )
+    topk = (
+        scored.join(F.broadcast(cuts), "cls")
+        .filter(F.col("s_fp") >= F.col("cut"))
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= NDCG_K)
+    )
+    return (
+        topk.groupBy("cls")
+        .agg(
+            F.first("n_pos").alias("n_pos"),
+            F.sum(
+                F.col("pos") * F.element_at(disc, F.col("rn").cast("int"))
+            ).alias("dcg_e6"),
+        )
+        .select(
+            "cls",
+            "n_pos",
+            "dcg_e6",
+            F.expr(
+                f"(1000000 * dcg_e6) DIV element_at("
+                f"array({','.join(str(p) for p in _NDCG_IDCG_E6)}), "
+                f"CAST(least({NDCG_K}, n_pos) AS INT))"
+            ).alias("ndcg_e6"),
+        )
+    )
+
+
+_NDCG_DISC_SQL = "[" + ",".join(str(d) for d in _NDCG_DISCOUNTS_E6) + "]"
+_NDCG_IDCG_SQL = "[" + ",".join(str(p) for p in _NDCG_IDCG_E6) + "]"
+
+NDCG_AT_K_SQL = f"""
+WITH classes AS (
+  SELECT unnest(range({N_CLASSES})) AS cls
+), scored AS (
+  SELECT e.vec_id, c.cls,
+         CAST(floor(CAST(e.embedding[c.cls + 1] AS DOUBLE) * {SCORE_SCALE})
+              AS BIGINT) AS s_fp,
+         CASE WHEN e.label = c.cls THEN 1 ELSE 0 END AS pos
+  FROM embeddings e CROSS JOIN classes c
+), npos AS (
+  SELECT cls, CAST(sum(pos) AS BIGINT) AS n_pos FROM scored GROUP BY cls
+), ranked AS (
+  SELECT cls, pos,
+         row_number() OVER (PARTITION BY cls
+                            ORDER BY s_fp DESC, vec_id ASC) AS rn
+  FROM scored
+), dcg AS (
+  SELECT cls,
+         CAST(sum(pos * {_NDCG_DISC_SQL}[CAST(rn AS INT)]) AS BIGINT)
+           AS dcg_e6
+  FROM ranked WHERE rn <= {NDCG_K} GROUP BY cls
+)
+SELECT d.cls, n.n_pos, d.dcg_e6,
+       (1000000 * d.dcg_e6)
+         // {_NDCG_IDCG_SQL}[CAST(least({NDCG_K}, n.n_pos) AS INT)]
+         AS ndcg_e6
+FROM dcg d JOIN npos n ON n.cls = d.cls
+"""
+
+
 CUPED_CUT_DAY = 15  # pre-period = days 1-15, post = 16+
 
 
@@ -836,6 +978,7 @@ ML_EVAL_QUERIES = {
     "ab_test_report": (ab_test_report, AB_TEST_REPORT_SQL),
     "cuped_adjustment": (cuped_adjustment, CUPED_ADJUSTMENT_SQL),
     "average_precision": (average_precision, AVERAGE_PRECISION_SQL),
+    "ndcg_at_k": (ndcg_at_k, NDCG_AT_K_SQL),
     "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
     "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),
     "tree_split_finder": (tree_split_finder, TREE_SPLIT_FINDER_SQL),
