@@ -408,8 +408,91 @@ SELECT 'signup_or_error', user_id
 """
 
 
+# --- django_session mirror (session expiry scan) ------------------------------
+
+# Django's SESSION_COOKIE_AGE default: two weeks
+SESSION_TTL_DAYS = 14
+# fixed "now" for the expiry predicate (the engine has no Date.now —
+# a real deployment binds this to the query's submission time); sits
+# mid-corpus so both active and expired sessions exist at every SF
+SESSION_NOW = "2024-01-20 00:00:00"
+
+
+def session_expiry_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's SECOND persisted table, mirrored: Django keeps
+    ``django_session(session_key PK, session_data, expire_date)``
+    alongside ``auth_user`` (crowd_surveillance/settings.py:78-83;
+    db.sqlite3 DDL), written on every login and scanned by
+    ``clearsessions`` / session middleware with the one query the ORM
+    ever issues against it — ``expire_date > now()``. This runs that
+    expiry scan in bulk over sessions derived deterministically from
+    login-shaped events (signup/click), completing the persisted
+    surface ``validate_registrations`` started for ``auth_user``
+    (VERDICT r8 Next #7).
+
+    Per user: total/active/expired session counts, the
+    lexicographically first active session key (md5 hex, the same
+    32-char alnum shape Django keys have — exercises cross-engine md5
+    parity), and the latest expiry formatted at seconds precision.
+
+    Scale: one filtered scan (event_type IN — pushed to parquet), one
+    map-side-combined groupBy on user_id; conditional aggregates do
+    active/expired in the same pass. No joins, no windows.
+    """
+    ev = load_table(spark, "events", sf)
+    now = F.lit(SESSION_NOW).cast("timestamp")
+    sess = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("session_key"),
+        (F.col("ts") + F.expr(f"INTERVAL {SESSION_TTL_DAYS} DAYS")).alias(
+            "expire_date"
+        ),
+    )
+    active = F.col("expire_date") > now
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(active.cast("long")).alias("n_active"),
+        F.sum((~active).cast("long")).alias("n_expired"),
+        F.min(F.when(active, F.col("session_key"))).alias(
+            "first_active_key"
+        ),
+        F.date_format(F.max("expire_date"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_expire"
+        ),
+    )
+
+
+SESSION_EXPIRY_SCAN_SQL = f"""
+WITH sess AS (
+  SELECT user_id,
+         md5(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))
+           AS session_key,
+         ts + INTERVAL {SESSION_TTL_DAYS} DAY AS expire_date
+  FROM events
+  WHERE event_type IN ('signup', 'click')
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN expire_date > TIMESTAMP '{SESSION_NOW}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN expire_date > TIMESTAMP '{SESSION_NOW}'
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_expired,
+       min(CASE WHEN expire_date > TIMESTAMP '{SESSION_NOW}'
+                THEN session_key END) AS first_active_key,
+       strftime(max(expire_date), '%Y-%m-%d %H:%M:%S') AS last_expire
+FROM sess GROUP BY user_id
+"""
+
+
 SURVEILLANCE_QUERIES = {
     "fire_alerts": (fire_alerts, FIRE_ALERTS_SQL),
+    "session_expiry_scan": (session_expiry_scan, SESSION_EXPIRY_SCAN_SQL),
     "user_cohorts_setops": (user_cohorts_setops, USER_COHORTS_SETOPS_SQL),
     "user_cohorts_onepass": (user_cohorts_onepass, USER_COHORTS_SETOPS_SQL),
     "detection_parse": (detection_parse, DETECTION_PARSE_SQL),

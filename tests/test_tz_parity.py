@@ -33,6 +33,9 @@ _PROBES = (
     # but the UTC pin is the invariant this net exists to hold)
     "interarrival_burstiness_sharded",
     "loiter_episodes",
+    # r9: interval arithmetic + a fixed-literal timestamp predicate +
+    # date_format output — three tz seams in one query
+    "session_expiry_scan",
 )
 
 
