@@ -534,6 +534,75 @@ def spatial_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def spatial_two_hop_reach_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperANF-style sketched 2-hop reach (VERDICT r8 Next #4) — the
+    100 TB alternative `spatial_two_hop_reach`'s docstring promises:
+    instead of witnessing every 2-hop PATH (the exact form's intrinsic
+    Σdeg² lower bound), each node aggregates ONE DataSketches HLL of
+    its neighbors, and a node's 2-hop reach is the UNION of its
+    neighbors' sketches — Σdeg bounded-size sketch merges, the
+    HyperBall/HyperANF neighborhood-function recurrence (Boldi &
+    Vigna, WWW'11) truncated at radius 2.
+
+    Accounting parity with the exact spec: the merged union estimates
+    ``|N₂ ∪ N₁ ∪ {src}|`` (src sits in every neighbor's sketch when
+    deg ≥ 1), and the exact ``n_2hop`` counts ``(N₂ ∪ N₁) ∖ {src}`` —
+    so the estimate subtracts 1. Estimates round to the nearest long.
+
+    Cost shape the probe measures: the hop-2 shuffle moves one sketch
+    per EDGE (Σdeg rows of ≤ ~1.5 KB HLL_4 state) instead of one row
+    per PATH (Σdeg²); merging is associative/commutative so Spark
+    partial-aggregates map-side. Estimated counts carry DataSketches
+    HLL_4 lgK=12 error (~1.6% RSE, bounded in test_two_hop_approx at
+    5% against the exact anchor). No SQL oracle: sketch internals are
+    engine-specific (rows-only driver check; the TEST is the gate).
+    """
+    s = _sites(spark, sf)
+    pairs = (
+        _ring_candidates(s, s, PAIR_RADIUS)
+        .where(F.col("site_a") < F.col("site_b"))
+        .select(F.col("site_a").alias("ia"), F.col("site_b").alias("ib"))
+        .localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    )
+    sk1 = edges.groupBy(F.col("ia").alias("site")).agg(
+        F.hll_sketch_agg("ib").alias("sk"),
+        F.count("*").alias("deg"),  # exact: edges are distinct pairs
+    )
+    # neighbors' sketches cover N(N(src)) — which contains src but can
+    # MISS leaf members of N(src) (a neighbor connected only to src
+    # appears in nobody else's neighborhood), while the exact spec
+    # counts N₂ ∪ N₁; union the node's own sketch so N₁ is covered,
+    # then subtract 1 for src itself
+    mid_sketches = edges.select(
+        F.col("ia").alias("src"), F.col("ib").alias("mid")
+    ).join(sk1.select(F.col("site").alias("mid"), "sk"), "mid")
+    two = (
+        mid_sketches.select("src", "sk")
+        .union(sk1.select(F.col("site").alias("src"), "sk"))
+        .groupBy(F.col("src").alias("site"))
+        .agg(F.hll_union_agg("sk").alias("sk2"))
+        .select(
+            "site",
+            (F.round(F.hll_sketch_estimate("sk2")) - 1)
+            .cast("long")
+            .alias("n_2hop_est"),
+        )
+    )
+    return (
+        s.select("site")
+        .join(sk1.select("site", "deg"), "site", "left")
+        .join(two, "site", "left")
+        .select(
+            "site",
+            F.coalesce("deg", F.lit(0)).alias("n_1hop"),
+            F.coalesce("n_2hop_est", F.lit(0)).alias("n_2hop_est"),
+        )
+    )
+
+
 SPATIAL_TWO_HOP_REACH_SQL = f"""
 WITH {_SITES_CTE},
 g AS (SELECT site, x, y, x // {PAIR_RADIUS} AS cx, y // {PAIR_RADIUS} AS cy FROM s),
@@ -885,4 +954,8 @@ SPATIAL_QUERIES = {
         spatial_two_hop_reach,
         SPATIAL_TWO_HOP_REACH_SQL,
     ),
+    # sketch estimates are engine-specific (DataSketches HLL) — no
+    # ANSI-SQL oracle exists; the driver records a rows-only check and
+    # test_two_hop_approx bounds the per-row error vs the exact anchor
+    "spatial_two_hop_reach_approx": (spatial_two_hop_reach_approx, None),
 }
