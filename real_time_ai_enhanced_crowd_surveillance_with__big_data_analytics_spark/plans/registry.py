@@ -57,79 +57,72 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 
 # The driver's correctness harness records only the FIRST 50 registry
 # entries per round. Order therefore decides verification visibility.
-# Round-8 window (VERDICT r7 "Next round" #1 — retire the r3/r4-era
-# verdict cohort; computed by tools/rotation_planner.py --diff):
+# Round-9 window (VERDICT r8 "Next round" #1 — finish retiring the
+# r4-era verdict cohort; computed by tools/rotation_planner.py --diff):
 # (a) the two canaries, every round;
-# (b) never driver-checked: the round-8 scale-path twins;
-# (c) spec changed after the r7 window froze (rotation class (c),
-#     spliced by hand): benford_audit now builds a dense priority ×
-#     digit spine, so its r7 verdict no longer attests current code;
+# (b) never driver-checked: the round-9 additions (the two lossless
+#     prune twins, nDCG@k, the django_session mirror, and the sketch
+#     reach twin — the last is oracle-less, rows-only);
+# (c) no spec changes to previously-verdicted queries this round;
 # (d) fill to 50 with the queries whose latest driver verdict is
-#     OLDEST — the entire r3 cohort, then r4 in registry order. The
-#     seventeen r4 rows that no longer fit (late_sole_supplier,
-#     forecast_revenue, market_share, product_profit,
-#     customer_order_distribution, order_priority_check,
-#     min_cost_supplier, important_stock, large_volume_orders,
-#     promo_revenue, high_balance_no_orders, top_supplier,
-#     small_quantity_revenue, volume_shipping, event_grouping_sets,
-#     event_cube, revenue_deciles) head next round's fill.
+#     OLDEST — ALL thirty remaining r4-era rows fit, then the r5
+#     cohort in registry order. After this round no registry query's
+#     latest driver verdict predates r5.
 _PRIORITY: list[str] = [
     # (a) canaries
     "crowded_frames",
     "revenue_by_nation",
-    # (b) never checked
-    "revenue_gini_grid",
-    "interarrival_burstiness_sharded",
-    "user_cohorts_onepass",
-    "average_precision",
-    "t_closeness_audit",
-    "zipf_fit",
-    "kcore_decomposition",
-    "js_divergence_sources",
-    "heaps_fit",
-    "knn_label_mrr",
-    "clustering_coefficient",
-    "gopher_quality_rules",
-    "epoch_upsample",
-    "span_corruption",
-    "cuped_adjustment",
-    # (c) spec changed since its r7 verdict (dense Benford grid;
-    #     array-intersect verify for the prefix join)
-    "benford_audit",
-    "dedup_jaccard_prefix",
-    # (d) oldest-verdict fill: r3 cohort first
-    "knn_bruteforce",
-    "fall_detection_softmax",
-    "label_centroids",
-    "embedding_neardup_lsh",
-    "ivf_knn",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh",
-    "token_stats",
-    "trigram_profile",
-    "crowd_alerts_pipeline",
-    "multimodal_meta",
-    "multimodal_features",
-    "video_frame_sample",
-    # (d) then the r4 cohort in registry order
-    "pricing_summary",
-    "top_orders_per_customer",
-    "argmax_event",
-    "customers_without_events",
-    "customers_with_errors",
-    "event_trend_rollup",
-    "shipping_priority",
-    "returned_revenue",
-    "props_extract",
-    "session_window_stats",
-    "asof_last_event",
-    "asof_next_event",
-    "value_percentiles",
-    "distinct_stats",
-    "value_rank_profile",
-    "running_revenue",
-    "moving_revenue",
+    # (b) never checked (r9 additions)
+    "embedding_neardup_blocked",
+    "dedup_containment_prefix",
+    "ndcg_at_k",
+    "session_expiry_scan",
+    "spatial_two_hop_reach_approx",
+    # (d) oldest-verdict fill: the full r4 cohort
+    "revenue_deciles",
+    "event_cube",
+    "event_grouping_sets",
+    "small_quantity_revenue",
+    "volume_shipping",
+    "top_supplier",
+    "high_balance_no_orders",
+    "promo_revenue",
+    "large_volume_orders",
+    "customer_order_distribution",
+    "order_priority_check",
+    "min_cost_supplier",
+    "important_stock",
+    "late_sole_supplier",
+    "forecast_revenue",
+    "market_share",
+    "product_profit",
+    "supplier_part_counts",
+    "disjunctive_revenue",
+    "dominant_shippers",
+    "zorder_key",
+    "quality_weighted_sample",
+    "knn_batch",
+    "nearest_centroid",
+    "embedding_neardup_exact",
+    "embedding_dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    # (d) then the r5 cohort in registry order
+    "props_variant_extract",
+    "funnel_conversion",
+    "retention_cohorts",
+    "user_event_paths",
+    "markov_transitions",
+    "corpus_build_pipeline",
+    "length_bucket_batches",
+    "kmeans_refine",
+    "semantic_keep_canonical",
+    "fuzzy_name_pairs",
+    "duplicate_span_fraction",
+    "neardup_triangles",
+    "dedup_containment",
 ]
 
 
