@@ -838,6 +838,109 @@ FROM dcg d JOIN npos n ON n.cls = d.cls
 """
 
 
+ECE_BINS = 10
+
+
+def calibration_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """One-vs-rest expected + maximum calibration error per class over
+    the shared score fixture — the reliability-diagram summary (Guo et
+    al., ICML'17) completing the scorer-evaluation family: AUC/KS rank
+    separation, AP/nDCG/MRR ranking quality, and now "do the scores
+    MEAN what they claim". Confidence is the declared affine map of
+    the score onto [0,1] (components are unit-norm-bounded in [-1,1]);
+    relevance is ``label == c``; B equal-width confidence bins.
+
+    Exact integer spec (no float anywhere): on the half-microunit grid
+    ``conf_h = s_fp + 1e6 ∈ [0, 2e6]``, a bin's accuracy-vs-confidence
+    gap is ``|2e6·n_pos_b − Σconf_h_b| / (2e6·n_b)``, so
+
+    - ``ece_e6 = Σ_b |2e6·n_pos_b − Σconf_h_b| DIV (2·N)``
+    - ``mce_e6 = max_b |2e6·n_pos_b − Σconf_h_b| DIV (2·n_b)``
+
+    — BIGINT-exact below ~9e12 rows/class (then DECIMAL(38,0), same
+    expressions; the AUC row's standing note).
+
+    Scale: identical posture to ``auc_evaluation`` — fixed ×N_CLASSES
+    fanout, ONE map-side-combined groupBy onto the (class, bin) grid
+    (B cells per class, not corpus rows), then a B-row-per-class
+    aggregate. No windows, no joins.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    scored = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, N_CLASSES)).alias("cls", "score"),
+    ).select(
+        "cls",
+        (
+            F.floor(F.col("score").cast("double") * SCORE_SCALE).cast("long")
+            + SCORE_SCALE
+        ).alias("conf_h"),
+        (F.col("label") == F.col("cls")).cast("long").alias("pos"),
+    )
+    binned = scored.select(
+        "cls",
+        "pos",
+        "conf_h",
+        F.least(
+            F.lit(ECE_BINS - 1),
+            F.expr(f"(conf_h * {ECE_BINS}) DIV {2 * SCORE_SCALE}"),
+        ).alias("bin"),
+    )
+    g = binned.groupBy("cls", "bin").agg(
+        F.count("*").alias("n_b"),
+        F.sum("pos").alias("pos_b"),
+        F.sum("conf_h").alias("conf_b"),
+    )
+    gap = F.abs(2 * SCORE_SCALE * F.col("pos_b") - F.col("conf_b"))
+    return (
+        g.groupBy("cls")
+        .agg(
+            F.sum("n_b").alias("n"),
+            F.sum(gap).alias("gap_sum"),
+            F.max(F.expr(f"abs({2 * SCORE_SCALE} * pos_b - conf_b) DIV (2 * n_b)")).alias(
+                "mce_e6"
+            ),
+        )
+        .select(
+            "cls",
+            "n",
+            F.expr("gap_sum DIV (2 * n)").alias("ece_e6"),
+            "mce_e6",
+        )
+    )
+
+
+CALIBRATION_ECE_SQL = f"""
+WITH classes AS (
+  SELECT unnest(range({N_CLASSES})) AS cls
+), scored AS (
+  SELECT c.cls,
+         CAST(floor(CAST(e.embedding[c.cls + 1] AS DOUBLE) * {SCORE_SCALE})
+              AS BIGINT) + {SCORE_SCALE} AS conf_h,
+         CASE WHEN e.label = c.cls THEN 1 ELSE 0 END AS pos
+  FROM embeddings e CROSS JOIN classes c
+), binned AS (
+  SELECT cls, pos, conf_h,
+         least({ECE_BINS - 1}, (conf_h * {ECE_BINS}) // {2 * SCORE_SCALE})
+           AS bin
+  FROM scored
+), g AS (
+  SELECT cls, bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(pos) AS BIGINT) AS pos_b,
+         CAST(sum(conf_h) AS BIGINT) AS conf_b
+  FROM binned GROUP BY 1, 2
+)
+SELECT cls,
+       CAST(sum(n_b) AS BIGINT) AS n,
+       CAST(sum(abs({2 * SCORE_SCALE} * pos_b - conf_b)) AS BIGINT)
+         // (2 * CAST(sum(n_b) AS BIGINT)) AS ece_e6,
+       CAST(max(abs({2 * SCORE_SCALE} * pos_b - conf_b) // (2 * n_b))
+            AS BIGINT) AS mce_e6
+FROM g GROUP BY cls
+"""
+
+
 CUPED_CUT_DAY = 15  # pre-period = days 1-15, post = 16+
 
 
@@ -979,6 +1082,7 @@ ML_EVAL_QUERIES = {
     "cuped_adjustment": (cuped_adjustment, CUPED_ADJUSTMENT_SQL),
     "average_precision": (average_precision, AVERAGE_PRECISION_SQL),
     "ndcg_at_k": (ndcg_at_k, NDCG_AT_K_SQL),
+    "calibration_ece": (calibration_ece, CALIBRATION_ECE_SQL),
     "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
     "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),
     "tree_split_finder": (tree_split_finder, TREE_SPLIT_FINDER_SQL),

@@ -61,8 +61,8 @@ _MODULES: list[dict[str, tuple[Callable, str | None]]] = [
 # r4-era verdict cohort; computed by tools/rotation_planner.py --diff):
 # (a) the two canaries, every round;
 # (b) never driver-checked: the round-9 additions (the two lossless
-#     prune twins, nDCG@k, the django_session mirror, and the sketch
-#     reach twin — the last is oracle-less, rows-only);
+#     prune twins, nDCG@k, calibration ECE, the django_session mirror,
+#     and the sketch reach twin — the last is oracle-less, rows-only);
 # (c) no spec changes to previously-verdicted queries this round;
 # (d) fill to 50 with the queries whose latest driver verdict is
 #     OLDEST — ALL thirty remaining r4-era rows fit, then the r5
@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "embedding_neardup_blocked",
     "dedup_containment_prefix",
     "ndcg_at_k",
+    "calibration_ece",
     "session_expiry_scan",
     "spatial_two_hop_reach_approx",
     # (d) oldest-verdict fill: the full r4 cohort
@@ -122,7 +123,6 @@ _PRIORITY: list[str] = [
     "fuzzy_name_pairs",
     "duplicate_span_fraction",
     "neardup_triangles",
-    "dedup_containment",
 ]
 
 
