@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "dedup_containment_prefix",
     "ndcg_at_k",
     "calibration_ece",
+    "knn_shapley",
     "session_expiry_scan",
     "spatial_two_hop_reach_approx",
     # (d) oldest-verdict fill: the full r4 cohort
@@ -122,7 +123,6 @@ _PRIORITY: list[str] = [
     "semantic_keep_canonical",
     "fuzzy_name_pairs",
     "duplicate_span_fraction",
-    "neardup_triangles",
 ]
 
 

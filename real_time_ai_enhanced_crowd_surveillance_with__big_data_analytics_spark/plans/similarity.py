@@ -16,7 +16,7 @@ probed cells — the 100 TB path where brute force would scan everything.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -162,6 +162,160 @@ WITH q AS (
   FROM scored
 )
 SELECT qid, rank, vec_id, cosine FROM ranked WHERE rank <= {KNN_BATCH_K}
+"""
+
+
+# --- exact KNN-Shapley data valuation ----------------------------------------
+
+KNN_SHAPLEY_K = 5
+SHAP_SCALE = 1_000_000_000  # e9 fixed-point: per-term floors stay exact
+
+
+def knn_shapley(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact closed-form KNN-Shapley value of every corpus vector for
+    each of the 8 query vectors — the data-valuation primitive a
+    training-data pipeline runs to price points before selection
+    (Jia et al., VLDB'19, Theorem 1: for the K-NN utility the Shapley
+    value — normally 2ⁿ coalitions — collapses to one sorted sweep):
+    sort the corpus by similarity to the query descending, then
+
+        s_N = m_N / N
+        s_i = s_{i+1} + (m_i − m_{i+1}) · min(K, i) / (K · i)
+
+    with ``m_i = 1[label_i == query's label]``. The same
+    3-prompts-at-once CLIP scoring seam as ``knn_batch``
+    (main.py:79) provides the similarities.
+
+    Pinned fixed-point spec: each telescoping term is the SIGNED
+    product of the label delta (∈ {−1, 0, 1}) and the POSITIVE integer
+    quotient ``(1e9·min(K,i)) DIV (K·i)`` — flooring the positive
+    factor first, then applying the sign, sidesteps the
+    floor-vs-truncate divergence engines have on negative division.
+    ``shap_e9(i)`` is then an inclusive SUFFIX SUM of the terms (the
+    last row's term is ``m_N·(1e9 DIV N)``), so both engines emit
+    bit-identical BIGINTs. Ties rank by (round-6 cosine DESC, vec_id
+    ASC), the family convention.
+
+    Scale: the 8N scored fan-out is ONE mapInPandas matmul against the
+    broadcast query matrix (no join), but unlike knn_batch the value
+    function consumes the TOTAL ORDER per query, so the rank window
+    shuffles all 8N rows into 8 partitions — an exact-anchor posture
+    by definition (every point's value depends on its global rank).
+    At 100 TB: value a deterministic stratum, or switch utility to the
+    grid-bucketed approximation; this form is the verification anchor,
+    and its efficiency axiom (Σᵢ sᵢ = utility of the full corpus =
+    matching fraction of the K nearest) is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    qrows = (
+        emb.filter(F.col("vec_id") < KNN_BATCH_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.asarray([r.vec_id for r in qrows], dtype="int64")
+    qlabs = np.asarray([r.label for r in qrows], dtype="int64")
+    qmat = np.asarray([list(r.embedding) for r in qrows], dtype="float64")
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qlabs, qmat, qnorm))
+
+    def fanout(batches):
+        qi, ql, qm, qn = bc.value
+        for pdf in batches:
+            a = np.asarray(pdf["embedding"].tolist(), dtype="float64")
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(a @ qm.T / (an[:, None] * qn[None, :]), 6)
+            ids = pdf["vec_id"].to_numpy()
+            labs = pdf["label"].to_numpy()
+            n, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(qi, n),
+                    "vec_id": np.repeat(ids, q),
+                    "m": (labs[:, None] == ql[None, :])
+                    .astype("int64")
+                    .reshape(-1),
+                    "cosine": sims.reshape(-1),
+                }
+            )
+
+    scored = (
+        emb.filter(F.col("vec_id") >= KNN_BATCH_QUERIES)
+        .select("vec_id", "label", "embedding")
+        .mapInPandas(
+            fanout, schema="qid long, vec_id long, m long, cosine double"
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    wall = Window.partitionBy("qid")
+    suffix = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    k = KNN_SHAPLEY_K
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        "m",
+        "cosine",
+        F.row_number().over(w).alias("rn"),
+        F.lead("m", 1).over(w).alias("m_next"),
+        F.count("*").over(wall).alias("n_corpus"),
+    )
+    # rn is INT (row_number): force the scaled product onto BIGINT or
+    # the 1e9·min(K,rn) multiply wraps 32-bit (silently, non-ANSI)
+    term = F.when(
+        F.col("m_next").isNull(),
+        F.col("m") * F.expr(f"CAST({SHAP_SCALE} AS BIGINT) DIV n_corpus"),
+    ).otherwise(
+        (F.col("m") - F.col("m_next"))
+        * F.expr(
+            f"(CAST({SHAP_SCALE} AS BIGINT) * least({k}, rn))"
+            f" DIV (CAST({k} AS BIGINT) * rn)"
+        )
+    )
+    return ranked.withColumn("term", term).select(
+        "qid",
+        "vec_id",
+        "rn",
+        "cosine",
+        F.sum("term").over(suffix).alias("shap_e9"),
+    )
+
+
+KNN_SHAPLEY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+  FROM embeddings WHERE vec_id < {KNN_BATCH_QUERIES}
+), scored AS (
+  SELECT q.qid, e.vec_id,
+         CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS m,
+         round({_duck_cosine('e.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= {KNN_BATCH_QUERIES}
+), ranked AS (
+  SELECT *,
+         row_number() OVER w AS rn,
+         lead(m, 1) OVER w AS m_next,
+         CAST(count(*) OVER (PARTITION BY qid) AS BIGINT) AS n_corpus
+  FROM scored
+  WINDOW w AS (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+), terms AS (
+  SELECT *,
+         CASE WHEN m_next IS NULL
+              THEN m * ({SHAP_SCALE} // n_corpus)
+              ELSE (m - m_next)
+                   * (({SHAP_SCALE} * least({KNN_SHAPLEY_K}, rn))
+                      // ({KNN_SHAPLEY_K} * rn))
+         END AS term
+  FROM ranked
+)
+SELECT qid, vec_id, rn, cosine,
+       CAST(sum(term) OVER (
+         PARTITION BY qid ORDER BY cosine DESC, vec_id ASC
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS shap_e9
+FROM terms
 """
 
 
@@ -1650,6 +1804,7 @@ SIMILARITY_QUERIES = {
     ),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "knn_batch": (knn_batch, KNN_BATCH_SQL),
+    "knn_shapley": (knn_shapley, KNN_SHAPLEY_SQL),
     "fall_detection_softmax": (fall_detection_softmax, FALL_DETECTION_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "nearest_centroid": (nearest_centroid, NEAREST_CENTROID_SQL),
