@@ -130,15 +130,26 @@ def test_no_cartesian_or_rowwise_python(registry_dfs):
     assert not rowpy, f"row-at-a-time Python UDF in: {rowpy}"
 
 
+
+# Deliberately oracle-less queries (the driver records rows-only; a
+# dedicated test is the correctness gate). Adding here is the explicit
+# decision this contract demands — never a silent downgrade.
+ORACLE_EXEMPT = {
+    # DataSketches HLL estimates have no ANSI-SQL equivalent;
+    # test_two_hop_approx bounds every row against the exact anchor
+    "spatial_two_hop_reach_approx",
+}
+
+
 def test_every_query_has_an_oracle():
     """r6 closed the last two no-oracle queries (stratified_sample via
     the portable hash sampler, approx_aggregates via exact+bounds
     columns); from here, shipping a registry query without a DuckDB
-    oracle is a deliberate decision that must edit this test, not a
-    silent rows-only downgrade."""
+    oracle is a deliberate decision that must edit this test (see
+    ORACLE_EXEMPT), not a silent rows-only downgrade."""
     from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans import (
         ORACLES,
     )
 
-    missing = [n for n in QUERIES if n not in ORACLES]
+    missing = [n for n in QUERIES if n not in ORACLES and n not in ORACLE_EXEMPT]
     assert not missing, f"registry queries without oracles: {missing}"
