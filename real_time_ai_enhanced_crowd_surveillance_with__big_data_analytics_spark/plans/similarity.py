@@ -191,6 +191,11 @@ def knn_shapley(spark: SparkSession, sf: str) -> DataFrame:
     quotient ``(1e9·min(K,i)) DIV (K·i)`` — flooring the positive
     factor first, then applying the sign, sidesteps the
     floor-vs-truncate divergence engines have on negative division.
+    (round_margin_audit flags the cosine column at 1.19e-4 of the
+    quantum = 1.2e-10 absolute — that still clears the worst-case
+    cross-engine dot-product float discrepancy (~1e-15 for 64 unit
+    terms) by five orders, the same exposure the long-attested
+    knn_batch / neardup cosine outputs carry.)
     ``shap_e9(i)`` is then an inclusive SUFFIX SUM of the terms (the
     last row's term is ``m_N·(1e9 DIV N)``), so both engines emit
     bit-identical BIGINTs. Ties rank by (round-6 cosine DESC, vec_id
