@@ -1621,6 +1621,96 @@ if kcore_decomposition.__doc__:  # absent under python -OO
     )
 
 
+# --- HyperANF neighborhood function over the near-dup graph ------------------
+
+HYPERANF_RADIUS = 4
+
+
+def neardup_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
+    """The neighborhood function N(r) of the near-dup graph for
+    r = 0..{R} via full HyperANF (Boldi & Vigna, WWW'11) — how fast
+    duplication families close over each other as hops grow, the
+    diameter/connectivity profile a dedup pipeline reads before
+    deciding cluster-level policies (a corpus whose N(r) saturates at
+    r=2 is mirror-clusters; slow growth means long chains that
+    transitive canonical-keep would over-merge). Generalizes the
+    radius-2 truncation `spatial_two_hop_reach_approx` runs on the
+    spatial graph to the full iterative recurrence:
+
+        c_0(v) = {{v}};  c_r(v) = c_{{r-1}}(v) ∪ ⋃_{{u∈N(v)}} c_{{r-1}}(u)
+
+    with every c_r(v) a DataSketches HLL, so a round is ONE edge join
+    + ONE mergeable union aggregate — Σdeg bounded-size sketch merges
+    per round, never path enumeration (exact |B(v,r)| would witness
+    Σ paths(r), combinatorial at r ≥ 3). Output: per radius, the
+    summed ball estimate N(r), its per-doc mean (e6 fixed-point of the
+    already-approximate estimate), and the doc count — the classic
+    HyperANF readout.
+
+    Scale: state is one bounded sketch per NODE, edges are the
+    OUTPUT-sized near-dup pairs (post-threshold), each round
+    localCheckpoints the new sketch table (same lineage-truncation
+    discipline as the CC/k-core loops — without it round R re-derives
+    R joins). Fixed radius bounds the loop; r=0 is emitted exactly
+    (every ball is its own node). No SQL oracle exists for sketch
+    internals (ORACLE_EXEMPT; rows-only driver check) —
+    test_hyperanf bounds every N(r) against exact python BFS.
+    """
+    docs = load_table(spark, "documents", sf)
+    base = _neardup_edges(docs).localCheckpoint()
+    edges = base.union(
+        base.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    ).localCheckpoint()
+    n_docs = docs.count()
+    sk = (
+        docs.select("doc_id")
+        .groupBy("doc_id")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+        .localCheckpoint()
+    )
+    out = spark.createDataFrame(
+        [(0, n_docs, n_docs, 1_000_000)],
+        "radius int, n_docs long, ball_sum long, mean_ball_e6 long",
+    )
+    for r in range(1, HYPERANF_RADIUS + 1):
+        nbr = edges.join(
+            sk.select(F.col("doc_id").alias("ib"), "sk"), "ib"
+        ).select(F.col("ia").alias("doc_id"), "sk")
+        sk = (
+            nbr.union(sk)
+            .groupBy("doc_id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint()
+        )
+        round_row = (
+            sk.select(
+                F.round(F.hll_sketch_estimate("sk"))
+                .cast("long")
+                .alias("ball")
+            )
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("ball").alias("ball_sum"),
+            )
+            .select(
+                F.lit(r).alias("radius"),
+                "n_docs",
+                "ball_sum",
+                F.expr("(1000000 * ball_sum) DIV n_docs").alias(
+                    "mean_ball_e6"
+                ),
+            )
+        )
+        out = out.unionByName(round_row)
+    return out
+
+
+if neardup_neighborhood_function.__doc__:  # absent under python -OO
+    neardup_neighborhood_function.__doc__ = (
+        neardup_neighborhood_function.__doc__.format(R=HYPERANF_RADIUS)
+    )
+
+
 def _kcore_sql() -> str:
     # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     # stage references its predecessor three times (degree scan + both
@@ -2058,6 +2148,9 @@ DEDUP_QUERIES = {
         dedup_containment_prefix,
         DEDUP_CONTAINMENT_SQL.format(postings=_DUCK_POSTINGS),
     ),
+    # sketch internals have no ANSI oracle (ORACLE_EXEMPT in the
+    # registry contract test); test_hyperanf bounds N(r) vs exact BFS
+    "neardup_neighborhood_function": (neardup_neighborhood_function, None),
     "dedup_ngram_jaccard_capped": (
         dedup_ngram_jaccard_capped,
         DEDUP_NGRAM_CAPPED_SQL.format(postings=_DUCK_POSTINGS),

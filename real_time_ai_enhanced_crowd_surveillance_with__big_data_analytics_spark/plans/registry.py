@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "knn_shapley",
     "session_expiry_scan",
     "spatial_two_hop_reach_approx",
+    "neardup_neighborhood_function",
     # (d) oldest-verdict fill: the full r4 cohort
     "revenue_deciles",
     "event_cube",
@@ -122,7 +123,6 @@ _PRIORITY: list[str] = [
     "kmeans_refine",
     "semantic_keep_canonical",
     "fuzzy_name_pairs",
-    "duplicate_span_fraction",
 ]
 
 

@@ -138,6 +138,9 @@ ORACLE_EXEMPT = {
     # DataSketches HLL estimates have no ANSI-SQL equivalent;
     # test_two_hop_approx bounds every row against the exact anchor
     "spatial_two_hop_reach_approx",
+    # same: HLL sketch state per round; test_hyperanf bounds every
+    # N(r) against exact python BFS
+    "neardup_neighborhood_function",
 }
 
 
