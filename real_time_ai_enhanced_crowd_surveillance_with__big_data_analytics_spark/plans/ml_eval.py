@@ -941,6 +941,250 @@ FROM g GROUP BY cls
 """
 
 
+CONFORMAL_ALPHA_E3 = 100  # target miscoverage 10%, as integer permil
+
+
+def conformal_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal calibration per class over the shared score
+    fixture (Vovk et al.; Angelopoulos & Bates '21 tutorial form): for
+    class c, nonconformity of a positive example is ``−score``; the
+    conformal threshold is the ``⌈(n_pos+1)(1−α)⌉``-th smallest
+    nonconformity — i.e. the k-th LARGEST positive score with
+    ``k = n_pos + 1 − ⌈(n_pos+1)(1−α)⌉`` from the top... equivalently
+    the smallest score grid cell q such that at least
+    ``⌈(n_pos+1)(1−α)⌉`` positives score ≥ q. Predicting "c ∈ set iff
+    score_c ≥ q_c" then covers fresh positives with probability
+    ≥ 1−α (exchangeability) — the selective-prediction knob a
+    filtering pipeline turns instead of an arbitrary 0.5.
+
+    Exact integer spec: rank arithmetic only — ``need =
+    ⌈(n_pos+1)·(1000−α_e3)/1000⌉`` in permil, and the threshold is
+    the MAX s_fp with ``cum_pos ≥ need`` on the descending microunit
+    grid (ties at the cell boundary included, the conservative
+    direction). Outputs the threshold, the exact achieved coverage
+    count, and the false-positive admission count at that threshold —
+    all BIGINTs plus one e6 ratio pair.
+
+    Scale: the AP/AUC histogram posture — one map-side-combined
+    groupBy onto the (class, score_fp) grid, grid-sized windows.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    scored = emb.select(
+        "label",
+        F.posexplode(F.slice("embedding", 1, N_CLASSES)).alias("cls", "score"),
+    ).select(
+        "cls",
+        F.floor(F.col("score").cast("double") * SCORE_SCALE)
+        .cast("long")
+        .alias("s_fp"),
+        (F.col("label") == F.col("cls")).cast("long").alias("pos"),
+    )
+    g = scored.groupBy("cls", "s_fp").agg(
+        F.sum("pos").alias("pos_at"),
+        (F.count("*") - F.sum("pos")).alias("neg_at"),
+    )
+    desc_cum = (
+        Window.partitionBy("cls")
+        .orderBy(F.desc("s_fp"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.select(
+        "cls",
+        "s_fp",
+        F.sum("pos_at").over(desc_cum).alias("cum_pos"),
+        F.sum("neg_at").over(desc_cum).alias("cum_neg"),
+        F.sum("pos_at").over(Window.partitionBy("cls")).alias("n_pos"),
+    )
+    # ceil(a/b) as (a + b − 1) DIV b with all-positive operands —
+    # negative-division tricks diverge (Spark DIV truncates toward
+    # zero, DuckDB // floors); positive operands are engine-identical
+    need = F.expr(
+        f"((n_pos + 1) * (1000 - {CONFORMAL_ALPHA_E3}) + 999) DIV 1000"
+    )
+    return (
+        cum.withColumn("need", need)
+        .filter(F.col("cum_pos") >= F.col("need"))
+        .groupBy("cls")
+        .agg(
+            F.first("n_pos").alias("n_pos"),
+            F.first("need").alias("need"),
+            F.max("s_fp").alias("threshold_fp"),
+        )
+        .join(
+            cum.select("cls", "s_fp", "cum_pos", "cum_neg"),
+            ["cls"],
+        )
+        .filter(F.col("s_fp") == F.col("threshold_fp"))
+        .select(
+            "cls",
+            "n_pos",
+            "need",
+            "threshold_fp",
+            F.col("cum_pos").alias("covered_pos"),
+            F.col("cum_neg").alias("admitted_neg"),
+            F.expr("(1000000 * cum_pos) DIV n_pos").alias("coverage_e6"),
+        )
+    )
+
+
+CONFORMAL_THRESHOLD_SQL = f"""
+WITH classes AS (
+  SELECT unnest(range({N_CLASSES})) AS cls
+), scored AS (
+  SELECT c.cls,
+         CAST(floor(CAST(e.embedding[c.cls + 1] AS DOUBLE) * {SCORE_SCALE})
+              AS BIGINT) AS s_fp,
+         CASE WHEN e.label = c.cls THEN 1 ELSE 0 END AS pos
+  FROM embeddings e CROSS JOIN classes c
+), g AS (
+  SELECT cls, s_fp,
+         CAST(sum(pos) AS BIGINT) AS pos_at,
+         CAST(count(*) - sum(pos) AS BIGINT) AS neg_at
+  FROM scored GROUP BY 1, 2
+), cum AS (
+  SELECT cls, s_fp,
+         CAST(sum(pos_at) OVER w AS BIGINT) AS cum_pos,
+         CAST(sum(neg_at) OVER w AS BIGINT) AS cum_neg,
+         CAST(sum(pos_at) OVER (PARTITION BY cls) AS BIGINT) AS n_pos
+  FROM g
+  WINDOW w AS (PARTITION BY cls ORDER BY s_fp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), th AS (
+  SELECT cls,
+         max(n_pos) AS n_pos,
+         max(((n_pos + 1) * (1000 - {CONFORMAL_ALPHA_E3}) + 999) // 1000)
+           AS need,
+         max(s_fp) FILTER (
+           WHERE cum_pos >= ((n_pos + 1) * (1000 - {CONFORMAL_ALPHA_E3})
+                             + 999) // 1000
+         ) AS threshold_fp
+  FROM cum GROUP BY cls
+)
+SELECT t.cls, t.n_pos, t.need, t.threshold_fp,
+       c.cum_pos AS covered_pos,
+       c.cum_neg AS admitted_neg,
+       (1000000 * c.cum_pos) // t.n_pos AS coverage_e6
+FROM th t JOIN cum c ON c.cls = t.cls AND c.s_fp = t.threshold_fp
+"""
+
+
+FAIRNESS_THRESHOLD_FP = 150_000  # decision rule: score >= 0.15
+
+
+def fairness_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-fairness audit of a fixed decision rule over the shared
+    score fixture: treating class-0's score as "the model" and each
+    vector's LABEL as its (sensitive) group, report per group the
+    selection rate and the true/false positive rates at the declared
+    threshold, plus each group's gap to the all-corpus reference rate
+    — the demographic-parity and equalized-odds readouts (Hardt et
+    al., NeurIPS'16) a data-governance pass runs before shipping a
+    filter trained on pipeline scores.
+
+    Exact integer spec: every rate is an e6 fixed-point floor quotient
+    of two BIGINT counts; the reference rates are computed over ALL
+    groups in the same aggregate, and each gap is the SIGNED e6
+    difference (integer subtraction of already-floored quotients —
+    pinned, no cross-engine float). Groups with no positives/negatives
+    emit NULL rate and NULL gap on both engines.
+
+    Scale: one ×1 projection of the corpus (no explode — only class
+    0's score is read), one map-side-combined groupBy onto the group
+    grid, one broadcast-sized reference join. No windows.
+    """
+    emb = load_table(spark, "embeddings", sf)
+    scored = emb.select(
+        F.col("label").alias("grp"),
+        (
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * SCORE_SCALE
+            ).cast("long")
+            >= FAIRNESS_THRESHOLD_FP
+        )
+        .cast("long")
+        .alias("sel"),
+        (F.col("label") == 0).cast("long").alias("y"),
+    )
+    per = scored.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("sel").alias("n_sel"),
+        F.sum(F.col("sel") * F.col("y")).alias("tp"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.col("sel") * (1 - F.col("y"))).alias("fp"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    ref = scored.agg(
+        F.expr("(1000000 * sum(sel)) DIV count(*)").alias("ref_sel_e6"),
+        F.expr("(1000000 * sum(sel * y)) DIV sum(y)").alias("ref_tpr_e6"),
+        F.expr(
+            "(1000000 * sum(sel * (1 - y))) DIV (count(*) - sum(y))"
+        ).alias("ref_fpr_e6"),
+    )
+    rate = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.expr(f"(1000000 * {num}) DIV {den}")
+    )
+    return (
+        per.crossJoin(F.broadcast(ref))
+        .select(
+            "grp",
+            "n",
+            rate("n_sel", "n").cast("long").alias("sel_rate_e6"),
+            rate("tp", "n_pos").cast("long").alias("tpr_e6"),
+            rate("fp", "n_neg").cast("long").alias("fpr_e6"),
+            (rate("n_sel", "n") - F.col("ref_sel_e6"))
+            .cast("long")
+            .alias("dp_gap_e6"),
+            (rate("tp", "n_pos") - F.col("ref_tpr_e6"))
+            .cast("long")
+            .alias("tpr_gap_e6"),
+            (rate("fp", "n_neg") - F.col("ref_fpr_e6"))
+            .cast("long")
+            .alias("fpr_gap_e6"),
+        )
+    )
+
+
+FAIRNESS_GAPS_SQL = f"""
+WITH scored AS (
+  SELECT label AS grp,
+         CASE WHEN CAST(floor(CAST(embedding[1] AS DOUBLE) * {SCORE_SCALE})
+                        AS BIGINT) >= {FAIRNESS_THRESHOLD_FP}
+              THEN 1 ELSE 0 END AS sel,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), per AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sel) AS BIGINT) AS n_sel,
+         CAST(sum(sel * y) AS BIGINT) AS tp,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(sel * (1 - y)) AS BIGINT) AS fp,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM scored GROUP BY grp
+), ref AS (
+  SELECT (1000000 * CAST(sum(sel) AS BIGINT)) // count(*) AS ref_sel_e6,
+         (1000000 * CAST(sum(sel * y) AS BIGINT)) // sum(y) AS ref_tpr_e6,
+         (1000000 * CAST(sum(sel * (1 - y)) AS BIGINT))
+           // (count(*) - sum(y)) AS ref_fpr_e6
+  FROM scored
+)
+SELECT grp, n,
+       CAST(CASE WHEN n > 0 THEN (1000000 * n_sel) // n END AS BIGINT)
+         AS sel_rate_e6,
+       CAST(CASE WHEN n_pos > 0 THEN (1000000 * tp) // n_pos END AS BIGINT)
+         AS tpr_e6,
+       CAST(CASE WHEN n_neg > 0 THEN (1000000 * fp) // n_neg END AS BIGINT)
+         AS fpr_e6,
+       CAST(CASE WHEN n > 0 THEN (1000000 * n_sel) // n - ref_sel_e6 END
+            AS BIGINT) AS dp_gap_e6,
+       CAST(CASE WHEN n_pos > 0 THEN (1000000 * tp) // n_pos - ref_tpr_e6 END
+            AS BIGINT) AS tpr_gap_e6,
+       CAST(CASE WHEN n_neg > 0 THEN (1000000 * fp) // n_neg - ref_fpr_e6 END
+            AS BIGINT) AS fpr_gap_e6
+FROM per CROSS JOIN ref
+"""
+
+
 CUPED_CUT_DAY = 15  # pre-period = days 1-15, post = 16+
 
 
@@ -1083,6 +1327,8 @@ ML_EVAL_QUERIES = {
     "average_precision": (average_precision, AVERAGE_PRECISION_SQL),
     "ndcg_at_k": (ndcg_at_k, NDCG_AT_K_SQL),
     "calibration_ece": (calibration_ece, CALIBRATION_ECE_SQL),
+    "conformal_threshold": (conformal_threshold, CONFORMAL_THRESHOLD_SQL),
+    "fairness_gaps": (fairness_gaps, FAIRNESS_GAPS_SQL),
     "auc_evaluation": (auc_evaluation, AUC_EVALUATION_SQL),
     "ks_score_separation": (ks_score_separation, KS_SCORE_SEPARATION_SQL),
     "tree_split_finder": (tree_split_finder, TREE_SPLIT_FINDER_SQL),

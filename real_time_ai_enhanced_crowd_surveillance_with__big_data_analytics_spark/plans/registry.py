@@ -77,6 +77,8 @@ _PRIORITY: list[str] = [
     "dedup_containment_prefix",
     "ndcg_at_k",
     "calibration_ece",
+    "conformal_threshold",
+    "fairness_gaps",
     "knn_shapley",
     "session_expiry_scan",
     "spatial_two_hop_reach_approx",
@@ -121,8 +123,6 @@ _PRIORITY: list[str] = [
     "corpus_build_pipeline",
     "length_bucket_batches",
     "kmeans_refine",
-    "semantic_keep_canonical",
-    "fuzzy_name_pairs",
 ]
 
 
