@@ -79,7 +79,6 @@ _PRIORITY: list[str] = [
     "calibration_ece",
     "conformal_threshold",
     "fairness_gaps",
-    "document_chunks",
     "knn_shapley",
     "session_expiry_scan",
     "spatial_two_hop_reach_approx",
@@ -123,6 +122,7 @@ _PRIORITY: list[str] = [
     "markov_transitions",
     "corpus_build_pipeline",
     "length_bucket_batches",
+    "kmeans_refine",
 ]
 
 

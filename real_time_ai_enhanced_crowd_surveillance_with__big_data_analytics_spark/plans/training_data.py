@@ -888,108 +888,7 @@ FROM capped
 """
 
 
-# --- RAG chunking: overlapping token windows ---------------------------------
-
-CHUNK_TOKENS = 64   # window width
-CHUNK_STRIDE = 48   # 16-token overlap between consecutive chunks
-
-
-def document_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding-window chunking of every document into overlapping
-    token windows — the retrieval-indexing preprocessing every RAG
-    pipeline runs before embedding (window W tokens, stride S, so
-    consecutive chunks share W−S tokens of context and no sentence at
-    a window boundary is lost to both sides). One row per chunk:
-    (doc_id, chunk_id, start_tok, n_tok, chunk_text, n_chars).
-
-    Chunk-count spec in pure integer arithmetic, identical on both
-    engines: documents with n ≤ W tokens yield exactly one chunk;
-    otherwise ``1 + ⌈(n−W)/S⌉`` chunks (ceil as the all-positive
-    (a+b−1) DIV b form), so the LAST window may be short but always
-    starts within the text — no empty chunks, no empty-list
-    `array_join`/`array_to_string` NULL divergence (the c4_line_filter
-    lesson).
-
-    Scale: one projection + one `posexplode(sequence(...))` whose
-    fan-out is Σ n_chunks ≈ corpus_tokens/S — output-sized, the
-    irreducible cost of materializing chunks; slicing is whole-stage
-    codegen (`slice` + `array_join`), no UDF, no shuffle at all (the
-    explode inherits scan partitioning; writers repartition by doc_id
-    downstream if the sink needs it).
-    """
-    docs = load_table(spark, "documents", sf)
-    w, s = CHUNK_TOKENS, CHUNK_STRIDE
-    toks = docs.select(
-        "doc_id",
-        F.split(F.trim("text"), " ").alias("toks"),
-    ).select(
-        "doc_id",
-        "toks",
-        F.size("toks").alias("n_tok_doc"),
-    )
-    n_chunks = F.when(F.col("n_tok_doc") <= w, F.lit(1)).otherwise(
-        1 + F.expr(f"(n_tok_doc - {w} + {s} - 1) DIV {s}")
-    )
-    return (
-        toks.withColumn("n_chunks", n_chunks)
-        .select(
-            "doc_id",
-            "toks",
-            "n_tok_doc",
-            F.posexplode(F.expr("sequence(0, n_chunks - 1)")).alias(
-                "chunk_id", "_c"
-            ),
-        )
-        .select(
-            "doc_id",
-            "chunk_id",
-            (F.col("chunk_id") * s).cast("long").alias("start_tok"),
-            F.least(
-                F.lit(w), F.col("n_tok_doc") - F.col("chunk_id") * s
-            ).alias("n_tok"),
-            F.array_join(
-                F.slice("toks", F.col("chunk_id") * s + 1, w), " "
-            ).alias("chunk_text"),
-        )
-        .withColumn("n_chars", F.length("chunk_text"))
-    )
-
-
-DOCUMENT_CHUNKS_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS tk,
-         len(string_split(trim(text), ' ')) AS n_tok_doc
-  FROM documents
-), spans AS (
-  SELECT doc_id, tk, n_tok_doc,
-         CASE WHEN n_tok_doc <= {CHUNK_TOKENS} THEN 1
-              ELSE 1 + (n_tok_doc - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                       // {CHUNK_STRIDE} END AS n_chunks
-  FROM toks
-), chunks AS (
-  SELECT doc_id, tk, n_tok_doc,
-         CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
-  FROM spans
-)
-SELECT doc_id,
-       CAST(chunk_id AS INT) AS chunk_id,
-       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
-       CAST(least({CHUNK_TOKENS},
-                  n_tok_doc - chunk_id * {CHUNK_STRIDE}) AS INT) AS n_tok,
-       array_to_string(
-         tk[CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT):
-            CAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)],
-         ' ') AS chunk_text,
-       CAST(length(array_to_string(
-         tk[CAST(chunk_id * {CHUNK_STRIDE} + 1 AS BIGINT):
-            CAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)],
-         ' ')) AS INT) AS n_chars
-FROM chunks
-"""
-
-
 TRAINING_DATA_QUERIES = {
-    "document_chunks": (document_chunks, DOCUMENT_CHUNKS_SQL),
     "corpus_build_pipeline": (corpus_build_pipeline, CORPUS_BUILD_PIPELINE_SQL),
     "cap_per_source": (cap_per_source, CAP_PER_SOURCE_SQL),
     "zorder_key": (zorder_key, ZORDER_KEY_SQL),
