@@ -179,8 +179,14 @@ def knn_shapley(spark: SparkSession, sf: str) -> DataFrame:
     value — normally 2ⁿ coalitions — collapses to one sorted sweep):
     sort the corpus by similarity to the query descending, then
 
-        s_N = m_N / N
+        s_N = m_N / max(K, N)
         s_i = s_{i+1} + (m_i − m_{i+1}) · min(K, i) / (K · i)
+
+    (the ``max(K, N)`` base covers corpora smaller than K — the K-NN
+    utility divides by K even when fewer than K neighbors exist, and
+    hypothesis found the plain 1/N base breaks the efficiency axiom
+    exactly there; N ≫ K on every real corpus, so behavior at the
+    shipped SFs is unchanged)
 
     with ``m_i = 1[label_i == query's label]``. The same
     3-prompts-at-once CLIP scoring seam as ``knn_batch``
@@ -271,7 +277,10 @@ def knn_shapley(spark: SparkSession, sf: str) -> DataFrame:
     # the 1e9·min(K,rn) multiply wraps 32-bit (silently, non-ANSI)
     term = F.when(
         F.col("m_next").isNull(),
-        F.col("m") * F.expr(f"CAST({SHAP_SCALE} AS BIGINT) DIV n_corpus"),
+        F.col("m")
+        * F.expr(
+            f"CAST({SHAP_SCALE} AS BIGINT) DIV greatest({k}, n_corpus)"
+        ),
     ).otherwise(
         (F.col("m") - F.col("m_next"))
         * F.expr(
@@ -308,7 +317,7 @@ WITH q AS (
 ), terms AS (
   SELECT *,
          CASE WHEN m_next IS NULL
-              THEN m * ({SHAP_SCALE} // n_corpus)
+              THEN m * ({SHAP_SCALE} // greatest({KNN_SHAPLEY_K}, n_corpus))
               ELSE (m - m_next)
                    * (({SHAP_SCALE} * least({KNN_SHAPLEY_K}, rn))
                       // ({KNN_SHAPLEY_K} * rn))

@@ -48,7 +48,7 @@ def _reference(rows):
         n = len(ranked)
         m = [1 if r.label == q.label else 0 for r in ranked]
         s = [0] * n
-        s[n - 1] = m[n - 1] * (SHAP_SCALE // n)
+        s[n - 1] = m[n - 1] * (SHAP_SCALE // max(KNN_SHAPLEY_K, n))
         for i in range(n - 2, -1, -1):
             qpos = (SHAP_SCALE * min(KNN_SHAPLEY_K, i + 1)) // (
                 KNN_SHAPLEY_K * (i + 1)
