@@ -20,6 +20,8 @@ import pytest
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.dedup import (
     dedup_containment,
     dedup_containment_prefix,
+    dedup_jaccard_prefix,
+    dedup_ngram_jaccard,
 )
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.similarity import (
     NEARDUP_TILE_ROWS,
@@ -134,6 +136,24 @@ def test_containment_prefix_equals_anchor_on_random_corpus(
     anchor = sorted(tuple(r) for r in dedup_containment(spark, sf).collect())
     assert twin == anchor
     assert anchor  # the planted containment pairs must surface
+
+
+@pytest.mark.parametrize("seed", [13, 29, 61])
+def test_jaccard_prefix_equals_anchor_on_random_corpus(
+    spark, tmp_path, seed
+):
+    """The r8 Jaccard prefix twin shares these seams (hot boilerplate
+    df, size ties) — same net, symmetric-threshold flavor."""
+    _write_documents(str(tmp_path / "documents.parquet"), seed, 60)
+    sf = str(tmp_path)
+    twin = sorted(
+        tuple(r) for r in dedup_jaccard_prefix(spark, sf).collect()
+    )
+    anchor = sorted(
+        tuple(r) for r in dedup_ngram_jaccard(spark, sf).collect()
+    )
+    assert twin == anchor
+    assert anchor
 
 
 @pytest.mark.parametrize("seed", [13, 29, 61])
