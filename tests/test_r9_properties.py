@@ -143,6 +143,47 @@ def test_conformal_grid_rule_equals_order_statistic(pos_scores):
 
 @settings(max_examples=200, deadline=None)
 @given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=40
+    ),
+    st.integers(1, 4),
+)
+def test_hyperanf_recurrence_equals_bfs_balls(edge_list, radius):
+    """The neighborhood-function recurrence the sketch plan executes —
+    c_0(v) = {v}; c_r(v) = c_{r-1}(v) ∪ ⋃_{u∈N(v)} c_{r-1}(u) — must
+    equal the BFS ball B(v, r) exactly as SETS on every graph (the
+    sketch only approximates the CARDINALITY). Pins the two accounting
+    seams the plan handles explicitly: isolated nodes (own-sketch
+    union keeps leaf members of N(v) that appear in nobody else's
+    neighborhood — the bug the first implementation had) and the −1
+    self-subtraction done at estimate time, not in the recurrence."""
+    nodes = sorted(
+        {v for e in edge_list for v in e} | set(range(0, 15, 5))
+    )
+    adj = {v: set() for v in nodes}
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    c = {v: {v} for v in nodes}
+    for _ in range(radius):
+        c = {
+            v: c[v] | set().union(*(c[u] for u in adj[v]), c[v])
+            for v in nodes
+        }
+    for v in nodes:
+        # BFS ball
+        frontier, ball = {v}, {v}
+        for _ in range(radius):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+        assert c[v] == ball
+        # the plan's readout: |c_r(v)| − 1 = reach excluding self
+        assert len(c[v]) - 1 == len(ball - {v})
+
+
+@settings(max_examples=200, deadline=None)
+@given(
     st.lists(st.booleans(), min_size=1, max_size=100),
     st.integers(1, 10),
 )
