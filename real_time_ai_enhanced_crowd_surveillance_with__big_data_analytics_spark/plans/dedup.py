@@ -34,6 +34,25 @@ SIMHASH_TOP = 20
 
 # --- shared shingle machinery ------------------------------------------------
 
+def symmetrize_pairs(pairs: DataFrame, a: str = "ia", b: str = "ib") -> DataFrame:
+    """Both orientations of an (a, b) pair frame as ONE pass over the
+    input: explode([(a,b),(b,a)]) instead of ``pairs.union(swap)``.
+    The union form executes the pair-producing subtree TWICE when it
+    is not already materialized (Spark has no common-subexpression
+    elimination across union branches; only a trailing Exchange gets
+    reused) — measured 2x on the LSH verify pipeline at sf0.1, and at
+    100 TB it is two full candidate-join passes instead of one. Output
+    multiset is identical to the union form."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias(a), F.col(b).alias(b)),
+                F.struct(F.col(b).alias(a), F.col(a).alias(b)),
+            )
+        ).alias("_e")
+    ).select(f"_e.{a}", f"_e.{b}")
+
+
 def _tokens(text):
     return F.split(F.trim(text), " ")
 
@@ -460,12 +479,21 @@ def _shingle_postings(
     by default; ``distinct=False`` keeps every occurrence, for
     repetition metrics).
 
-    Fully relational shingle hashing: the token vocabulary is hashed
-    ONCE (distinct tokens → polynomial char hash → broadcast join back),
-    shingle ids compose the three token hashes via window ``lead`` —
-    everything after the tiny vocab hash runs in whole-stage codegen.
-    Interpreted higher-order folds over every shingle's characters
-    (the naive form) were ~10× slower at sf0.1.
+    The token vocabulary is hashed ONCE in Spark expressions (distinct
+    tokens → polynomial char hash — interpreted higher-order folds over
+    every occurrence, the naive form, were ~10× slower at sf0.1), then
+    collected and broadcast as a plain dict; ONE mapInPandas pass over
+    (doc_id, token-array) rows maps tokens through the dict and
+    composes the trigram sids vectorized in int64 numpy — identical
+    arithmetic to the oracle (Python/numpy int64 ≡ Spark long here:
+    every intermediate < 3.8e10). This replaces the earlier
+    explode → vocab broadcast-JOIN → window-``lead``-per-doc →
+    distinct pipeline, whose ``Window.partitionBy(doc_id)`` SHUFFLED
+    the full exploded token stream (corpus-sized) and whose distinct
+    shuffled it again: the map-only form shuffles NOTHING — postings
+    are born at the scan (guide §2.4). The collected vocab is the same
+    memory class the old plan already committed to via
+    ``F.broadcast(vocab)`` (Heaps-law sublinear in the corpus).
 
     ``materialize`` localCheckpoints the postings: every dedup consumer
     references them 3-5× (df stats, pair join sides, per-doc counts),
@@ -476,27 +504,45 @@ def _shingle_postings(
     multi-tenant cluster with dynamic allocation the durable equivalent
     is a one-off write of postings to doc_id-bucketed parquet.
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
 
-    toks = docs.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
-    )
-    vocab = (
-        toks.select("token")
+    spark = docs.sparkSession
+    vocab_rows = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
         .distinct()
         .select("token", _str_hash(F.col("token")).alias("th"))
+        .collect()
     )
-    hashed = toks.join(F.broadcast(vocab), "token")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sid = (
-        (F.col("th") * HASH_BASE + F.lead("th", 1).over(w)) % HASH_MOD
-    ) * 37 + F.lead("th", 2).over(w)
-    out = (
-        hashed.select("doc_id", "pos", (sid % HASH_MOD).alias("sid"))
-        .filter(F.col("sid").isNotNull())
-        .select("doc_id", "sid")
+    bc = spark.sparkContext.broadcast({r.token: r.th for r in vocab_rows})
+
+    def shingles(batches):
+        v = bc.value
+        for pdf in batches:
+            ids, sids = [], []
+            for did, tk in zip(pdf["doc_id"], pdf["tk"]):
+                n = len(tk)
+                if n < 3:
+                    continue
+                th = np.fromiter((v[t] for t in tk), dtype="int64", count=n)
+                sid = (
+                    ((th[:-2] * HASH_BASE + th[1:-1]) % HASH_MOD) * 37
+                    + th[2:]
+                ) % HASH_MOD
+                if distinct:
+                    sid = np.unique(sid)
+                ids.append(np.full(len(sid), did, dtype="int64"))
+                sids.append(sid)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.empty(0, "int64"),
+                    "sid": np.concatenate(sids) if sids else np.empty(0, "int64"),
+                }
+            )
+
+    out = docs.select("doc_id", _tokens(F.col("text")).alias("tk")).mapInPandas(
+        shingles, schema="doc_id long, sid long"
     )
-    out = out.distinct() if distinct else out
     return out.localCheckpoint() if materialize else out
 
 
@@ -1589,9 +1635,9 @@ def kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf)
     base = _neardup_edges(docs).select("ia", "ib")
-    cur = base.union(
-        base.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    ).localCheckpoint()
+    # explode-symmetrize: ONE execution of the jaccard pipeline (the
+    # union form ran it once per branch inside this checkpoint)
+    cur = symmetrize_pairs(base).localCheckpoint()
     n_prev = cur.count()
     for _ in range(KCORE_ROUNDS):
         keep = (

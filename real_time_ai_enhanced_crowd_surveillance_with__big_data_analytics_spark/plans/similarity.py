@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..functions.text import DUCK_QUALITY
+from .dedup import symmetrize_pairs
 
 _DQ = DUCK_QUALITY.format(text="text")
 
@@ -1268,10 +1269,10 @@ def label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     # both the vote join and the anti-join, and without truncation the
     # whole LSH pipeline (mapInPandas signatures + candidate join +
     # cosine UDF) would re-execute per reference — measured 35 s vs
-    # ~4 s at sf0.1 for the same answer
-    edges = pairs.union(
-        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    ).localCheckpoint()
+    # ~4 s at sf0.1 for the same answer. Symmetrize via explode, not
+    # union(swap): the union form executed the verify pipeline once
+    # per branch inside this same checkpoint (see symmetrize_pairs)
+    edges = symmetrize_pairs(pairs).localCheckpoint()
     labels = emb.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
         F.col("vec_id").alias("node"),
         F.col("label").alias("lab"),
@@ -1393,10 +1394,9 @@ def neardup_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     pairs = embedding_neardup_lsh(spark, sf).select("ia", "ib")
     # symmetrize once: every round's contribution join and the final
     # degree join reference the same edge set (see label_propagation
-    # for the measured cost of NOT truncating the LSH lineage here)
-    edges = pairs.union(
-        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    ).localCheckpoint()
+    # for the measured cost of NOT truncating the LSH lineage here).
+    # explode-symmetrize = ONE execution of the LSH verify pipeline
+    edges = symmetrize_pairs(pairs).localCheckpoint()
     # deg is the graph-node set with out-degrees attached; checkpoint
     # it too — it seeds the iteration and re-enters every round
     deg = (
