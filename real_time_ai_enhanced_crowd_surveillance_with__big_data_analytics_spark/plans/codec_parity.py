@@ -173,6 +173,14 @@ def image_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     hash.
     """
     docs = load_table(spark, "documents", sf).select("doc_id")
+    # fan the per-doc Python codec work across the cluster: the test
+    # corpus is one row-group, so mapInPandas straight off the scan
+    # runs EVERY encode+decode on a single task (the
+    # single-split-scan → one-task trap; explicit N because AQE would
+    # coalesce a keyless repartition of KB-sized input back to 1).
+    # The shuffle moves only doc_id longs — decode cost dominates it
+    # at any scale.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     hashes = docs.mapInPandas(
         _dhash_bands, schema="doc_id long, b0 long, b1 long, b2 long, b3 long"
     )

@@ -820,16 +820,16 @@ N_HYPERPLANES = 16
 BAND_SIZE = 4  # 4 bands × 4 bits
 
 
-def _sign_bands(emb: DataFrame) -> DataFrame:
+def _sign_bands(emb: DataFrame, carry_embedding: bool = False) -> DataFrame:
     """Random-hyperplane LSH signatures, banded.
 
     Hyperplanes are the first 16 corpus vectors themselves — fully
     deterministic and oracle-portable (no RNG). Each vector gets 16 sign
     bits of cosine(x, h); bits group into 4-bit band keys. Vectors
-    sharing any band key become candidate pairs — the candidate join
-    shuffles on (band, key), never on the full vector, which is what
-    bounds work at 100 TB (brute force is quadratic; banding is ~linear
-    in candidates).
+    sharing any band key become candidate pairs — the candidate
+    grouping shuffles on (band, key), never the corpus square, which is
+    what bounds work at 100 TB (brute force is quadratic; banding is
+    ~linear in candidates).
 
     All 16 bits come from ONE batched matmul per Arrow batch
     (mapInPandas against the broadcast 16×dim hyperplane matrix) — the
@@ -837,6 +837,10 @@ def _sign_bands(emb: DataFrame) -> DataFrame:
     shuffle and 16× the UDF rows for the same answer. The hyperplane
     set is a fixed 16 rows regardless of corpus size, so the driver
     collect is scale-safe.
+
+    ``carry_embedding=True`` additionally emits the vector on every
+    band row, so the in-bucket verify can run without ever joining the
+    corpus back (see embedding_neardup_lsh).
     """
     import numpy as np
     import pandas as pd
@@ -866,53 +870,76 @@ def _sign_bands(emb: DataFrame) -> DataFrame:
             bits = (cosm >= 0).astype("int64")
             keys = bits.reshape(-1, n_bands, BAND_SIZE) @ weights
             ids = pdf["vec_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(ids, n_bands),
-                    "band": np.tile(np.arange(n_bands, dtype="int32"), len(ids)),
-                    "band_key": keys.reshape(-1),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(ids, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype="int32"), len(ids)),
+                "band_key": keys.reshape(-1),
+            }
+            if carry_embedding:
+                out["embedding"] = pdf["embedding"].iloc[
+                    np.repeat(np.arange(len(ids)), n_bands)
+                ].to_numpy()
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        bands, schema="vec_id long, band int, band_key long"
-    )
+    schema = "vec_id long, band int, band_key long"
+    if carry_embedding:
+        schema += ", embedding array<double>"
+    return emb.select("vec_id", "embedding").mapInPandas(bands, schema=schema)
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs via sign-LSH banding: candidates share ≥1 band
     key, then exact cosine verifies ≥ threshold. Approximate by design
     (recall < 1 vs embedding_neardup_exact); the candidate set — not
-    the corpus square — bounds the cost."""
-    emb = load_table(spark, "embeddings", sf)
-    # cached: both sides of the candidate self-join read the signatures
-    bands = _sign_bands(emb).cache()
-    a = bands.select(
-        F.col("vec_id").alias("ia"), "band", F.col("band_key").alias("ka")
-    )
-    b = bands.select(
-        F.col("vec_id").alias("ib"), F.col("band").alias("bandb"), F.col("band_key").alias("kb")
-    )
-    cands = (
-        a.join(
-            b,
-            (F.col("band") == F.col("bandb"))
-            & (F.col("ka") == F.col("kb"))
-            & (F.col("ia") < F.col("ib")),
-        )
-        .select("ia", "ib")
-        .distinct()
-    )
-    va = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
-    from ..functions.arrays import pair_cosine_udf
+    the corpus square — bounds the cost.
 
-    cos = pair_cosine_udf()
+    Verification runs IN-BUCKET: band rows carry their vector, one
+    applyInPandas per (band, band_key) group computes the bucket's
+    cosine matrix with a single BLAS matmul and emits only the
+    surviving (ia < ib, cosine ≥ t) pairs; duplicates across bands
+    collapse in one distinct (identical cosine per pair — dgemm and
+    the per-pair einsum agree at round-6, verified corpus-wide at all
+    SFs). The earlier form self-joined the signature table into a
+    candidate PAIR STREAM (23% of the corpus square here) and then
+    attached both 64-dim vectors to every candidate row via two corpus
+    joins + an ArrowEvalPython pass — the payload crossed the network
+    once per CANDIDATE; in-bucket it crosses once per BAND ROW
+    (guide §8: move heavy bytes once, decide in place). Hot-band skew
+    is the standard LSH caveat either way: a degenerate band key
+    concentrates its bucket in one task here exactly as it fans into
+    the quadratic join there; at 100 TB the fix is the same df-cap
+    (drop ultra-hot band keys) the shingle path documents."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf)
+    banded = _sign_bands(emb, carry_embedding=True)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "ia": pd.Series([], dtype="int64"),
+                    "ib": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.asarray(pdf["embedding"].tolist(), dtype="float64")[order]
+        n = np.linalg.norm(m, axis=1)
+        sims = np.round((m @ m.T) / np.outer(n, n), 6)
+        keep = np.triu(sims >= NEARDUP_THRESHOLD, k=1)
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"ia": ids[r], "ib": ids[c], "cosine": sims[r, c]}
+        )
+
     return (
-        cands.join(va, "ia")
-        .join(vb, "ib")
-        .select("ia", "ib", cos(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        banded.groupBy("band", "band_key")
+        .applyInPandas(bucket_pairs, schema="ia long, ib long, cosine double")
+        .distinct()
     )
 
 
