@@ -85,6 +85,42 @@ def _nms_pairs(
     return p[keep_mask]
 
 
+def _nms_multi(
+    multi: pd.DataFrame, codes: np.ndarray, iou_threshold: float
+) -> pd.DataFrame:
+    """Greedy NMS over ALL 3+-box frames with one numpy pass: groups
+    are contiguous runs of ``codes`` (the caller's canonical sort),
+    each run handled on raw array slices. Per-group semantics are
+    nms_pandas' exactly (stable confidence-descending order, greedy
+    keep); what changes is the constant — a pandas groupby loop paid
+    ~0.7 ms of DataFrame slicing per TINY group (7.4 s single-core for
+    10k frames at sf0.1), the array form ~30 µs."""
+    # make groups contiguous, keeping within-group input order (the
+    # tie-break semantics) — stable sort is a no-op when the caller
+    # already sorted by the key columns
+    run = np.argsort(codes, kind="stable")
+    multi = multi.iloc[run]
+    codes = codes[run]
+    conf = multi["confidence"].to_numpy()
+    boxes = multi[["x", "y", "w", "h"]].to_numpy(dtype="float64")
+    change = np.empty(len(multi), dtype=bool)
+    change[0] = True
+    change[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(multi))
+    out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        order = np.argsort(-conf[s:e], kind="stable")
+        b = boxes[s:e][order]
+        kept: list[int] = []
+        for i in range(len(order)):
+            if kept and np.any(_iou(b[i], b[kept]) > iou_threshold):
+                continue
+            kept.append(i)
+        out.append(s + order[kept])
+    return multi.iloc[np.concatenate(out)]
+
+
 def nms(
     detections: DataFrame,
     key_cols: list[str],
@@ -125,19 +161,22 @@ def nms(
             )
         # fast paths: 1-box frames can never be suppressed; 2-box
         # frames reduce to one vectorized pairwise-IoU test across all
-        # such frames at once. Only 3+-box frames pay the greedy loop —
-        # a small tail in sparse scenes, so this dominates wall-clock.
-        sizes = pdf.groupby(key_cols, sort=False)[key_cols[0]].transform("size")
+        # such frames at once; 3+-box frames run the greedy loop on
+        # contiguous numpy slices (_nms_multi) — one groupby total,
+        # never a pandas object per frame.
+        grp = pdf.groupby(key_cols, sort=False)
+        sizes = grp[key_cols[0]].transform("size")
+        codes = grp.ngroup().to_numpy()
         singles = pdf[sizes == 1]
         parts = [singles]
         pairs = pdf[sizes == 2]
         if not pairs.empty:
             parts.append(_nms_pairs(pairs, key_cols, iou_threshold))
-        multi = pdf[sizes > 2]
-        parts.extend(
-            nms_pandas(g, iou_threshold)
-            for _, g in multi.groupby(key_cols, sort=False)
-        )
+        mmask = (sizes > 2).to_numpy()
+        if mmask.any():
+            parts.append(
+                _nms_multi(pdf[mmask], codes[mmask], iou_threshold)
+            )
         return pd.concat(parts, ignore_index=True)
 
     return (

@@ -1703,10 +1703,10 @@ def neardup_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
     test_hyperanf bounds every N(r) against exact python BFS.
     """
     docs = load_table(spark, "documents", sf)
-    base = _neardup_edges(docs).localCheckpoint()
-    edges = base.union(
-        base.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-    ).localCheckpoint()
+    # one checkpoint, not two: explode-symmetrize references the
+    # jaccard pipeline once, so the base-edges barrier the union form
+    # needed (to avoid running the pipeline per branch) is gone
+    edges = symmetrize_pairs(_neardup_edges(docs)).localCheckpoint()
     n_docs = docs.count()
     sk = (
         docs.select("doc_id")
