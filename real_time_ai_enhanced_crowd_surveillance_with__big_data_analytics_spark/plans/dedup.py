@@ -295,10 +295,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     with pruning on normal dup-density.
     """
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)  # localCheckpointed: 4 references
-    doc_sets = postings.groupBy("doc_id").agg(
-        F.collect_list("sid").alias("sids"), F.count("*").alias("n_tri")
-    )
+    # ONE materialization: doc-level sets from the map-only scan pass;
+    # postings (prefix ranking) and counts are projections of it — the
+    # earlier postings-checkpoint + collect_list groupBy (re-executed
+    # per verify side) is gone
+    doc_sets = _shingle_sets(docs)
+    postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
     counts = doc_sets.select("doc_id", "n_tri")
     cands = _prefix_candidates(postings, counts)
     shared = (
@@ -507,30 +509,13 @@ def _shingle_postings(
     import numpy as np
     import pandas as pd
 
-    spark = docs.sparkSession
-    vocab_rows = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .distinct()
-        .select("token", _str_hash(F.col("token")).alias("th"))
-        .collect()
-    )
-    bc = spark.sparkContext.broadcast({r.token: r.th for r in vocab_rows})
+    bc = _vocab_broadcast(docs)
 
     def shingles(batches):
         v = bc.value
         for pdf in batches:
             ids, sids = [], []
-            for did, tk in zip(pdf["doc_id"], pdf["tk"]):
-                n = len(tk)
-                if n < 3:
-                    continue
-                th = np.fromiter((v[t] for t in tk), dtype="int64", count=n)
-                sid = (
-                    ((th[:-2] * HASH_BASE + th[1:-1]) % HASH_MOD) * 37
-                    + th[2:]
-                ) % HASH_MOD
-                if distinct:
-                    sid = np.unique(sid)
+            for did, sid in _doc_sids(v, pdf, distinct):
                 ids.append(np.full(len(sid), did, dtype="int64"))
                 sids.append(sid)
             yield pd.DataFrame(
@@ -542,6 +527,74 @@ def _shingle_postings(
 
     out = docs.select("doc_id", _tokens(F.col("text")).alias("tk")).mapInPandas(
         shingles, schema="doc_id long, sid long"
+    )
+    return out.localCheckpoint() if materialize else out
+
+
+def _vocab_broadcast(docs: DataFrame):
+    """token → polynomial-hash dict, hashed once in Spark expressions
+    (vocabulary-sized work) and broadcast for the map-only sid pass."""
+    spark = docs.sparkSession
+    vocab_rows = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .distinct()
+        .select("token", _str_hash(F.col("token")).alias("th"))
+        .collect()
+    )
+    return spark.sparkContext.broadcast({r.token: r.th for r in vocab_rows})
+
+
+def _doc_sids(v: dict, pdf, distinct: bool):
+    """Yield (doc_id, int64 sid array) per doc of an Arrow batch —
+    the shared trigram-composition kernel of _shingle_postings /
+    _shingle_sets (identical arithmetic to the oracle; every
+    intermediate < 3.8e10 so numpy int64 ≡ Spark long)."""
+    import numpy as np
+
+    for did, tk in zip(pdf["doc_id"], pdf["tk"]):
+        n = len(tk)
+        if n < 3:
+            continue
+        th = np.fromiter((v[t] for t in tk), dtype="int64", count=n)
+        sid = (
+            ((th[:-2] * HASH_BASE + th[1:-1]) % HASH_MOD) * 37 + th[2:]
+        ) % HASH_MOD
+        yield did, (np.unique(sid) if distinct else sid)
+
+
+def _shingle_sets(docs: DataFrame, materialize: bool = True) -> DataFrame:
+    """(doc_id, sids sorted-unique array, n_tri): the DOC-level shingle
+    sets, born at the scan by the same map-only pass as
+    _shingle_postings — no groupBy/collect_list shuffle anywhere. The
+    prefix-join queries need both the per-doc arrays (array-intersect
+    verify) and the sizes (length/positional filters); deriving them
+    from postings cost one corpus shuffle per reference. Postings are
+    one explode away (``select(doc_id, explode(sids))``), which reads
+    the checkpoint, so consumers needing both shapes materialize only
+    this frame."""
+    import pandas as pd
+
+    bc = _vocab_broadcast(docs)
+
+    def sets(batches):
+        v = bc.value
+        for pdf in batches:
+            ids, arrs = [], []
+            for did, sid in _doc_sids(v, pdf, True):
+                ids.append(did)
+                arrs.append(sid)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sids": pd.Series(arrs, dtype=object),
+                    "n_tri": pd.Series(
+                        [len(a) for a in arrs], dtype="int64"
+                    ),
+                }
+            )
+
+    out = docs.select("doc_id", _tokens(F.col("text")).alias("tk")).mapInPandas(
+        sets, schema="doc_id long, sids array<long>, n_tri long"
     )
     return out.localCheckpoint() if materialize else out
 
@@ -794,10 +847,9 @@ def dedup_containment_prefix(spark: SparkSession, sf: str) -> DataFrame:
     shingles).
     """
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)
-    doc_sets = postings.groupBy("doc_id").agg(
-        F.collect_list("sid").alias("sids"), F.count("*").alias("n_tri")
-    )
+    # same one-materialization shape as dedup_jaccard_prefix
+    doc_sets = _shingle_sets(docs)
+    postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
     counts = doc_sets.select("doc_id", "n_tri")
     cands = _containment_prefix_candidates(postings, counts)
     shared = (
