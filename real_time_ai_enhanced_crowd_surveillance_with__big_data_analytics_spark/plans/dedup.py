@@ -475,7 +475,10 @@ def _perm_params(j: int) -> tuple[int, int]:
 
 
 def _shingle_postings(
-    docs: DataFrame, distinct: bool = True, materialize: bool = True
+    docs: DataFrame,
+    distinct: bool = True,
+    materialize: bool = True,
+    bc=None,
 ) -> DataFrame:
     """(doc_id, sid): hashed token-trigram shingles per doc (distinct
     by default; ``distinct=False`` keeps every occurrence, for
@@ -509,7 +512,8 @@ def _shingle_postings(
     import numpy as np
     import pandas as pd
 
-    bc = _vocab_broadcast(docs)
+    if bc is None:
+        bc = _vocab_broadcast(docs)
 
     def shingles(batches):
         v = bc.value
@@ -562,7 +566,12 @@ def _doc_sids(v: dict, pdf, distinct: bool):
         yield did, (np.unique(sid) if distinct else sid)
 
 
-def _shingle_sets(docs: DataFrame, materialize: bool = True) -> DataFrame:
+def _shingle_sets(
+    docs: DataFrame,
+    materialize: bool = True,
+    with_minhash: bool = False,
+    bc=None,
+) -> DataFrame:
     """(doc_id, sids sorted-unique array, n_tri): the DOC-level shingle
     sets, born at the scan by the same map-only pass as
     _shingle_postings — no groupBy/collect_list shuffle anywhere. The
@@ -571,30 +580,52 @@ def _shingle_sets(docs: DataFrame, materialize: bool = True) -> DataFrame:
     from postings cost one corpus shuffle per reference. Postings are
     one explode away (``select(doc_id, explode(sids))``), which reads
     the checkpoint, so consumers needing both shapes materialize only
-    this frame."""
+    this frame.
+
+    ``with_minhash`` adds ``mh array<long>`` — the N_PERMS MinHash
+    values min((sid*a_j+b_j) % HASH_MOD), computed vectorized in the
+    SAME pass (numpy int64 ≡ Spark long: a_j ≤ 31 so sid*a_j < 3.2e10).
+    This replaces the old signature plan's groupBy(doc_id) with 16 min
+    aggs — a corpus shuffle of the postings — with zero extra jobs.
+    ``bc`` accepts a precomputed vocab broadcast so composed queries
+    (release_readiness) hash the vocabulary once."""
+    import numpy as np
     import pandas as pd
 
-    bc = _vocab_broadcast(docs)
+    if bc is None:
+        bc = _vocab_broadcast(docs)
+    if with_minhash:
+        pa = np.array([_perm_params(j)[0] for j in range(N_PERMS)], "int64")
+        pb = np.array([_perm_params(j)[1] for j in range(N_PERMS)], "int64")
 
     def sets(batches):
         v = bc.value
         for pdf in batches:
-            ids, arrs = [], []
+            ids, arrs, mhs = [], [], []
             for did, sid in _doc_sids(v, pdf, True):
                 ids.append(did)
                 arrs.append(sid)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "sids": pd.Series(arrs, dtype=object),
-                    "n_tri": pd.Series(
-                        [len(a) for a in arrs], dtype="int64"
-                    ),
-                }
-            )
+                if with_minhash:
+                    mhs.append(
+                        (
+                            (sid[None, :] * pa[:, None] + pb[:, None])
+                            % HASH_MOD
+                        ).min(axis=1)
+                    )
+            cols = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sids": pd.Series(arrs, dtype=object),
+                "n_tri": pd.Series([len(a) for a in arrs], dtype="int64"),
+            }
+            if with_minhash:
+                cols["mh"] = pd.Series(mhs, dtype=object)
+            yield pd.DataFrame(cols)
 
+    schema = "doc_id long, sids array<long>, n_tri long"
+    if with_minhash:
+        schema += ", mh array<long>"
     out = docs.select("doc_id", _tokens(F.col("text")).alias("tk")).mapInPandas(
-        sets, schema="doc_id long, sids array<long>, n_tri long"
+        sets, schema=schema
     )
     return out.localCheckpoint() if materialize else out
 
@@ -889,44 +920,58 @@ def dedup_containment_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _mh_bands(postings: DataFrame) -> DataFrame:
-    """(doc_id, n_tri, band, band_key): 16 min-hash perms aggregated in
-    ONE groupBy, band keys emitted via one posexplode — NOT a 4-way
-    unionAll, which would re-execute the signature aggregate once per
-    band. Shared by the full-corpus LSH and the incremental variant."""
-    mh_aggs = []
-    for j in range(N_PERMS):
-        a, b = _perm_params(j)
-        mh_aggs.append(F.min((F.col("sid") * a + b) % HASH_MOD).alias(f"mh{j}"))
-    sigs = postings.groupBy("doc_id").agg(*mh_aggs, F.count("*").alias("n_tri"))
+def _mh_bands(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, n_tri, band, band_key) from ``_shingle_sets(...,
+    with_minhash=True)``: the signatures were already computed in the
+    map-only scan pass (one numpy min per perm), so banding is a pure
+    projection — the old postings-groupBy signature aggregate (a corpus
+    shuffle of all postings into 16 min aggs) is gone. Band keys emit
+    via one posexplode — NOT a 4-way unionAll, which would re-execute
+    the source once per band. Shared by the full-corpus LSH and the
+    incremental variant."""
     band_keys = F.array(
         *[
             F.concat_ws(
                 ":",
                 *[
-                    F.col(f"mh{band * MH_BAND_SIZE + r}")
+                    F.col("mh").getItem(band * MH_BAND_SIZE + r)
                     for r in range(MH_BAND_SIZE)
                 ],
             )
             for band in range(N_PERMS // MH_BAND_SIZE)
         ]
     )
-    return sigs.select(
+    return doc_sets.select(
         "doc_id", "n_tri", F.posexplode(band_keys).alias("band", "band_key")
     )
 
 
-def _verify_jaccard(cands: DataFrame, postings: DataFrame) -> DataFrame:
+def _verify_jaccard(cands: DataFrame, doc_sets: DataFrame) -> DataFrame:
     """Exact-Jaccard verification over candidate pairs (ia, ib, na,
     nb) → (ia, ib, jaccard ≥ threshold). Shared by every LSH variant
-    so the shared-count join and round-6 arithmetic cannot drift."""
-    pa = postings.select(F.col("doc_id").alias("ia"), "sid")
-    pb = postings.select(F.col("doc_id").alias("ibb"), F.col("sid").alias("sidb"))
+    so the round-6 arithmetic cannot drift. Verification joins each
+    pair to the two docs' shingle-set ARRAYS and computes
+    ``size(array_intersect(..))`` in whole-stage codegen (the
+    dedup_jaccard_prefix discipline): postings are distinct per doc so
+    the intersect size IS the shared count, and the old
+    candidates × postings double join + re-groupBy — which re-shuffled
+    Σ|candidate docs' postings| rows — is gone."""
     return (
-        cands.join(pa, "ia")
-        .join(pb, (F.col("ib") == F.col("ibb")) & (F.col("sid") == F.col("sidb")))
-        .groupBy("ia", "ib", "na", "nb")
-        .agg(F.count("*").alias("shared"))
+        cands.join(
+            doc_sets.select(F.col("doc_id").alias("ia"), F.col("sids").alias("sa")),
+            "ia",
+        )
+        .join(
+            doc_sets.select(F.col("doc_id").alias("ib"), F.col("sids").alias("sb")),
+            "ib",
+        )
+        .select(
+            "ia",
+            "ib",
+            F.size(F.array_intersect("sa", "sb")).alias("shared"),
+            "na",
+            "nb",
+        )
         .select(
             "ia",
             "ib",
@@ -964,20 +1009,26 @@ def _duck_bands_cte() -> str:
 )"""
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf: str, doc_sets: DataFrame | None = None
+) -> DataFrame:
     """MinHash(16 perms) over hashed-trigram shingles, banded 4×4;
     pairs sharing a band key are candidates; exact shingle Jaccard
-    (shared-count join restricted to candidates) verifies.
+    (array-intersect over the doc shingle sets, restricted to
+    candidates) verifies.
 
-    Scale shape: signatures are 16 native min-aggs over the postings
-    (one shuffle on doc_id); candidates come from band-key equality
-    joins; verification touches only candidate pairs. Nothing is
-    quadratic in the corpus.
+    Scale shape: signatures are computed in the map-only scan pass
+    (zero shuffles — the old plan's postings groupBy is gone);
+    candidates come from band-key equality joins; verification joins
+    only candidate pairs to the doc-level set arrays. Nothing is
+    quadratic in the corpus. ``doc_sets`` lets composed reports
+    (release_readiness) share one materialized set frame.
     """
-    docs = load_table(spark, "documents", sf)
-    # localCheckpointed (see _shingle_postings): 3 references below
-    postings = _shingle_postings(docs)
-    bands = _mh_bands(postings)
+    if doc_sets is None:
+        docs = load_table(spark, "documents", sf)
+        # localCheckpointed (see _shingle_sets): 3 references below
+        doc_sets = _shingle_sets(docs, with_minhash=True)
+    bands = _mh_bands(doc_sets)
     a = bands.select(
         F.col("doc_id").alias("ia"),
         F.col("n_tri").alias("na"),
@@ -1000,7 +1051,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .select("ia", "ib", "na", "nb")
         .distinct()
     )
-    return _verify_jaccard(cands, postings)
+    return _verify_jaccard(cands, doc_sets)
 
 
 def _duck_minhash_sql() -> str:
@@ -1042,9 +1093,9 @@ def dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
     Deterministic best-match tiebreak (jaccard desc, base doc_id asc).
     """
     docs = load_table(spark, "documents", sf)
-    postings = _shingle_postings(docs)
+    doc_sets = _shingle_sets(docs, with_minhash=True)
     is_inc = F.col("doc_id") % 10 == 0
-    bands = _mh_bands(postings)
+    bands = _mh_bands(doc_sets)
     inc_b = bands.filter(is_inc).select(
         F.col("doc_id").alias("inc_id"),
         F.col("n_tri").alias("n_inc"),
@@ -1071,7 +1122,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    scored = _verify_jaccard(cands, postings).select(
+    scored = _verify_jaccard(cands, doc_sets).select(
         F.col("ia").alias("inc_id"), F.col("ib").alias("base_id"), "jaccard"
     )
     w = Window.partitionBy("inc_id").orderBy(
@@ -1129,38 +1180,53 @@ LEFT JOIN best b ON b.inc_id = d.doc_id
 
 # --- SimHash ------------------------------------------------------------------
 
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash signatures born at the scan —
+    the same broadcast-vocab mapInPandas discipline as
+    _shingle_postings. The old relational build exploded every token
+    occurrence, broadcast-joined the vocabulary, and shuffled the
+    occurrence stream into a 32-conditional-sum groupBy; the map-only
+    pass computes the sign sums vectorized in numpy int64 (identical
+    arithmetic: th < 2^31, weights are ±1 sums bounded by |doc|) and
+    shuffles NOTHING. Docs with zero tokens emit no row, matching the
+    explode+groupBy semantics."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _vocab_broadcast(docs)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def sigs_fn(batches):
+        v = bc.value
+        for pdf in batches:
+            ids, out = [], []
+            for did, tk in zip(pdf["doc_id"], pdf["tk"]):
+                n = len(tk)
+                if n == 0:
+                    continue
+                th = np.fromiter((v[t] for t in tk), dtype="int64", count=n)
+                w = (((th[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                ids.append(did)
+                out.append(int(((w > 0).astype(np.int64) << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(out, dtype="int64"),
+                }
+            )
+
+    return docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    ).mapInPandas(sigs_fn, schema="doc_id long, simhash long")
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash per doc (token-frequency-weighted sign sums), then
-    the top-20 closest pairs by Hamming distance. Signature build is
-    relational (explode bits → conditional sum → bit pack) so both
-    engines compute identical signatures."""
+    the top-20 closest pairs by Hamming distance. Signatures are
+    computed in the map-only scan pass (_simhash_sigs) with integer
+    arithmetic identical to the oracle's relational build."""
     docs = load_table(spark, "documents", sf)
-    # hash the token VOCABULARY once and join back (same trick as
-    # _shingle_postings) — folding every token occurrence's characters
-    # through the interpreted hash was ~4× slower at sf0.1
-    toks = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
-    )
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .select("token", _str_hash(F.col("token")).alias("th"))
-    )
-    th = toks.join(F.broadcast(vocab), "token").select("doc_id", "th")
-    # 32 conditional sums in ONE groupBy — no bit-dimension explode
-    # (the crossJoin-with-range form inflated 500k token rows to 16M)
-    weight_aggs = [
-        F.sum(F.expr(f"CAST((th >> {i}) & 1 AS INT) * 2 - 1")).alias(f"w{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    weights = th.groupBy("doc_id").agg(*weight_aggs)
-    pack = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"w{i}") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        pack = term if pack is None else pack + term
-    sigs = weights.select("doc_id", pack.alias("simhash")).cache()
+    sigs = _simhash_sigs(docs).cache()
     # Phase 0 — exact-duplicate signatures. Hamming-0 pairs dominate
     # any top-k, and near-dup corpora have heavy signature collision
     # (each colliding group of m docs is m² pairs — the quadratic blow

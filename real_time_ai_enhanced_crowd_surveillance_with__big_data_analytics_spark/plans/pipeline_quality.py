@@ -32,7 +32,9 @@ EVAL_SOURCE = "src0"  # deterministic held-out slice of the corpus
 MIN_SHARED = 3        # trigrams in common before a pair counts as contaminated
 
 
-def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+def contamination_check(
+    spark: SparkSession, sf: str, postings: DataFrame | None = None
+) -> DataFrame:
     """(eval_doc, train_doc) pairs sharing >= MIN_SHARED token trigrams,
     with the contaminated fraction of the eval doc.
 
@@ -41,11 +43,14 @@ def contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     skew-resistant (both sides carry only (doc_id, sid)). The eval
     slice is typically ~1% of the corpus, so the build side is small;
     at 100 TB broadcast the eval postings and the join is shuffle-free.
+    ``postings`` lets composed reports (release_readiness) share one
+    materialized postings frame instead of re-running the scan pass.
     """
     docs = load_table(spark, "documents", sf)
     # localCheckpointed (see _shingle_postings): referenced via ev (2x)
     # and tr below
-    postings = _shingle_postings(docs)
+    if postings is None:
+        postings = _shingle_postings(docs)
     src = docs.select("doc_id", "source")
     tagged = postings.join(src, "doc_id")
     ev = tagged.filter(F.col("source") == EVAL_SOURCE).select(
@@ -894,8 +899,15 @@ def release_readiness(spark: SparkSession, sf: str) -> DataFrame:
     so composing N checks costs their individual plans plus N
     single-row joins — the manifest a 100 TB pipeline publishes next
     to every release tag.
+
+    The two shingle consumers (LSH dedup, contamination) share ONE
+    vocabulary hash and ONE materialized doc-set scan pass: postings
+    are an explode away from the checkpointed sets, so composing them
+    here no longer re-runs the corpus tokenize+hash per check (the
+    standalone queries each pay it once; the composition used to pay
+    it twice plus two vocabulary jobs).
     """
-    from .dedup import dedup_minhash_lsh
+    from .dedup import _shingle_sets, dedup_minhash_lsh
 
     docs = load_table(spark, "documents", sf)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_documents"))
@@ -904,10 +916,12 @@ def release_readiness(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("stage_no") == 4)
         .select(F.col("n_pass").alias("n_funnel_survivors"))
     )
-    dups = dedup_minhash_lsh(spark, sf).agg(
+    doc_sets = _shingle_sets(docs, with_minhash=True)
+    postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
+    dups = dedup_minhash_lsh(spark, sf, doc_sets=doc_sets).agg(
         F.count(F.lit(1)).alias("n_neardup_pairs")
     )
-    cont = contamination_check(spark, sf).agg(
+    cont = contamination_check(spark, sf, postings=postings).agg(
         F.count(F.lit(1)).alias("n_contaminated_pairs")
     )
     risky = k_anonymity_audit(spark, sf).agg(

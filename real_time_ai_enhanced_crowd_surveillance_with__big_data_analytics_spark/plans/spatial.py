@@ -506,7 +506,7 @@ def spatial_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
         pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
     )
     one = edges.groupBy(F.col("ia").alias("site")).agg(
-        F.countDistinct("ib").alias("n_1hop")
+        F.count("*").alias("n_1hop")  # exact: edges are distinct pairs
     )
     e2 = edges.select(F.col("ia").alias("src"), F.col("ib").alias("mid"))
     hop2 = (

@@ -1311,25 +1311,38 @@ def theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("t1") < F.col("t2"))
         .select(
             "event_type",
-            "t1",
             (F.col("x2") - F.col("x1")).alias("dy"),
             (
                 (F.unix_timestamp("t2") - F.unix_timestamp("t1")) / 3600
             ).cast("long").alias("dt"),
         )
     )
+    # The spec's k-th pair is selected by (slope, dy, dt, t1) — but t1
+    # never reaches the output (only the group's (dy, dt) does), and
+    # t1 only breaks ties WITHIN one (dy, dt) group, so the median row's
+    # (dy, dt) is simply the group whose cumulative pair count first
+    # reaches k. Aggregating to distinct (dy, dt) BEFORE the per-type
+    # window collapses the C(H,2)-pair sort (259k rows per type at one
+    # task each — single-threaded per type) to a map-side-combined
+    # count plus a window over the ~|dy|·|dt|-bounded distinct-slope
+    # grid; the pair stream itself never shuffles. Value-identical.
+    grp = pairs.groupBy("event_type", "dy", "dt").agg(
+        F.count("*").alias("c")
+    )
+    # (dy, dt) rows are distinct per type, so the default RANGE running
+    # frame has no ties and the cumulative sum is a strict prefix count
     ordered = Window.partitionBy("event_type").orderBy(
         (F.col("dy").cast("double") / F.col("dt")).asc(),
         F.col("dy").asc(),
         F.col("dt").asc(),
-        F.col("t1").asc(),
     )
     per_type = Window.partitionBy("event_type")
-    ranked = pairs.withColumn("rn", F.row_number().over(ordered)).withColumn(
-        "n_pairs", F.count("*").over(per_type)
+    ranked = grp.withColumn("cum", F.sum("c").over(ordered)).withColumn(
+        "n_pairs", F.sum("c").over(per_type)
     )
+    k = F.expr("(n_pairs + 1) DIV 2")
     return (
-        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        ranked.filter((F.col("cum") - F.col("c") < k) & (k <= F.col("cum")))
         .select(
             "event_type",
             "n_pairs",
