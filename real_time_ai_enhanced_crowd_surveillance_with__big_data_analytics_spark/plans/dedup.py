@@ -180,7 +180,73 @@ WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
 
 # --- prefix-filtered EXACT Jaccard join (PPJoin-family) ----------------------
 
-def _prefix_candidates(postings: DataFrame, counts: DataFrame) -> DataFrame:
+def _df_map(doc_sets: DataFrame):
+    """sid → corpus document frequency, collected and broadcast. ONE
+    map-side-combined aggregate over the postings explode of the
+    checkpointed sets; the result is trigram-VOCABULARY-sized (Heaps-
+    sublinear — 27k entries at sf0.1), the same memory class as the
+    token-vocab dict the scan pass already broadcasts. At a scale
+    where the trigram vocabulary outgrows a broadcast, the ranking
+    reverts to the distributed df-join + per-doc window form this
+    replaced (git history; plans/r09 before-plans)."""
+    rows = (
+        doc_sets.select(F.explode("sids").alias("sid"))
+        .groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    return doc_sets.sparkSession.sparkContext.broadcast(
+        {r.sid: r.df for r in rows}
+    )
+
+
+def _ranked_postings(doc_sets: DataFrame, jaccard_prefix_only: bool) -> DataFrame:
+    """(doc_id, sid, rk, n_tri) rarest-first ranked postings — rk is
+    row_number over (df asc, sid asc) within the doc, computed MAP-ONLY
+    from the checkpointed doc-set arrays and the broadcast df map
+    (np.lexsort; (df, sid) pairs are unique per doc, so the rank is
+    deterministic). Replaces a df-join + per-doc rank window + counts
+    join — three exchanges of the postings stream — with zero shuffles.
+    ``jaccard_prefix_only`` emits just the ``s − ⌈s/5⌉ + 1`` prefix
+    rows (both sides of the Jaccard prefix join are prefixes), so the
+    self-join input is born ~60% smaller."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _df_map(doc_sets)
+
+    def rank_fn(batches):
+        dfm = bc.value
+        for pdf in batches:
+            dids, sids_o, rks, ns = [], [], [], []
+            for did, sids in zip(pdf["doc_id"], pdf["sids"]):
+                s = np.asarray(sids, dtype="int64")
+                n = len(s)
+                d = np.fromiter(
+                    (dfm[x] for x in s.tolist()), dtype="int64", count=n
+                )
+                order = np.lexsort((s, d))
+                m = n - (n + 4) // 5 + 1 if jaccard_prefix_only else n
+                sel = order[:m]
+                dids.append(np.full(m, did, dtype="int64"))
+                sids_o.append(s[sel])
+                rks.append(np.arange(1, m + 1, dtype="int64"))
+                ns.append(np.full(m, n, dtype="int64"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(dids) if dids else np.empty(0, "int64"),
+                    "sid": np.concatenate(sids_o) if dids else np.empty(0, "int64"),
+                    "rk": np.concatenate(rks) if dids else np.empty(0, "int64"),
+                    "n_tri": np.concatenate(ns) if dids else np.empty(0, "int64"),
+                }
+            )
+
+    return doc_sets.select("doc_id", "sids").mapInPandas(
+        rank_fn, schema="doc_id long, sid long, rk long, n_tri long"
+    )
+
+
+def _prefix_candidates(doc_sets: DataFrame) -> DataFrame:
     """(ia, ib) candidate pairs sharing a token inside both docs'
     rarest-first prefixes of length ``s − ⌈s/5⌉ + 1`` (t = 1/5) — the
     lossless AllPairs candidate set for Jaccard ≥ t, tightened by the
@@ -195,26 +261,19 @@ def _prefix_candidates(postings: DataFrame, counts: DataFrame) -> DataFrame:
       tight for the FIRST common token; keeping a pair when ANY shared
       token passes is therefore a superset of PPJoin's candidates —
       lossless, strictly tighter than plain prefix overlap.
-    """
-    from pyspark.sql import Window
 
+    Prefix rows come from the map-only ranked pass (see
+    _ranked_postings); checkpointed because both join sides read it.
+    """
     assert abs(JACCARD_THRESHOLD - 0.2) < 1e-12, "prefix math assumes t=1/5"
-    df_ = postings.groupBy("sid").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("sid").asc()
-    )
-    ranked = (
-        postings.join(df_, "sid")
-        .withColumn("rk", F.row_number().over(w))
-        .join(counts, "doc_id")
-    )
-    prefix_len = (
-        F.col("n_tri") - F.floor((F.col("n_tri") + 4) / F.lit(5.0)) + 1
-    )
-    prefix = ranked.filter(F.col("rk") <= prefix_len).select(
-        "doc_id", "sid", "rk", "n_tri"
-    )
-    pa = prefix.select(
+    prefix = _ranked_postings(doc_sets, jaccard_prefix_only=True).localCheckpoint()
+    # the build side broadcasts, so the PROBE side inherits the
+    # checkpoint's scan-derived 1-3 partitions and the whole candidate
+    # join + pair filters would run near-serial (verify-skill trap);
+    # fan the probe side out explicitly (interleaved A/B: consistently
+    # faster in every adjacent pair at sf0.1)
+    sc = doc_sets.sparkSession.sparkContext
+    pa = prefix.repartition(sc.defaultParallelism, "sid").select(
         F.col("doc_id").alias("ia"),
         "sid",
         F.col("rk").alias("ra"),
@@ -300,9 +359,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     # earlier postings-checkpoint + collect_list groupBy (re-executed
     # per verify side) is gone
     doc_sets = _shingle_sets(docs)
-    postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
-    counts = doc_sets.select("doc_id", "n_tri")
-    cands = _prefix_candidates(postings, counts)
+    cands = _prefix_candidates(doc_sets)
     shared = (
         cands.join(
             doc_sets.select(
@@ -772,9 +829,7 @@ WHERE greatest(contain_a, contain_b) >= {CONTAINMENT_THRESHOLD}
 
 # --- prefix-filtered EXACT containment join (asymmetric AllPairs) ------------
 
-def _containment_prefix_candidates(
-    postings: DataFrame, counts: DataFrame
-) -> DataFrame:
+def _containment_prefix_candidates(doc_sets: DataFrame) -> DataFrame:
     """(ia, ib) candidate pairs for max-containment ≥ t, generated by
     the ASYMMETRIC prefix filter (Xiao et al. WWW'08 §4 adapted to
     overlap/containment similarity): a qualifying pair needs
@@ -801,25 +856,23 @@ def _containment_prefix_candidates(
     granularity of 4s/5.)
     """
     assert abs(CONTAINMENT_THRESHOLD - 0.8) < 1e-12, "prefix math assumes t=4/5"
-    df_ = postings.groupBy("sid").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("df").asc(), F.col("sid").asc()
-    )
-    ranked = (
-        postings.join(df_, "sid")
-        .withColumn("rk", F.row_number().over(w))
-        .join(counts, "doc_id")
-        .localCheckpoint()  # referenced twice: prefix side + full side
-    )
+    # map-only ranked postings (see _ranked_postings) — the full frame,
+    # because the larger side's prefix bound degenerates to its full
+    # postings; checkpointed: referenced twice (prefix side + full side)
+    ranked = _ranked_postings(doc_sets, jaccard_prefix_only=False).localCheckpoint()
     alpha_small = F.floor((4 * F.col("na") + 4) / F.lit(5.0))
     prefix_len = F.col("na") - alpha_small + 1
+    sc = doc_sets.sparkSession.sparkContext
     pa = ranked.select(
         F.col("doc_id").alias("da"),
         "sid",
         F.col("rk").alias("ra"),
         F.col("n_tri").alias("na"),
     ).filter(F.col("ra") <= prefix_len)
-    pb = ranked.select(
+    # prefix side (pa) is the smaller frame and broadcasts; fan out the
+    # FULL probe side, which otherwise inherits the checkpoint's
+    # scan-derived 1-3 partitions (same trap as _prefix_candidates)
+    pb = ranked.repartition(sc.defaultParallelism, "sid").select(
         F.col("doc_id").alias("db"),
         F.col("sid").alias("sidb"),
         F.col("rk").alias("rb"),
@@ -880,9 +933,7 @@ def dedup_containment_prefix(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     # same one-materialization shape as dedup_jaccard_prefix
     doc_sets = _shingle_sets(docs)
-    postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
-    counts = doc_sets.select("doc_id", "n_tri")
-    cands = _containment_prefix_candidates(postings, counts)
+    cands = _containment_prefix_candidates(doc_sets)
     shared = (
         cands.join(
             doc_sets.select(
@@ -2187,26 +2238,30 @@ def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     # whole explode+window pipeline per branch (728 s at the 8× probe),
     # and a localCheckpoint barrier fixes the recompute only to pay the
     # .rdd path's interpreted execution (13 s warm for work codegen
-    # does in 0.35 s). Window functions keep it a single pipeline: a
-    # row_number marks one row per (fp_hash, doc) so a second window
-    # over fp_hash counts DISTINCT sharing docs, and the final doc
-    # aggregate reads the shared flag per row. Three shuffles of the
-    # ~2/(W+1)-sampled selected rows; the gram stream is touched once.
-    w_docfp = Window.partitionBy("fp_hash", "doc_id").orderBy("pos")
+    # does in 0.35 s). The selected stream shuffles ONCE, keyed by
+    # fp_hash alone: HashPartitioning(fp_hash) satisfies the
+    # (fp_hash, doc_id) groupBy's clustering (a subset of its keys), so
+    # the per-(fp, doc) position count, the df_docs sharing window, and
+    # nothing in between adds an exchange; only the final per-doc
+    # aggregate reshuffles — and it moves one row per (fp, doc) instead
+    # of one per selected position. (The earlier shape paid three full
+    # selected-stream shuffles: (fp, doc) window, fp window, doc agg.)
+    sc = docs.sparkSession.sparkContext
     w_fp = Window.partitionBy("fp_hash")
     flagged = (
-        fps.withColumn("rn", F.row_number().over(w_docfp))
-        .withColumn(
-            "df_docs",
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).over(w_fp),
-        )
+        fps.repartition(sc.defaultParallelism, "fp_hash")
+        .groupBy("fp_hash", "doc_id", "n_grams")
+        .agg(F.count("*").alias("n_pos"))
+        .withColumn("df_docs", F.count("*").over(w_fp))
         .withColumn("is_shared", F.col("df_docs") >= 2)
     )
     return (
         flagged.groupBy("doc_id", "n_grams")
         .agg(
-            F.count("*").alias("n_selected"),
-            F.count_if("is_shared").alias("n_shared"),
+            F.sum("n_pos").alias("n_selected"),
+            F.sum(F.when(F.col("is_shared"), F.col("n_pos")).otherwise(0)).alias(
+                "n_shared"
+            ),
         )
         .select(
             "doc_id",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.dedup import (
     _prefix_candidates,
     _shingle_postings,
+    _shingle_sets,
     dedup_jaccard_prefix,
     dedup_ngram_jaccard,
 )
@@ -36,8 +37,7 @@ def test_identical_to_exact_anchor(spark, sf_dir):
 def test_prefix_join_prunes_candidates(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     postings = _shingle_postings(docs)
-    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
-    n_prefix = _prefix_candidates(postings, counts).count()
+    n_prefix = _prefix_candidates(_shingle_sets(docs)).count()
     a = postings.select(F.col("doc_id").alias("ia"), "sid")
     b = postings.select(
         F.col("doc_id").alias("ib"), F.col("sid").alias("sidb")
