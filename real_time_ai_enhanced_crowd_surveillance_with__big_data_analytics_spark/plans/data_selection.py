@@ -78,6 +78,13 @@ def dsir_q_table(docs: DataFrame) -> DataFrame:
         F.count("*").alias("raw_h"),
         F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("tgt_h"),
     )
+    return _q_from_buckets(buckets)
+
+
+def _q_from_buckets(buckets: DataFrame) -> DataFrame:
+    """(h, q) from the (h, raw_h, tgt_h) bucket histogram — the shared
+    Laplace-smoothed quantized-log-ratio math, one definition for the
+    q-table builder and the single-pass ranking below."""
     totals = buckets.agg(
         F.sum("raw_h").alias("raw_n"), F.sum("tgt_h").alias("tgt_n")
     )
@@ -110,17 +117,33 @@ def dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     (products < 2^53), so the quantized table is identical and the
     per-document weight Sum(c_doc[h] * q[h]) is exact int64 in any
     partitioning (tests pin the quantization margin off the half-grid).
-    Pass 2 joins tokens to the broadcast q table and ranks documents.
+    Both passes read ONE materialized per-(doc, lang, bucket) count
+    frame (≤ B rows per doc) built by a single token explode: the
+    bucket histogram is its re-aggregation (Σc / Σc·[lang=target] per
+    bucket — exactly the per-token counts), and the per-document
+    weight is Σ c·q[h] — so the corpus is tokenized and hashed once,
+    not once per pass.
     """
     docs = load_table(spark, "documents", sf)
     tok = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
     ).select("doc_id", "lang", _token_bucket(F.col("token")))
-    q = dsir_q_table(docs)
+    per_doc = (
+        tok.groupBy("doc_id", "lang", "h")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    buckets = per_doc.groupBy("h").agg(
+        F.sum("c").alias("raw_h"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+        ).alias("tgt_h"),
+    )
+    q = _q_from_buckets(buckets)
     return (
-        tok.join(F.broadcast(q), "h")
+        per_doc.join(F.broadcast(q), "h")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("q").alias("weight_micro"))
+        .agg(F.sum(F.col("c") * F.col("q")).alias("weight_micro"))
         .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)
     )

@@ -185,20 +185,35 @@ def min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
     The correlated ``= (SELECT min(cost) WHERE partkey = outer.partkey)``
     decorrelates into: per-(part,supplier) unit cost → per-part MIN →
-    equality join back. All three steps hash on l_partkey, so after the
-    first exchange the min re-aggregation and the join are
-    shuffle-free. part and supplier broadcast. Unit cost is a ratio of
-    two exact cent-sums (deterministic IEEE division) rounded once.
+    equality join back. The fact is pre-filtered with a broadcast
+    semi-join on the qualifying part keys BEFORE the aggregate (the
+    p_size filter keeps ~12% of parts — guide-§3.2 shape: drop
+    non-matching big-side rows before any exchange), then explicitly
+    hash-partitioned on l_partkey ALONE so the (part, supplier)
+    aggregate, the per-part min re-aggregation, and the equality join
+    back genuinely share ONE exchange (partitioning by (l_partkey,
+    l_suppkey) would satisfy none of the downstream clusterings).
+    part and supplier broadcast. Unit cost is a ratio of two exact
+    cent-sums (deterministic IEEE division) rounded once.
     """
     li = load_table(spark, "lineitem", sf)
     part = load_table(spark, "part", sf).filter(F.col("p_size") >= 45)
     supp = load_table(spark, "supplier", sf)
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
-            F.sum(_cents(F.col("l_extendedprice")))
-            / F.sum(_cents(F.col("l_quantity"))),
-            6,
-        ).alias("unit_cost")
+    li_f = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
+    cost = (
+        li_f.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice")))
+                / F.sum(_cents(F.col("l_quantity"))),
+                6,
+            ).alias("unit_cost")
+        )
     )
     min_cost = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
     return (
