@@ -128,11 +128,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     (stopword shingles carry no signal).
     """
     docs = load_table(spark, "documents", sf)
-    # postings are localCheckpointed (see _shingle_postings): computed
-    # once for the 3 references below, without the InMemoryRelation
-    # columnar-build cost that made cache() slower than recompute here
-    tri = _shingle_postings(docs)
-    counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    # doc-level sets are localCheckpointed (see _shingle_sets): computed
+    # once for the references below; postings are one explode away and
+    # the per-doc counts are a PROJECTION of the checkpoint instead of
+    # a groupBy shuffle over the exploded postings
+    doc_sets = _shingle_sets(docs)
+    tri = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
+    counts = doc_sets.select("doc_id", "n_tri")
     a = tri.select(F.col("doc_id").alias("ia"), "sid")
     b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     shared = (
@@ -727,8 +729,11 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     :func:`dedup_containment_capped`, whose df cap bounds candidate
     generation the same way dedup_ngram_jaccard_capped does."""
     docs = load_table(spark, "documents", sf)
-    tri = _shingle_postings(docs)
-    counts = tri.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    # counts as a projection of the checkpointed doc sets, not a
+    # groupBy shuffle over the exploded postings (same as the anchor)
+    doc_sets = _shingle_sets(docs)
+    tri = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
+    counts = doc_sets.select("doc_id", "n_tri")
     a = tri.select(F.col("doc_id").alias("ia"), "sid")
     b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     shared = (
@@ -1378,8 +1383,11 @@ def _neardup_edges(docs: DataFrame) -> DataFrame:
     """(ia, ib) pairs with shingle Jaccard ≥ threshold — the near-dup
     graph shared by the clustering queries (same join shape as
     dedup_ngram_jaccard)."""
-    postings = _shingle_postings(docs)  # localCheckpointed: 3 references
-    counts = postings.groupBy("doc_id").agg(F.count("*").alias("n_tri"))
+    # localCheckpointed doc sets: postings via explode, counts via
+    # projection (no groupBy shuffle) — shared shape with the anchor
+    doc_sets = _shingle_sets(docs)
+    postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
+    counts = doc_sets.select("doc_id", "n_tri")
     a = postings.select(F.col("doc_id").alias("ia"), "sid")
     b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     shared = (
