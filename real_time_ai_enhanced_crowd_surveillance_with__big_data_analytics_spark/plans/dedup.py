@@ -135,7 +135,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     doc_sets = _shingle_sets(docs)
     tri = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
     counts = doc_sets.select("doc_id", "n_tri")
-    a = tri.select(F.col("doc_id").alias("ia"), "sid")
+    # probe-side fan-out: the MB-sized postings auto-broadcast, so the
+    # probe would inherit the checkpoint's 1-3 scan partitions
+    sc = docs.sparkSession.sparkContext
+    a = tri.repartition(sc.defaultParallelism, "sid").select(
+        F.col("doc_id").alias("ia"), "sid"
+    )
     b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     shared = (
         a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
@@ -418,7 +423,14 @@ def _df_capped_shared(postings: DataFrame) -> DataFrame:
         .select("sid")
     )
     rare = postings.join(F.broadcast(hot), "sid", "left_anti")
-    a = rare.select(F.col("doc_id").alias("ia"), "sid")
+    # the MB-sized rare side auto-broadcasts, so the probe side would
+    # inherit the map-born checkpoint's scan-derived 1-3 partitions and
+    # run the Σdf² pairing near-serial — fan the probe out explicitly
+    # (verify-skill broadcast-probe trap; interleaved A/B confirmed)
+    sc = postings.sparkSession.sparkContext
+    a = rare.repartition(sc.defaultParallelism, "sid").select(
+        F.col("doc_id").alias("ia"), "sid"
+    )
     b = rare.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     # candidate pairs AND their rare-shingle overlap in ONE groupBy —
     # a .distinct() here would shuffle the same pair fan-out and then
@@ -734,7 +746,11 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     doc_sets = _shingle_sets(docs)
     tri = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
     counts = doc_sets.select("doc_id", "n_tri")
-    a = tri.select(F.col("doc_id").alias("ia"), "sid")
+    sc = docs.sparkSession.sparkContext
+    # probe-side fan-out (same reasoning as the jaccard anchor)
+    a = tri.repartition(sc.defaultParallelism, "sid").select(
+        F.col("doc_id").alias("ia"), "sid"
+    )
     b = tri.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     shared = (
         a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
@@ -1388,7 +1404,11 @@ def _neardup_edges(docs: DataFrame) -> DataFrame:
     doc_sets = _shingle_sets(docs)
     postings = doc_sets.select("doc_id", F.explode("sids").alias("sid"))
     counts = doc_sets.select("doc_id", "n_tri")
-    a = postings.select(F.col("doc_id").alias("ia"), "sid")
+    sc = docs.sparkSession.sparkContext
+    # probe-side fan-out (same reasoning as the jaccard anchor)
+    a = postings.repartition(sc.defaultParallelism, "sid").select(
+        F.col("doc_id").alias("ia"), "sid"
+    )
     b = postings.select(F.col("doc_id").alias("ib"), F.col("sid").alias("sidb"))
     shared = (
         a.join(b, (F.col("sid") == F.col("sidb")) & (F.col("ia") < F.col("ib")))
