@@ -31,6 +31,24 @@ MH_BAND_SIZE = 4  # 4 bands x 4 rows
 SIMHASH_BITS = 32
 SIMHASH_TOP = 20
 
+# driver-collect guard (VERDICT r9 #3 / ADVICE r9): the prefix ranking
+# broadcasts a sid->df map as a plain dict. It is Heaps-sublinear in
+# the corpus, but past this row count the collect would endanger the
+# driver, so _ranked_postings automatically reverts to the
+# fully-distributed df-join + window form (kept live and pinned
+# result-identical by test_vocab_gate). A collect that trips
+# spark.driver.maxResultSize degrades the same way instead of
+# crashing. (The token VOCABULARY needs no guard at all anymore: the
+# shingle kernels hash tokens per task with a memo dict — zero driver
+# state, see _hash_tokens.)
+DF_MAP_MAX = 4_000_000
+# sentinel: "the df map was measured too big to broadcast"
+VOCAB_TOO_BIG = object()
+# per-task token-hash memo bound: a memo only amortizes repeated
+# tokens; clearing it past this size bounds worker memory on a
+# pathological all-distinct-token partition without affecting results
+VOCAB_MEMO_MAX = 4_000_000
+
 
 # --- shared shingle machinery ------------------------------------------------
 
@@ -192,19 +210,53 @@ def _df_map(doc_sets: DataFrame):
     map-side-combined aggregate over the postings explode of the
     checkpointed sets; the result is trigram-VOCABULARY-sized (Heaps-
     sublinear — 27k entries at sf0.1), the same memory class as the
-    token-vocab dict the scan pass already broadcasts. At a scale
-    where the trigram vocabulary outgrows a broadcast, the ranking
-    reverts to the distributed df-join + per-doc window form this
-    replaced (git history; plans/r09 before-plans)."""
-    rows = (
+    token-vocab dict the scan pass already broadcasts.
+
+    Size-gated (DF_MAP_MAX / spark.driver.maxResultSize): past the
+    gate this returns ``VOCAB_TOO_BIG`` and ``_ranked_postings``
+    reverts to the distributed df-join + per-doc window form."""
+    q = (
         doc_sets.select(F.explode("sids").alias("sid"))
         .groupBy("sid")
         .agg(F.count("*").alias("df"))
-        .collect()
     )
+    try:
+        rows = q.collect()
+    except Exception as exc:  # noqa: BLE001 — py4j wraps SparkException
+        if "maxResultSize" not in str(exc):
+            raise
+        return VOCAB_TOO_BIG
+    if len(rows) > DF_MAP_MAX:
+        return VOCAB_TOO_BIG
     return doc_sets.sparkSession.sparkContext.broadcast(
         {r.sid: r.df for r in rows}
     )
+
+
+def _ranked_postings_distributed(
+    doc_sets: DataFrame, jaccard_prefix_only: bool
+) -> DataFrame:
+    """Over-gate twin of ``_ranked_postings``: df aggregate + join +
+    per-doc rank window, all distributed (the pre-r9 plan). Identical
+    output: rk is row_number over (df asc, sid asc) within the doc —
+    (df, sid) pairs are unique per doc, so the rank is deterministic
+    in both forms."""
+    postings = doc_sets.select(
+        "doc_id", "n_tri", F.explode("sids").alias("sid")
+    )
+    df_ = postings.groupBy("sid").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("sid").asc()
+    )
+    ranked = postings.join(df_, "sid").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    if jaccard_prefix_only:
+        prefix_len = (
+            F.col("n_tri") - F.floor((F.col("n_tri") + 4) / F.lit(5.0)) + 1
+        )
+        ranked = ranked.filter(F.col("rk") <= prefix_len)
+    return ranked.select("doc_id", "sid", "rk", "n_tri")
 
 
 def _ranked_postings(doc_sets: DataFrame, jaccard_prefix_only: bool) -> DataFrame:
@@ -221,6 +273,8 @@ def _ranked_postings(doc_sets: DataFrame, jaccard_prefix_only: bool) -> DataFram
     import pandas as pd
 
     bc = _df_map(doc_sets)
+    if bc is VOCAB_TOO_BIG:  # collect gate tripped: distributed form
+        return _ranked_postings_distributed(doc_sets, jaccard_prefix_only)
 
     def rank_fn(batches):
         dfm = bc.value
@@ -549,27 +603,22 @@ def _shingle_postings(
     docs: DataFrame,
     distinct: bool = True,
     materialize: bool = True,
-    bc=None,
 ) -> DataFrame:
     """(doc_id, sid): hashed token-trigram shingles per doc (distinct
     by default; ``distinct=False`` keeps every occurrence, for
     repetition metrics).
 
-    The token vocabulary is hashed ONCE in Spark expressions (distinct
-    tokens → polynomial char hash — interpreted higher-order folds over
-    every occurrence, the naive form, were ~10× slower at sf0.1), then
-    collected and broadcast as a plain dict; ONE mapInPandas pass over
-    (doc_id, token-array) rows maps tokens through the dict and
-    composes the trigram sids vectorized in int64 numpy — identical
-    arithmetic to the oracle (Python/numpy int64 ≡ Spark long here:
-    every intermediate < 3.8e10). This replaces the earlier
-    explode → vocab broadcast-JOIN → window-``lead``-per-doc →
-    distinct pipeline, whose ``Window.partitionBy(doc_id)`` SHUFFLED
-    the full exploded token stream (corpus-sized) and whose distinct
-    shuffled it again: the map-only form shuffles NOTHING — postings
-    are born at the scan (guide §2.4). The collected vocab is the same
-    memory class the old plan already committed to via
-    ``F.broadcast(vocab)`` (Heaps-law sublinear in the corpus).
+    ONE mapInPandas pass over (doc_id, token-array) rows hashes tokens
+    through a per-task memo (see _hash_tokens — no vocabulary job, no
+    driver collect, no broadcast) and composes the trigram sids
+    vectorized in int64 numpy — identical arithmetic to the oracle
+    (Python/numpy int64 ≡ Spark long here: every intermediate
+    < 3.8e10). This replaces the earlier explode → vocab
+    broadcast-JOIN → window-``lead``-per-doc → distinct pipeline,
+    whose ``Window.partitionBy(doc_id)`` SHUFFLED the full exploded
+    token stream (corpus-sized) and whose distinct shuffled it again:
+    the map-only form shuffles NOTHING and launches no side jobs —
+    postings are born at the scan (guide §2.4).
 
     ``materialize`` localCheckpoints the postings: every dedup consumer
     references them 3-5× (df stats, pair join sides, per-doc counts),
@@ -583,14 +632,11 @@ def _shingle_postings(
     import numpy as np
     import pandas as pd
 
-    if bc is None:
-        bc = _vocab_broadcast(docs)
-
     def shingles(batches):
-        v = bc.value
+        memo: dict = {}  # task-lifetime token-hash cache
         for pdf in batches:
             ids, sids = [], []
-            for did, sid in _doc_sids(v, pdf, distinct):
+            for did, sid in _doc_sids(memo, pdf, distinct):
                 ids.append(np.full(len(sid), did, dtype="int64"))
                 sids.append(sid)
             yield pd.DataFrame(
@@ -606,31 +652,56 @@ def _shingle_postings(
     return out.localCheckpoint() if materialize else out
 
 
-def _vocab_broadcast(docs: DataFrame):
-    """token → polynomial-hash dict, hashed once in Spark expressions
-    (vocabulary-sized work) and broadcast for the map-only sid pass."""
-    spark = docs.sparkSession
-    vocab_rows = (
-        docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
-        .distinct()
-        .select("token", _str_hash(F.col("token")).alias("th"))
-        .collect()
-    )
-    return spark.sparkContext.broadcast({r.token: r.th for r in vocab_rows})
+def _hash_tokens(tk, memo: dict):
+    """int64 polynomial hashes for one doc's token array, amortized
+    through a PER-TASK memo dict (Zipf: most occurrences repeat, so
+    each distinct token is folded once per task). Identical arithmetic
+    to ``_str_hash`` / the oracle's ``list_reduce`` (ord == Spark
+    ``ascii`` == DuckDB ``ascii``: the Unicode code point of the first
+    character — here applied per split character).
+
+    This replaces the r9 vocabulary job (corpus explode → distinct →
+    hash → collect → broadcast): hashing is pure arithmetic, so there
+    is nothing corpus-global about it — the collect bought only
+    amortization, which the memo provides with ZERO driver state and
+    one fewer Spark job per shingle consumer. The memo is cleared past
+    VOCAB_MEMO_MAX entries to bound worker memory on adversarial
+    all-distinct-token partitions."""
+    import numpy as np
+
+    if len(memo) > VOCAB_MEMO_MAX:
+        memo.clear()
+    get = memo.get
+    out = np.empty(len(tk), dtype="int64")
+    for i, t in enumerate(tk):
+        h = get(t)
+        if h is None:
+            h = 0
+            for ch in t:
+                h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+            memo[t] = h
+        out[i] = h
+    return out
 
 
-def _doc_sids(v: dict, pdf, distinct: bool):
+def _doc_sids(memo: dict, pdf, distinct: bool):
     """Yield (doc_id, int64 sid array) per doc of an Arrow batch —
     the shared trigram-composition kernel of _shingle_postings /
     _shingle_sets (identical arithmetic to the oracle; every
-    intermediate < 3.8e10 so numpy int64 ≡ Spark long)."""
+    intermediate < 3.8e10 so numpy int64 ≡ Spark long). ``memo`` is
+    the task-lifetime token-hash cache (see _hash_tokens)."""
     import numpy as np
 
     for did, tk in zip(pdf["doc_id"], pdf["tk"]):
+        # a NULL text row arrives as tk=None — the old explode pipeline
+        # dropped it silently; mirror that instead of crashing the task
+        # (ADVICE r9: warc-shaped document frames can carry null text)
+        if tk is None:
+            continue
         n = len(tk)
         if n < 3:
             continue
-        th = np.fromiter((v[t] for t in tk), dtype="int64", count=n)
+        th = _hash_tokens(tk, memo)
         sid = (
             ((th[:-2] * HASH_BASE + th[1:-1]) % HASH_MOD) * 37 + th[2:]
         ) % HASH_MOD
@@ -641,7 +712,6 @@ def _shingle_sets(
     docs: DataFrame,
     materialize: bool = True,
     with_minhash: bool = False,
-    bc=None,
 ) -> DataFrame:
     """(doc_id, sids sorted-unique array, n_tri): the DOC-level shingle
     sets, born at the scan by the same map-only pass as
@@ -658,22 +728,20 @@ def _shingle_sets(
     SAME pass (numpy int64 ≡ Spark long: a_j ≤ 31 so sid*a_j < 3.2e10).
     This replaces the old signature plan's groupBy(doc_id) with 16 min
     aggs — a corpus shuffle of the postings — with zero extra jobs.
-    ``bc`` accepts a precomputed vocab broadcast so composed queries
-    (release_readiness) hash the vocabulary once."""
+    Token hashing is per-task memoized (_hash_tokens): no vocabulary
+    job, no driver collect, no broadcast."""
     import numpy as np
     import pandas as pd
 
-    if bc is None:
-        bc = _vocab_broadcast(docs)
     if with_minhash:
         pa = np.array([_perm_params(j)[0] for j in range(N_PERMS)], "int64")
         pb = np.array([_perm_params(j)[1] for j in range(N_PERMS)], "int64")
 
     def sets(batches):
-        v = bc.value
+        memo: dict = {}  # task-lifetime token-hash cache
         for pdf in batches:
             ids, arrs, mhs = [], [], []
-            for did, sid in _doc_sids(v, pdf, True):
+            for did, sid in _doc_sids(memo, pdf, True):
                 ids.append(did)
                 arrs.append(sid)
                 if with_minhash:
@@ -1254,29 +1322,31 @@ LEFT JOIN best b ON b.inc_id = d.doc_id
 
 def _simhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash signatures born at the scan —
-    the same broadcast-vocab mapInPandas discipline as
+    the same memoized-token-hash mapInPandas discipline as
     _shingle_postings. The old relational build exploded every token
     occurrence, broadcast-joined the vocabulary, and shuffled the
     occurrence stream into a 32-conditional-sum groupBy; the map-only
     pass computes the sign sums vectorized in numpy int64 (identical
     arithmetic: th < 2^31, weights are ±1 sums bounded by |doc|) and
-    shuffles NOTHING. Docs with zero tokens emit no row, matching the
-    explode+groupBy semantics."""
+    shuffles NOTHING and launches no vocabulary job. Docs with zero
+    tokens emit no row, matching the explode+groupBy semantics."""
     import numpy as np
     import pandas as pd
 
-    bc = _vocab_broadcast(docs)
     shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def sigs_fn(batches):
-        v = bc.value
+        memo: dict = {}  # task-lifetime token-hash cache
         for pdf in batches:
             ids, out = [], []
             for did, tk in zip(pdf["doc_id"], pdf["tk"]):
+                # NULL text → tk=None: drop, matching explode semantics
+                if tk is None:
+                    continue
                 n = len(tk)
                 if n == 0:
                     continue
-                th = np.fromiter((v[t] for t in tk), dtype="int64", count=n)
+                th = _hash_tokens(tk, memo)
                 w = (((th[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
                 ids.append(did)
                 out.append(int(((w > 0).astype(np.int64) << shifts).sum()))

@@ -818,6 +818,14 @@ def embedding_neardup_blocked(spark: SparkSession, sf: str) -> DataFrame:
 
 N_HYPERPLANES = 16
 BAND_SIZE = 4  # 4 bands × 4 bits
+# hot-band-key guardrails for the in-bucket verify (VERDICT r9 #8):
+# buckets beyond the cap are dropped (degenerate band keys — the LSH
+# failure mode banding exists to avoid), and the cosine matmul is
+# tiled so one task never materializes an m×m float matrix. Largest
+# bucket at sf0.1 is ~2.4k rows — the cap only ever bites adversarial
+# skew, never a tested SF.
+LSH_BUCKET_CAP = 50_000
+LSH_TILE_BYTES = 64 * 1024 * 1024
 
 
 def _sign_bands(emb: DataFrame, carry_embedding: bool = False) -> DataFrame:
@@ -907,8 +915,16 @@ def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (guide §8: move heavy bytes once, decide in place). Hot-band skew
     is the standard LSH caveat either way: a degenerate band key
     concentrates its bucket in one task here exactly as it fans into
-    the quadratic join there; at 100 TB the fix is the same df-cap
-    (drop ultra-hot band keys) the shingle path documents."""
+    the quadratic join there; the cap below is that fix, implemented:
+    buckets past LSH_BUCKET_CAP rows are DROPPED (an ultra-hot band
+    key is a degenerate hyperplane cell — its pairs are the ones
+    banding exists to avoid enumerating), and the in-bucket matmul is
+    TILED so task memory is bounded (~LSH_TILE_BYTES for the sim
+    block) regardless of bucket size instead of materializing the full
+    m×m cosine matrix. At every tested SF the largest bucket is orders
+    of magnitude under the cap (test_lsh_bucket_cap pins both
+    behaviors), so the declared answer is unchanged; recall impact at
+    current thresholds: none."""
     import numpy as np
     import pandas as pd
 
@@ -916,30 +932,48 @@ def embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     banded = _sign_bands(emb, carry_embedding=True)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "ia": pd.Series([], dtype="int64"),
-                    "ib": pd.Series([], dtype="int64"),
-                    "cosine": pd.Series([], dtype="float64"),
-                }
-            )
+        empty = pd.DataFrame(
+            {
+                "ia": pd.Series([], dtype="int64"),
+                "ib": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2 or len(pdf) > LSH_BUCKET_CAP:
+            return empty
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         m = np.asarray(pdf["embedding"].tolist(), dtype="float64")[order]
         n = np.linalg.norm(m, axis=1)
-        sims = np.round((m @ m.T) / np.outer(n, n), 6)
-        keep = np.triu(sims >= NEARDUP_THRESHOLD, k=1)
-        r, c = np.nonzero(keep)
-        return pd.DataFrame(
-            {"ia": ids[r], "ib": ids[c], "cosine": sims[r, c]}
-        )
+        nm = len(ids)
+        # tile the row side: peak sim-block memory ≈ tile × nm × 8 B
+        tile = max(1, min(nm, LSH_TILE_BYTES // (8 * nm)))
+        outs = []
+        for lo in range(0, nm, tile):
+            hi = min(lo + tile, nm)
+            sims = np.round((m[lo:hi] @ m.T) / np.outer(n[lo:hi], n), 6)
+            # strict upper triangle of the full matrix, tile-local rows
+            keep = sims >= NEARDUP_THRESHOLD
+            keep &= np.arange(lo, hi)[:, None] < np.arange(nm)[None, :]
+            r, c = np.nonzero(keep)
+            if len(r):
+                outs.append(
+                    pd.DataFrame(
+                        {"ia": ids[r + lo], "ib": ids[c], "cosine": sims[r, c]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
+    # one canonical row per pair: max(cosine) over the bands the pair
+    # appears in — dgemm reduction order is bucket-shape-dependent, so
+    # a distinct on the float itself could keep two rows for one pair
+    # at a rounding boundary (ADVICE r9); max() is shape-independent
     return (
         banded.groupBy("band", "band_key")
         .applyInPandas(bucket_pairs, schema="ia long, ib long, cosine double")
-        .distinct()
+        .groupBy("ia", "ib")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 
