@@ -1871,6 +1871,29 @@ SELECT t.n_triangles, s.n_edges, s.n_nodes FROM tri t CROSS JOIN stats s
 
 KCORE_K = 2        # core order: keep nodes with >= K surviving neighbors
 KCORE_ROUNDS = 8   # bounded peeling depth (fixpoint asserted in tests)
+# below this many symmetrized edges the peel runs on the driver (the
+# connected_components driver_fallback_edges convention)
+KCORE_DRIVER_FALLBACK_EDGES = 100_000
+
+
+def _driver_kcore(edge_rows: list) -> list:
+    """Synchronous bounded peel on collected symmetrized edges — the
+    EXACT Python mirror of the distributed loop below (same round
+    structure, same early break on a stable edge count), so both paths
+    land on identical (doc_id, core_deg) rows."""
+    from collections import Counter
+
+    cur = edge_rows
+    n_prev = len(cur)
+    for _ in range(KCORE_ROUNDS):
+        deg = Counter(a for a, _ in cur)
+        keep = {v for v, d in deg.items() if d >= KCORE_K}
+        cur = [(a, b) for a, b in cur if a in keep and b in keep]
+        if len(cur) == n_prev:
+            break
+        n_prev = len(cur)
+    out = Counter(a for a, _ in cur)
+    return sorted(out.items())
 
 
 def kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
@@ -1899,6 +1922,16 @@ def kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
     ``dedup_clusters`` CC discipline: output-sized, referenced twice
     per round — without truncation each round would re-derive the
     whole chain, doubling work per round).
+
+    Adaptive execution (r10, the ``connected_components`` precedent):
+    below KCORE_DRIVER_FALLBACK_EDGES symmetrized edges the peel runs
+    as a driver loop over collected pairs — at that size the
+    distributed rounds are pure scheduling overhead (≤ R × (aggregate
+    + two joins + checkpoint + count job) for microseconds of work).
+    The Python loop is the SAME synchronous peel (round-identical,
+    test-pinned against the distributed path); the distributed loop
+    is the only path that matters at 100 TB and stays the default
+    above the threshold.
     """
     docs = load_table(spark, "documents", sf)
     base = _neardup_edges(docs).select("ia", "ib")
@@ -1906,6 +1939,11 @@ def kcore_decomposition(spark: SparkSession, sf: str) -> DataFrame:
     # union form ran it once per branch inside this checkpoint)
     cur = symmetrize_pairs(base).localCheckpoint()
     n_prev = cur.count()
+    if n_prev <= KCORE_DRIVER_FALLBACK_EDGES:
+        labels = _driver_kcore([(r.ia, r.ib) for r in cur.collect()])
+        return spark.createDataFrame(
+            labels or [], "doc_id long, core_deg long"
+        )
     for _ in range(KCORE_ROUNDS):
         keep = (
             cur.groupBy("ia")
@@ -1960,14 +1998,22 @@ def neardup_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
     already-approximate estimate), and the doc count — the classic
     HyperANF readout.
 
-    Scale: state is one bounded sketch per NODE, edges are the
-    OUTPUT-sized near-dup pairs (post-threshold), each round
-    localCheckpoints the new sketch table (same lineage-truncation
-    discipline as the CC/k-core loops — without it round R re-derives
-    R joins). Fixed radius bounds the loop; r=0 is emitted exactly
-    (every ball is its own node). No SQL oracle exists for sketch
-    internals (ORACLE_EXEMPT; rows-only driver check) —
-    test_hyperanf bounds every N(r) against exact python BFS.
+    Scale: state is one bounded sketch per EDGE-GRAPH NODE — not per
+    corpus document (r10, guide §2.3): a doc with no near-dup edge has
+    N(r) = 1 at every radius, so its sketch never changes and never
+    needs to exist; the recurrence runs over the graph's nodes only
+    (|V_edges| ≪ corpus for a post-threshold near-dup graph) and each
+    round's readout adds the (n_docs − n_edge_nodes) singleton balls
+    as a closed-form constant. Sum/mean per radius are value-identical
+    to the per-doc form (an HLL of the same set has the same registers
+    regardless of construction order). Edges are the OUTPUT-sized
+    near-dup pairs (post-threshold); each round localCheckpoints the
+    new sketch table (same lineage-truncation discipline as the
+    CC/k-core loops — without it round R re-derives R joins). Fixed
+    radius bounds the loop; r=0 is emitted exactly (every ball is its
+    own node). No SQL oracle exists for sketch internals
+    (ORACLE_EXEMPT; rows-only driver check) — test_hyperanf bounds
+    every N(r) against exact python BFS.
     """
     docs = load_table(spark, "documents", sf)
     # one checkpoint, not two: explode-symmetrize references the
@@ -1975,10 +2021,12 @@ def neardup_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
     # needed (to avoid running the pipeline per branch) is gone
     edges = symmetrize_pairs(_neardup_edges(docs)).localCheckpoint()
     n_docs = docs.count()
+    # seed sketches for edge-graph nodes only: HLL{v} per distinct ia
+    # (symmetrized edges list every node as ia) — one graph-sized
+    # groupBy, no corpus-wide sketch build
     sk = (
-        docs.select("doc_id")
-        .groupBy("doc_id")
-        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+        edges.groupBy(F.col("ia").alias("doc_id"))
+        .agg(F.hll_sketch_agg(F.col("ia")).alias("sk"))
         .localCheckpoint()
     )
     out = spark.createDataFrame(
@@ -2002,14 +2050,22 @@ def neardup_neighborhood_function(spark: SparkSession, sf: str) -> DataFrame:
                 .alias("ball")
             )
             .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("ball").alias("ball_sum"),
+                F.count("*").alias("n_nodes"),
+                F.sum("ball").alias("ball_sum_nodes"),
             )
             .select(
                 F.lit(r).alias("radius"),
+                F.lit(n_docs).alias("n_docs"),
+                # singleton docs contribute ball = 1 each, in closed form
+                (
+                    F.col("ball_sum_nodes") + F.lit(n_docs) - F.col("n_nodes")
+                ).alias("ball_sum"),
+            )
+            .select(
+                "radius",
                 "n_docs",
                 "ball_sum",
-                F.expr("(1000000 * ball_sum) DIV n_docs").alias(
+                F.expr(f"(1000000 * ball_sum) DIV {n_docs}").alias(
                     "mean_ball_e6"
                 ),
             )

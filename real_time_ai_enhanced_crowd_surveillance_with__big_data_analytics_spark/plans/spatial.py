@@ -564,24 +564,31 @@ def spatial_two_hop_reach_approx(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("site_a").alias("ia"), F.col("site_b").alias("ib"))
         .localCheckpoint()
     )
+    # self-loops fold the "union the node's own sketch" branch into the
+    # recurrence itself (r10, guide §2.4): with (v, v) present,
+    # round-1 sketches are HLL{N(v) ∪ {v}} and the round-2 join over
+    # mid ∈ N(v) ∪ {v} covers N₂ ∪ N₁ ∪ {src} in ONE aggregate — the
+    # old plan re-executed the round-1 aggregate THREE times (mid join,
+    # own-sketch union branch, deg join) because the union duplicated
+    # its unmaterialized subtree. Estimates are identical: an HLL of
+    # the same set has the same registers however it was built, and
+    # for deg ≥ 1 the union set already contained src; deg-0 sites
+    # read est({v}) − 1 = 0, exactly the coalesce(0) they read before.
     edges = pairs.union(
         pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+    ).union(s.select(F.col("site").alias("ia"), F.col("site").alias("ib")))
+    sk1 = (
+        edges.groupBy(F.col("ia").alias("site"))
+        .agg(
+            F.hll_sketch_agg("ib").alias("sk"),
+            # exact: edges are distinct pairs; one row is the self-loop
+            (F.count("*") - 1).alias("deg"),
+        )
+        .localCheckpoint()
     )
-    sk1 = edges.groupBy(F.col("ia").alias("site")).agg(
-        F.hll_sketch_agg("ib").alias("sk"),
-        F.count("*").alias("deg"),  # exact: edges are distinct pairs
-    )
-    # neighbors' sketches cover N(N(src)) — which contains src but can
-    # MISS leaf members of N(src) (a neighbor connected only to src
-    # appears in nobody else's neighborhood), while the exact spec
-    # counts N₂ ∪ N₁; union the node's own sketch so N₁ is covered,
-    # then subtract 1 for src itself
-    mid_sketches = edges.select(
-        F.col("ia").alias("src"), F.col("ib").alias("mid")
-    ).join(sk1.select(F.col("site").alias("mid"), "sk"), "mid")
     two = (
-        mid_sketches.select("src", "sk")
-        .union(sk1.select(F.col("site").alias("src"), "sk"))
+        edges.select(F.col("ia").alias("src"), F.col("ib").alias("mid"))
+        .join(sk1.select(F.col("site").alias("mid"), "sk"), "mid")
         .groupBy(F.col("src").alias("site"))
         .agg(F.hll_union_agg("sk").alias("sk2"))
         .select(
@@ -592,12 +599,11 @@ def spatial_two_hop_reach_approx(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        s.select("site")
-        .join(sk1.select("site", "deg"), "site", "left")
+        sk1.select("site", "deg")
         .join(two, "site", "left")
         .select(
             "site",
-            F.coalesce("deg", F.lit(0)).alias("n_1hop"),
+            F.col("deg").alias("n_1hop"),
             F.coalesce("n_2hop_est", F.lit(0)).alias("n_2hop_est"),
         )
     )

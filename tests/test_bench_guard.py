@@ -21,17 +21,16 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
 from tools.bench_compare import compare  # noqa: E402
 
 
-def test_every_query_analyzes(spark, sf_dir):
+def test_every_query_analyzes(registry_dfs):
     """Plan resolution for all registered queries — catches schema or
     type breakage (e.g. a testdata regeneration changing a physical
-    column type) without executing a single job for purely-lazy plans."""
-    failures = {}
-    for name, fn in QUERIES.items():
-        try:
-            fn(spark, sf_dir).schema  # forces analysis, not execution
-        except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+    column type). Consumes the shared session-scoped construction pass
+    (conftest.registry_dfs) instead of re-building all ~230 plans."""
+    dfs, failures = registry_dfs
     assert not failures, failures
+    assert set(dfs) == set(QUERIES)
+    for name, (df, _plan) in dfs.items():
+        df.schema  # analysis (already forced by executedPlan; cheap)
 
 
 @pytest.mark.parametrize(

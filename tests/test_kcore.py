@@ -111,3 +111,16 @@ def test_clustering_coefficient_matches_python(spark, sf_dir):
             assert 0 <= r["cc_e6"] <= 1_000_000
         else:
             assert r["cc_e6"] is None
+
+
+def test_driver_fallback_matches_distributed(spark, monkeypatch):
+    """The r10 driver peel (below KCORE_DRIVER_FALLBACK_EDGES) must be
+    row-identical to the distributed loop it replaces at small scale."""
+    import real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.dedup as dd
+
+    fast = {r["doc_id"]: r["core_deg"] for r in
+            kcore_decomposition(spark, SF).collect()}
+    monkeypatch.setattr(dd, "KCORE_DRIVER_FALLBACK_EDGES", -1)
+    dist = {r["doc_id"]: r["core_deg"] for r in
+            kcore_decomposition(spark, SF).collect()}
+    assert fast == dist and fast

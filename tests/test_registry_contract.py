@@ -39,40 +39,24 @@ from tools.explain_audit import (  # noqa: E402
 )
 
 
+# registry_dfs now lives in conftest.py (session-scoped): the bench
+# guard's analysis check and these plan audits share ONE full-registry
+# construction pass. The AQE-off / tiny-maxPartitionBytes rationale is
+# documented on the fixture.
+
+
 @pytest.fixture(scope="module")
-def registry_dfs(spark, sf_dir):
-    """name -> DataFrame for every registry query, built with AQE off
-    (the window/exchange structure is static; AQE hides Exchanges
-    inside query stages, blinding the detector) and with tiny
-    maxPartitionBytes: at sf0.001 each parquet scan is otherwise a
-    SINGLE partition, so Spark elides the ``Exchange SinglePartition``
-    the global-window detector keys on — multi-partition scans make the
-    sf0.001 plan shape match the sf0.01+ shape the audit tool sees.
-
-    The physical plan is materialized HERE, not in the tests:
-    ``executedPlan()`` is lazy and picks up session confs at first
-    access, which would otherwise happen after this fixture's finally
-    block restored them."""
-    prior = spark.conf.get("spark.sql.adaptive.enabled")
-    prior_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
-    try:
-        out = {}
-        for name, fn in QUERIES.items():
-            df = fn(spark, sf_dir)
-            out[name] = (df, df._jdf.queryExecution().executedPlan())
-        return out
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prior)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prior_mpb)
+def registry_plans(registry_dfs):
+    dfs, errors = registry_dfs
+    assert not errors, errors
+    return dfs
 
 
-def test_no_nested_output_columns(registry_dfs):
+def test_no_nested_output_columns(registry_plans):
     """Driver-harness contract: every output cell must be pandas-
     sortable/hashable — scalars only, no array/map/struct columns."""
     bad = []
-    for name, (df, _plan) in registry_dfs.items():
+    for name, (df, _plan) in registry_plans.items():
         for f in df.schema.fields:
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
@@ -82,14 +66,14 @@ def test_no_nested_output_columns(registry_dfs):
     )
 
 
-def test_no_unbounded_global_window(registry_dfs):
+def test_no_unbounded_global_window(registry_plans):
     """Every registered query's physical plan is free of un-partitioned
     Windows over unbounded frames, except the documented exact-oracle
     anchors in ALLOWED_GLOBAL_WINDOWS (each justified in its docstring
     with its distributed 100 TB alternative)."""
     offenders = [
         name
-        for name, (_df, plan) in registry_dfs.items()
+        for name, (_df, plan) in registry_plans.items()
         if name not in ALLOWED_GLOBAL_WINDOWS
         and _global_window_unbounded(plan)
     ]
@@ -100,27 +84,27 @@ def test_no_unbounded_global_window(registry_dfs):
     )
 
 
-def test_allowed_global_windows_still_needed(registry_dfs):
+def test_allowed_global_windows_still_needed(registry_plans):
     """Detector-sensitivity guard in reverse: every ALLOWED entry must
     still trip the detector — a stale allowance would mask a future
     regression elsewhere in that query."""
     stale = [
         name
         for name in ALLOWED_GLOBAL_WINDOWS
-        if name in registry_dfs
-        and not _global_window_unbounded(registry_dfs[name][1])
+        if name in registry_plans
+        and not _global_window_unbounded(registry_plans[name][1])
     ]
     assert not stale, f"ALLOWED_GLOBAL_WINDOWS entries no longer needed: {stale}"
 
 
-def test_no_cartesian_or_rowwise_python(registry_dfs):
+def test_no_cartesian_or_rowwise_python(registry_plans):
     """The other two explain_audit flags, mechanically over the whole
     registry: no CartesianProduct (unbounded cross join — broadcast
     NLJ with a tiny build side prints as BroadcastNestedLoopJoin and
     is fine), and no BatchEvalPython (row-at-a-time Python UDF outside
     Arrow) anywhere in any physical plan."""
     cartesian, rowpy = [], []
-    for name, (_df, plan) in registry_dfs.items():
+    for name, (_df, plan) in registry_plans.items():
         tree = plan.toString()
         if "CartesianProduct" in tree:
             cartesian.append(name)
