@@ -1,5 +1,6 @@
 """Optimization-round profiler: for each named query, dump the
-formatted physical plan to ``plans/r09/<name>_<tag>.txt`` and time the
+formatted physical plan to ``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt``
+(round defaults to r10) and time the
 noop-sink execution (N warm iterations, min kept — same methodology as
 bench.py's re-run pass).
 
@@ -28,7 +29,11 @@ from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.pla
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"),
+)
 
 
 def main() -> None:
