@@ -70,6 +70,15 @@ PQ_TOPK = 3
 PQ_SHORTLIST = 64  # ADC candidates re-ranked exactly per query
 PQ_QUERY_N = 8   # ADC probes = vectors with vec_id < 8 (knn_batch rule)
 PQ_INC_MOD = 10  # vec_id % MOD == 0 → the increment; the rest is base
+# below this many training vectors the k-means rounds run driver-side
+# on ONE collected quantized matrix (~512 B/vector ⇒ ≤ ~512 MB at the
+# bound) instead of PQ_ROUNDS+1 scan+aggregate+collect Spark jobs —
+# the connected_components/kcore adaptive-execution precedent. All
+# arithmetic is int64 sums and floor divisions, so both paths produce
+# bit-identical codebooks (test-pinned); the distributed rounds stay
+# the default above the bound and are the only path that matters at
+# 100 TB.
+PQ_TRAIN_DRIVER_MAX = 1_000_000
 
 
 def _quantize(pdf: pd.DataFrame) -> np.ndarray:
@@ -94,14 +103,68 @@ _PARTIALS_SCHEMA = (
 )
 
 
+def _seed_or_assign(cur, xq, vids, m):
+    """(js, idx) for subspace m under codebook ``cur`` (None = the
+    vec_id % K seed round) — the ONE assignment rule both training
+    paths share, so they cannot drift."""
+    if cur is None:
+        j_of = vids % PQ_K
+        js = np.unique(j_of)
+        idx = np.searchsorted(js, j_of)
+    else:
+        js, cents = cur[m]
+        idx, _ = _assign(xq[:, m], js, cents)
+    return js, idx
+
+
+def _driver_train(xq: np.ndarray, vids: np.ndarray):
+    """PQ_ROUNDS k-means rounds over one in-memory quantized matrix —
+    the sub-PQ_TRAIN_DRIVER_MAX path. Same seed, same assignment, same
+    int64 sum // count centroid update as the distributed rounds, so
+    codebooks are bit-identical (int arithmetic has no reduction-order
+    freedom)."""
+
+    def one_round(cur):
+        cb_new = {}
+        for m in range(PQ_M):
+            js, idx = _seed_or_assign(cur, xq, vids, m)
+            live_js, cents = [], []
+            for k, j in enumerate(js):
+                rows = xq[idx == k, m]
+                if not len(rows):
+                    continue
+                live_js.append(int(j))
+                cents.append(rows.sum(axis=0) // len(rows))
+            cb_new[m] = (
+                np.asarray(live_js, dtype=np.int64),
+                np.stack(cents),
+            )
+        return cb_new
+
+    cb = one_round(None)
+    for _ in range(PQ_ROUNDS):
+        cb = one_round(cb)
+    return cb
+
+
 def _train_codebook(emb: DataFrame) -> dict[int, tuple[np.ndarray, np.ndarray]]:
     """{m: (js ascending, (kj, SUBDIM) int64 centroids)} — PQ_ROUNDS
     k-means rounds from the vec_id % K seed. Each round is ONE corpus
     pass yielding ≤ M*K*SUBDIM partial-sum rows per batch, combined by
     one bounded collect (k×d partials, the kmeans_refine precedent);
-    no corpus-sized shuffle anywhere."""
+    no corpus-sized shuffle anywhere. Below PQ_TRAIN_DRIVER_MAX
+    training vectors the rounds run driver-side on one collected
+    matrix instead (bit-identical; see the constant's rationale)."""
     src = emb.select("vec_id", "embedding")
     spark = emb.sparkSession
+    n_train = src.count()
+    if n_train <= PQ_TRAIN_DRIVER_MAX:
+        rows = src.collect()
+        vids = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+        xq = _quantize(
+            pd.DataFrame({"embedding": [list(r.embedding) for r in rows]})
+        )
+        return _driver_train(xq, vids)
 
     def partial_pass(cb):
         bc = spark.sparkContext.broadcast(cb)
@@ -112,17 +175,10 @@ def _train_codebook(emb: DataFrame) -> dict[int, tuple[np.ndarray, np.ndarray]]:
                 if not len(pdf):
                     continue
                 xq = _quantize(pdf)
+                vids = pdf["vec_id"].to_numpy(dtype="int64")
                 out_m, out_j, out_pos, out_s, out_n = [], [], [], [], []
                 for m in range(PQ_M):
-                    if cur is None:  # seed round: j = vec_id % K
-                        j_of = (
-                            pdf["vec_id"].to_numpy(dtype="int64") % PQ_K
-                        )
-                        js = np.unique(j_of)
-                        idx = np.searchsorted(js, j_of)
-                    else:
-                        js, cents = cur[m]
-                        idx, _ = _assign(xq[:, m], js, cents)
+                    js, idx = _seed_or_assign(cur, xq, vids, m)
                     for k, j in enumerate(js):
                         rows = xq[idx == k, m]
                         if not len(rows):

@@ -822,8 +822,9 @@ BAND_SIZE = 4  # 4 bands × 4 bits
 # buckets beyond the cap are dropped (degenerate band keys — the LSH
 # failure mode banding exists to avoid), and the cosine matmul is
 # tiled so one task never materializes an m×m float matrix. Largest
-# bucket at sf0.1 is ~2.4k rows — the cap only ever bites adversarial
-# skew, never a tested SF.
+# bucket at tested SFs is a few hundred rows (embeddings are 2k rows
+# at sf0.1; test_lsh_bucket_cap pins bucket_max < cap/10) — the cap
+# only ever bites adversarial skew, never a tested SF.
 LSH_BUCKET_CAP = 50_000
 LSH_TILE_BYTES = 64 * 1024 * 1024
 

@@ -232,3 +232,24 @@ def test_pq_incremental_encode_frozen_codebook(spark, sf_dir):
         assert r["n_base_same_word"] == base_word_counts.get(
             r["pq_code"], 0
         )
+
+
+def test_driver_train_matches_distributed(spark, sf_dir, monkeypatch):
+    """The r10 driver-side k-means path (below PQ_TRAIN_DRIVER_MAX)
+    must produce bit-identical codebooks to the distributed
+    partials rounds it replaces."""
+    import numpy as np
+
+    import real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.plans.pq as pqm
+    from real_time_ai_enhanced_crowd_surveillance_with__big_data_analytics_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fast = pqm._train_codebook(emb)
+    monkeypatch.setattr(pqm, "PQ_TRAIN_DRIVER_MAX", -1)
+    dist = pqm._train_codebook(emb)
+    assert set(fast) == set(dist)
+    for m in fast:
+        assert np.array_equal(fast[m][0], dist[m][0])
+        assert np.array_equal(fast[m][1], dist[m][1])
