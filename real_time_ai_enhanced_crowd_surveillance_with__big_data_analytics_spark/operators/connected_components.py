@@ -112,6 +112,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 30,
     driver_fallback_edges: int = 100_000,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Labels (node, component) with component = min node id reachable.
 
@@ -133,13 +134,19 @@ def connected_components(
     Convergence check (distributed path): small_star output is
     canonically oriented (src > dst), so a changed-row count against
     the previous round is an exact fixed-point test, not a heuristic.
+
+    ``assume_distinct``: callers whose edge list is distinct by
+    construction (a groupBy-produced pair frame) skip the initial
+    distinct — one exchange + stage less on the materialization path.
+    Duplicates would only inflate the threshold/partition counts, but
+    the flag is a caller-stated invariant, not a runtime check.
     """
-    cur = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src") != F.col("dst")
     )
+    if not assume_distinct:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint()
     n_edges = cur.count()
     if n_edges <= driver_fallback_edges:
         labels = _driver_union_find(

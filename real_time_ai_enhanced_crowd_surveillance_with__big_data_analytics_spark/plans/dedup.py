@@ -1520,8 +1520,10 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     # partitioning of the iterative rounds is derived inside
     # connected_components from the measured edge count
+    # edges are distinct by the groupBy(ia, ib) construction — skip
+    # the CC operator's defensive distinct (one exchange less)
     labels = connected_components(
-        edges, src="ia", dst="ib"
+        edges, src="ia", dst="ib", assume_distinct=True
     ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     from pyspark.sql import Window
 
@@ -1620,9 +1622,9 @@ def dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
     edges = _neardup_edges(docs)
     from ..operators.connected_components import connected_components
 
-    labels = connected_components(edges, src="ia", dst="ib").select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cid")
-    )
+    labels = connected_components(
+        edges, src="ia", dst="ib", assume_distinct=True
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cid"))
     full = (
         docs.select("doc_id", "n_chars")
         .join(F.broadcast(labels), "doc_id", "left")
