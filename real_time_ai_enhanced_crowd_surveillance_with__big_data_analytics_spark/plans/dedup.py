@@ -205,6 +205,19 @@ WHERE round(CAST(s.shared AS DOUBLE) / (na.n_tri + nb.n_tri - s.shared), 6)
 
 # --- prefix-filtered EXACT Jaccard join (PPJoin-family) ----------------------
 
+def _fan_out_pairs(pairs: DataFrame, key: str = "ia") -> DataFrame:
+    """Restore parallelism on a candidate-pair stream before the
+    CPU-heavy array-intersect verify (r10, guide §2.5): the candidate
+    ``distinct`` emits two-long rows, so AQE's byte-based coalescing
+    collapses its output to ~1 partition — and the verify joins +
+    per-row intersects then run in that ONE task (measured: the whole
+    verify single-task at sf0.1). AQE cannot see per-row CPU; an
+    explicit hash repartition on the probe-side join key spreads the
+    intersects at the cost of one narrow exchange."""
+    sc = pairs.sparkSession.sparkContext
+    return pairs.repartition(sc.defaultParallelism, key)
+
+
 def _df_map(doc_sets: DataFrame):
     """sid → corpus document frequency, collected and broadcast. ONE
     map-side-combined aggregate over the postings explode of the
@@ -420,7 +433,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     # earlier postings-checkpoint + collect_list groupBy (re-executed
     # per verify side) is gone
     doc_sets = _shingle_sets(docs)
-    cands = _prefix_candidates(doc_sets)
+    cands = _fan_out_pairs(_prefix_candidates(doc_sets))
     shared = (
         cands.join(
             doc_sets.select(
@@ -1022,7 +1035,7 @@ def dedup_containment_prefix(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, "documents", sf)
     # same one-materialization shape as dedup_jaccard_prefix
     doc_sets = _shingle_sets(docs)
-    cands = _containment_prefix_candidates(doc_sets)
+    cands = _fan_out_pairs(_containment_prefix_candidates(doc_sets))
     shared = (
         cands.join(
             doc_sets.select(
@@ -1095,7 +1108,11 @@ def _verify_jaccard(cands: DataFrame, doc_sets: DataFrame) -> DataFrame:
     dedup_jaccard_prefix discipline): postings are distinct per doc so
     the intersect size IS the shared count, and the old
     candidates × postings double join + re-groupBy — which re-shuffled
-    Σ|candidate docs' postings| rows — is gone."""
+    Σ|candidate docs' postings| rows — is gone. NOT fanned out
+    (_fan_out_pairs): banding keeps these candidate sets small
+    (hundreds of pairs at sf0.1), and an interleaved A/B measured the
+    extra exchange a wash-to-loss here, unlike the prefix verifies'
+    ~150k-500k-pair streams."""
     return (
         cands.join(
             doc_sets.select(F.col("doc_id").alias("ia"), F.col("sids").alias("sa")),
